@@ -1,0 +1,114 @@
+"""Storage facade: the reference's `Storage` class as a thin API over the
+partitioned parquet log + the resend/metadata operators.
+
+Mirrors the public surface of src/storage/Storage.ts:
+requestLast / requestFrom / requestRange (101-435), first/last message ts
+(452-518), message count (520-537), total bytes (539-576) — each returning
+a lazily-planned DataFrame; the serving layer decides how to consume it
+(`toLocalIterator()` for streamed delivery with backpressure, the analog of
+the reference's pause/resume row streaming at 412-435).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from broker_spark.operators import metadata, resend
+from broker_spark.schema import DEFAULT_BUCKET_MS
+from broker_spark.storage.writer import read_stream_data, write_stream_data
+
+
+class Storage:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        bucket_ms: int = DEFAULT_BUCKET_MS,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.bucket_ms = bucket_ms
+
+    # -- write path ---------------------------------------------------------
+    def store(self, df: DataFrame) -> None:
+        """Append a batch of messages (src/storage/Storage.ts:65-99; the
+        bucket/batch machinery is subsumed by derivable partitions)."""
+        write_stream_data(df, self.path, bucket_ms=self.bucket_ms)
+
+    # -- read path ----------------------------------------------------------
+    def _log(self) -> DataFrame:
+        return read_stream_data(self.spark, self.path)
+
+    def request_last(self, stream_id: str, partition: int, n: int) -> DataFrame:
+        return resend.request_last(
+            self._log(), stream_id, partition, n, bucket_ms=self.bucket_ms
+        )
+
+    def request_from(
+        self,
+        stream_id: str,
+        partition: int,
+        from_ms: int,
+        from_seq: int = 0,
+        publisher_id: str | None = None,
+        msg_chain_id: str | None = None,
+    ) -> DataFrame:
+        return resend.request_from(
+            self._log(),
+            stream_id,
+            partition,
+            from_ms,
+            from_seq,
+            publisher_id,
+            msg_chain_id,
+            bucket_ms=self.bucket_ms,
+        )
+
+    def request_range(
+        self,
+        stream_id: str,
+        partition: int,
+        from_ms: int,
+        from_seq: int,
+        to_ms: int,
+        to_seq: int,
+        publisher_id: str | None = None,
+        msg_chain_id: str | None = None,
+    ) -> DataFrame:
+        return resend.request_range(
+            self._log(),
+            stream_id,
+            partition,
+            from_ms,
+            from_seq,
+            to_ms,
+            to_seq,
+            publisher_id,
+            msg_chain_id,
+            bucket_ms=self.bucket_ms,
+        )
+
+    # -- streamed delivery (W6 backpressure analog) -------------------------
+    def stream_rows(self, df: DataFrame) -> Iterator:
+        """Row-at-a-time delivery without collect(): `toLocalIterator`
+        fetches one partition at a time — the engine-side equivalent of the
+        reference's pause/resume streaming (src/storage/Storage.ts:418-429)."""
+        return df.toLocalIterator(prefetchPartitions=True)
+
+    # -- metadata (src/http/DataMetadataEndpoints.ts:21-26) -----------------
+    def get_first_message_ts(self, stream_id: str, partition: int) -> DataFrame:
+        return metadata.first_message_ts(self._log(), stream_id, partition)
+
+    def get_last_message_ts(self, stream_id: str, partition: int) -> DataFrame:
+        return metadata.last_message_ts(self._log(), stream_id, partition)
+
+    def get_number_of_messages(self, stream_id: str) -> DataFrame:
+        return metadata.message_count(self._log(), stream_id)
+
+    def get_total_bytes(self, stream_id: str) -> DataFrame:
+        return metadata.total_bytes(self._log(), stream_id)
+
+    def bucket_index(self) -> DataFrame:
+        return metadata.bucket_index(self._log(), bucket_ms=self.bucket_ms)

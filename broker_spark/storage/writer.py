@@ -1,0 +1,57 @@
+"""Message-log writer: partitioned parquet, the Cassandra replacement.
+
+Layout: ``partitionBy(stream_id, partition, bucket)`` — directory
+partitioning replaces the reference's Cassandra partition key
+`(stream_id, partition, bucket_id)` (src/storage/Storage.ts:109-110) and
+its hand-rolled batch machinery (src/storage/BatchManager.ts:44-157):
+micro-batch triggers + task retries subsume batching/retry; the derivable
+bucket column subsumes BucketManager entirely.
+
+Scale notes: at 100 TB the partition count is
+|streams| x |partitions| x |buckets| — keep bucket_ms large enough that a
+partition holds >= ~128 MB (the reference's own bucket target is 100 MB,
+src/storage/BucketManager.ts:50).  Files within a partition are written
+sorted by the clustering key so parquet row-group min/max stats make
+(ts, sequence_no) range scans skip pages, mirroring Cassandra clustering
+order (src/storage/Storage.ts:111).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from broker_spark.schema import (
+    DEFAULT_BUCKET_MS,
+    ORDERING_COLUMNS,
+    PARTITION_COLUMNS,
+    with_bucket,
+)
+
+
+def write_stream_data(
+    df: DataFrame,
+    path: str,
+    bucket_ms: int = DEFAULT_BUCKET_MS,
+    mode: str = "append",
+) -> None:
+    """Append messages to the log at `path`.
+
+    sortWithinPartitions on the clustering key => parquet stats are tight,
+    so resend range scans skip row groups (the Spark analog of Cassandra
+    clustering-order reads, src/storage/Storage.ts:111).
+    """
+    out = with_bucket(df, bucket_ms=bucket_ms)
+    (
+        out.sortWithinPartitions(*PARTITION_COLUMNS, *ORDERING_COLUMNS)
+        .write.mode(mode)
+        .partitionBy(*PARTITION_COLUMNS)
+        .parquet(path)
+    )
+
+
+def read_stream_data(spark: SparkSession, path: str) -> DataFrame:
+    """Open the message log; partition columns come back from directory
+    names, so filters on (stream_id, partition, bucket) prune directories
+    before any file is opened — the two-level bucket-index lookup
+    (src/storage/BucketManager.ts:228-264) for free."""
+    return spark.read.parquet(path)
