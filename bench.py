@@ -1,0 +1,88 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query runs once warm-up-free except a single trivial action to
+amortize session startup; timing covers plan + execute + collect-to-count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from broker_spark.plans.catalog import CATALOG
+from broker_spark.session import get_spark
+
+#: The headline set: the resend family (the reference's core), metadata,
+#: the relational surface, and the LLM-pipeline operators.
+HEADLINE = [
+    "resend_last",
+    "resend_from",
+    "resend_range",
+    "resend_range_publisher",
+    "resend_last_global",
+    "metadata_counts",
+    "stream_first_last",
+    "bucket_index",
+    "retention_selection",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "top_orders_per_customer",
+    "rollup_order_stats",
+    "events_hourly_rollup",
+    "ewma_hourly",
+    "json_content_stats",
+    "dedup_exact_groups",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "text_quality",
+    "language_id",
+    "ann_bruteforce_topk",
+    "ann_grid_buckets",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="broker-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1).count()  # JVM warm-up, not query work
+    # warm file-listing/footer caches (schema only; no data scan)
+    from broker_spark.tables import TABLE_NAMES, load
+
+    for t in TABLE_NAMES:
+        _ = load(spark, sf_dir, t).schema
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

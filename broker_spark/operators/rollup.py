@@ -1,0 +1,104 @@
+"""Metric rollups: tumbling-window cascade (W3) + EWMA smoothing (W4).
+
+The reference's StreamMetrics publishes sec->min->hour->day rollups, each
+level averaging the previous level's messages
+(src/StreamMetrics.ts:55-77,158-202), with a `0.8*avg + 0.2*sample`
+smoothed per-second rate (src/StreamMetrics.ts:7-9,133-143).
+
+Spark-first: each cascade level is ONE windowed aggregation (usable
+identically under Structured Streaming with a watermark); EWMA is the one
+genuinely stateful/iterative op -> applyInPandas recurrence per key, Arrow
+batched, parallel across keys (the key count, not the row count, bounds
+the python cost).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+# src/StreamMetrics.ts:7-9 — EWMA coefficients
+EWMA_PREV_WEIGHT = 0.8
+EWMA_SAMPLE_WEIGHT = 0.2
+
+
+def time_bucket(ts: Column, bucket_ms: int) -> Column:
+    """Tumbling-window id as a derivable integer (epoch_ms // bucket_ms) —
+    groupable, joinable, and identical under batch and streaming."""
+    return F.floor(F.unix_millis(ts) / F.lit(bucket_ms)).cast("long")
+
+
+def rollup_level(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    bucket_ms: int,
+) -> DataFrame:
+    """One cascade level: per (keys, window) count/sum/avg/min/max.
+    Chain levels by feeding the output's `avg_value` into the next level
+    with a coarser bucket — exactly the reference's min->hour->day resend-
+    and-average loop (src/StreamMetrics.ts:158-202), minus the resends."""
+    return (
+        df.withColumn("bucket", time_bucket(F.col("ts"), bucket_ms))
+        .groupBy(*key_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_samples"))
+    )
+
+
+def _ewma_schema(key_col: str) -> StructType:
+    return StructType(
+        [
+            StructField(key_col, StringType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("value", DoubleType(), True),
+            StructField("ewma", DoubleType(), True),
+        ]
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    order_col: str = "bucket",
+    value_col: str = "value",
+    prev_weight: float = EWMA_PREV_WEIGHT,
+    sample_weight: float = EWMA_SAMPLE_WEIGHT,
+) -> DataFrame:
+    """EWMA recurrence per key: e_0 = x_0; e_t = 0.8*e_{t-1} + 0.2*x_t.
+
+    Iterative -> applyInPandas (grouped Arrow batches).  Each key's series
+    must fit one executor's memory: fine, a series is one row per window.
+    For unbounded streams use applyInPandasWithState with the same body.
+    """
+
+    def _one_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        out = []
+        prev: float | None = None
+        for x in pdf[value_col]:
+            prev = x if prev is None else prev_weight * prev + sample_weight * x
+            out.append(prev)
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                "bucket": pdf[order_col],
+                "value": pdf[value_col],
+                "ewma": out,
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_one_key, _ewma_schema(key_col))
+    )

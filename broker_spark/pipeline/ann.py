@@ -1,0 +1,136 @@
+"""Similarity search over an embedding column (`array<float>`).
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set
+  against the full corpus; per-row arithmetic is JVM `zip_with`/`aggregate`
+  on doubles, no shuffle except the final per-query top-k
+  (TakeOrderedAndProject via window row_number).
+- grid_lsh_buckets / grid_lsh_topk: the scale path — quantize leading
+  dimensions into a grid cell id, shuffle once on the cell key, and only
+  compare vectors sharing a cell (IVF-style candidate pruning).
+
+All math is done in double precision with deterministic left-to-right
+folds so results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of the elementwise product, in double."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast-cross-join queries x corpus, score,
+    take per-query top-k (ties broken by candidate id ascending).
+
+    At 100 TB the corpus side stays partition-parallel: the broadcast is
+    only the query set; the window is partitioned by query id so each
+    query's top-k reduces independently.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round(F.col("cos_raw"), 6).alias("cosine"))
+    )
+
+
+def grid_cell(vec: Column, dims: int = 2, width: float = 0.5) -> Column:
+    """Quantization LSH: cell id from the first `dims` coordinates,
+    `floor(x_i / width)` concatenated.  Deterministic, data-independent,
+    and a pure column expression."""
+    parts = [
+        F.floor(F.element_at(_as_double(vec), i + 1) / F.lit(width)).cast("string")
+        for i in range(dims)
+    ]
+    return F.concat_ws(",", *parts)
+
+
+def grid_lsh_buckets(
+    embeddings: DataFrame,
+    dims: int = 2,
+    width: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucket histogram — the partition layout a bucketed ANN search would
+    shuffle on (one shuffle, key = cell)."""
+    return (
+        embeddings.select(grid_cell(F.col(vec_col), dims, width).alias("cell"), F.col(id_col))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min(id_col).alias("min_vec_id"))
+    )
+
+
+def grid_lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    dims: int = 2,
+    width: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates limited to same-cell vectors.
+    One shuffle on the cell key; recall depends on (dims, width)."""
+    cells = embeddings.select(
+        F.col(id_col), F.col(vec_col), grid_cell(F.col(vec_col), dims, width).alias("cell")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    scored = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("cand_id"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round(F.col("cos_raw"), 6).alias("cosine"))
+    )

@@ -1,0 +1,202 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: every variant is shuffle-on-signature —
+    signature (narrow, per-row) -> groupBy/join on signature (one shuffle)
+so the expensive all-pairs comparison never happens; candidate pairs come
+from bucket collisions only.  All signature math is JVM built-ins
+(split/transform/aggregate/md5/conv) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_NUM_HASHES = 4
+DEFAULT_SHINGLE = 3
+
+
+def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Word k-gram shingles: `concat_ws(' ', words[i..i+k-1])` for each
+    window start.  Empty array when the doc has fewer than k words."""
+    words = F.split(text, " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    text: Column,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle: int = DEFAULT_SHINGLE,
+) -> list[Column]:
+    """MinHash signature: for seed j, min over shingles of md5('j|'+shingle).
+
+    md5-hex min is a valid permutation-min (lexicographic order on the hex
+    digest) and — unlike murmur/xxhash — is bit-identical across engines,
+    which keeps the operator oracle-checkable.
+    """
+    sh = word_shingles(text, shingle)
+
+    def _minhash(j: int) -> Column:
+        seed = F.lit(f"{j}|")
+        # NB: transform's lambda must take exactly one arg — a second arg
+        # would be bound to the array index by PySpark.
+        return F.array_min(F.transform(sh, lambda s: F.md5(F.concat(seed, s))))
+
+    return [_minhash(j).alias(f"mh{j}") for j in range(num_hashes)]
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before expensive per-row expressions —
+    a small parquet file arrives as 1-2 input splits, which would leave
+    most executors idle for the signature map work."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
+    return _spread(docs).select("doc_id", *minhash_signature(F.col("text"), num_hashes))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, self-join on (band_id,
+    band_key).  The join key is the banded signature -> one shuffle on a
+    short string key; no O(n^2) comparison.  Returns distinct (a, b) with
+    a < b."""
+    # Materialize signatures once: the banded self-join references them on
+    # both sides, and without a persist Catalyst would recompute the md5
+    # map 2 x bands times.  At scale this is the "write the signature
+    # table" step of any LSH pipeline.
+    sig = minhash_signatures(docs, num_hashes).persist()
+    bands = []
+    for b in range(0, num_hashes, rows_per_band):
+        cols = [F.col(f"mh{j}") for j in range(b, min(b + rows_per_band, num_hashes))]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionAll(extra)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; keeper = min(doc_id).
+    One shuffle on md5(text) — partial aggregation makes the map side cheap
+    even at 100 TB."""
+    h = F.md5(F.col(text_col))
+    return docs.groupBy(h.alias("content_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one row per distinct text (the min doc_id), dropping
+    the rest — window-free implementation via semi-join on the keeper set."""
+    keepers = exact_dedup_groups(docs, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "left_semi")
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over word features.
+
+    Each word hashes to 64 bits (md5 hex prefix -> conv to long); bit b
+    contributes +1/-1 to counter b; the signature's bit b is 1 iff the
+    counter is positive.  Pure column expressions: the per-bit sums are
+    aggregates over the words array, composed with transform/aggregate.
+    """
+    words = F.split(text, " ")
+    # per-word 64-bit hash from the first 16 hex chars of md5
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    def _bit_counter(b: int) -> Column:
+        # counter for bit b: sum over words of (bit set ? 1 : -1).
+        # NB: aggregate's merge lambda must take exactly (acc, x) — extra
+        # default args change the arity PySpark dispatches on.
+        def _merge(acc: Column, h: Column) -> Column:
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return F.aggregate(hashes, F.lit(0), _merge)
+
+    bits = []
+    for b in range(60):
+        cnt = _bit_counter(b)
+        bits.append(F.when(cnt > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shingle inverted index:
+    explode shingles -> self-join on shingle -> count common shingles ->
+    jaccard = common / (|A| + |B| - common); keep pairs >= threshold.
+
+    Scale: the join key is a shingle (inverted index), so only documents
+    sharing at least one shingle ever meet — no all-pairs blowup.  Hot
+    shingles should be stop-shingle-filtered at very large corpora.
+    """
+    sh = _spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
+    ).persist()  # referenced three times: two join sides + sizes
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )

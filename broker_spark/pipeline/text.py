@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+All hot-path expressions are JVM built-ins (split/transform/filter/
+aggregate/regexp) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with executors.  Shapes chosen to be
+oracle-checkable: every function here has a DuckDB-equivalent SQL in
+broker_spark.plans.catalog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "que", "en", "un"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une"],
+}
+
+LANG_PRIORITY = ["de", "en", "es", "fr"]  # deterministic tie-break: name asc
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the reference never tokenizes — this is the
+    training-pipeline extension surface)."""
+    return F.size(words_col(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish proxy: count of word + punctuation + digit-run tokens."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+
+
+def punct_len(text: Column) -> Column:
+    """Number of non-alphanumeric, non-space characters."""
+    return F.length(F.regexp_replace(text, r"[a-zA-Z0-9 ]", ""))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation
+    ratio, and a [0,1] quality score (length/punct heuristics)."""
+    text = F.col("text")
+    n_tokens = token_count(text)
+    n_len = F.length(text)
+    punct = punct_len(text)
+    punct_ratio = punct.cast("double") / n_len.cast("double")
+    quality = F.round(
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.5),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_len.alias("n_len"),
+        n_tokens.alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit language ID: score per language = number of word tokens
+    found in that language's stopword list; argmax with name-ascending
+    tie-break; 'und' (undetermined) when all scores are 0."""
+    words = words_col(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_stopword_hits(words, lang).alias(f"score_{lang}") for lang in LANG_PRIORITY],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):  # earlier name wins ties
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred)
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Bag-of-words document fingerprint: md5 over the sorted distinct word
+    set — a cheap canonical-content hash (same words, any order -> same
+    print).  Winnowing/rolling-hash variants layer on the same shape."""
+    words = words_col(F.col("text"))
+    canon = F.array_join(F.array_sort(F.array_distinct(words)), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+    )

@@ -1,0 +1,809 @@
+"""The paired query catalog: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+- spark_fn(spark, sf_dir) -> DataFrame, built from the real operator
+  modules (resend/metadata/retention/rollup/dedup/ann/text).
+- oracle_sql: the ANSI-SQL equivalent DuckDB runs on the same parquet
+  views.  Column names/aliases match the Spark output exactly.
+
+Float discipline (so value-hashes match across engines):
+- sums of doubles go through DECIMAL casts (exact, order-independent),
+  then back to DOUBLE;
+- counts are CAST(... AS BIGINT) in SQL (DuckDB SUM(int) is HUGEINT);
+- derived ratios are plain double arithmetic (IEEE-identical given equal
+  inputs) and rounded to 6 places on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from broker_spark.operators import resend, rollup
+from broker_spark.pipeline import ann, dedup, multimodal, text
+from broker_spark.plans.adapters import EVENTS_AS_STREAM_SQL, events_as_stream
+from broker_spark.tables import load
+
+# -- epoch-ms literals for the resend family ---------------------------------
+TS_2024_01_10 = 1_704_844_800_000
+TS_2024_01_15 = 1_705_276_800_000
+TS_2024_01_20 = 1_705_708_800_000
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Entry:
+    fn: QueryFn
+    sql: str | None  # None -> non-SQL-expressible, driver does rows-only
+
+
+CATALOG: dict[str, Entry] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        CATALOG[name] = Entry(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Resend family (T1-T5, F1-F5) over the adapted events stream
+# ---------------------------------------------------------------------------
+
+_RESEND_COLS = "stream_id, partition, ts, sequence_no, publisher_id, msg_chain_id, content"
+
+
+@register(
+    "resend_last",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL}),
+    lastn AS (
+      SELECT * FROM s WHERE stream_id = 'click' AND partition = 3
+      ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
+      LIMIT 50
+    )
+    SELECT {_RESEND_COLS} FROM lastn ORDER BY ts, sequence_no
+    """,
+)
+def q_resend_last(spark, sf_dir):
+    """T1/T2: requestLast(50) — reference src/storage/Storage.ts:101-194."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return resend.request_last(s, "click", 3, 50)
+
+
+@register(
+    "resend_from",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT {_RESEND_COLS} FROM s
+    WHERE stream_id = 'purchase' AND partition = 1
+      AND ((ts > TIMESTAMP '2024-01-20 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-20 00:00:00' AND sequence_no >= 0))
+    """,
+)
+def q_resend_from(spark, sf_dir):
+    """F4: composite message-ref lower bound — src/storage/Storage.ts:292-330."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return resend.request_from(s, "purchase", 1, TS_2024_01_20, 0)
+
+
+@register(
+    "resend_from_publisher",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT {_RESEND_COLS} FROM s
+    WHERE stream_id = 'purchase' AND partition = 1
+      AND publisher_id = 'u9' AND msg_chain_id = '1'
+      AND ((ts > TIMESTAMP '2024-01-10 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND sequence_no >= 0))
+    """,
+)
+def q_resend_from_publisher(spark, sf_dir):
+    """F4 + publisher/msgChain narrowing — src/storage/Storage.ts:295-298."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return resend.request_from(s, "purchase", 1, TS_2024_01_10, 0, "u9", "1")
+
+
+@register(
+    "resend_range",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT {_RESEND_COLS} FROM s
+    WHERE stream_id = 'view' AND partition = 2
+      AND ((ts > TIMESTAMP '2024-01-10 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND sequence_no >= 0))
+      AND ((ts < TIMESTAMP '2024-01-20 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-20 00:00:00' AND sequence_no <= 2147483647))
+    """,
+)
+def q_resend_range(spark, sf_dir):
+    """F5: 3-way composite range in one scan — src/storage/Storage.ts:368-410."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return resend.request_range(s, "view", 2, TS_2024_01_10, 0, TS_2024_01_20)
+
+
+@register(
+    "resend_range_publisher",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT {_RESEND_COLS} FROM s
+    WHERE stream_id = 'view' AND partition = 2
+      AND publisher_id = 'u10' AND msg_chain_id = '1'
+      AND ((ts > TIMESTAMP '2024-01-10 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND sequence_no >= 0))
+      AND ((ts < TIMESTAMP '2024-01-20 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-20 00:00:00' AND sequence_no <= 2147483647))
+    """,
+)
+def q_resend_range_publisher(spark, sf_dir):
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return resend.request_range(
+        s, "view", 2, TS_2024_01_10, 0, TS_2024_01_20, publisher_id="u10", msg_chain_id="1"
+    )
+
+
+@register(
+    "resend_last_global",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL}),
+    lastn AS (
+      SELECT * FROM s
+      ORDER BY ts DESC, sequence_no DESC, publisher_id DESC, msg_chain_id DESC
+      LIMIT 100
+    )
+    SELECT {_RESEND_COLS} FROM lastn
+    """,
+)
+def q_resend_last_global(spark, sf_dir):
+    """Global top-K across every stream-partition: TakeOrderedAndProject —
+    per-partition local top-K, merged at the driver; no full sort."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return s.orderBy(
+        F.col("ts").desc(),
+        F.col("sequence_no").desc(),
+        F.col("publisher_id").desc(),
+        F.col("msg_chain_id").desc(),
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Metadata aggregates (A1-A8) — reference src/storage/Storage.ts:452-576
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "metadata_counts",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT stream_id, partition,
+           CAST(COUNT(*) AS BIGINT) AS records,
+           CAST(SUM(CAST(length(content) AS BIGINT)) AS BIGINT) AS total_bytes
+    FROM s GROUP BY stream_id, partition
+    """,
+)
+def q_metadata_counts(spark, sf_dir):
+    """A2/A3: per stream-partition message count + byte totals."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return s.groupBy("stream_id", "partition").agg(
+        F.count(F.lit(1)).alias("records"),
+        F.sum(F.length("content").cast("long")).alias("total_bytes"),
+    )
+
+
+@register(
+    "stream_first_last",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT stream_id,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           CAST(COUNT(*) AS BIGINT) AS records
+    FROM s GROUP BY stream_id
+    """,
+)
+def q_stream_first_last(spark, sf_dir):
+    """A4/A5: first/last message timestamp per stream."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return s.groupBy("stream_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("records"),
+    )
+
+
+@register(
+    "distinct_stream_partitions",
+    f"WITH s AS ({EVENTS_AS_STREAM_SQL}) SELECT DISTINCT stream_id, partition FROM s",
+)
+def q_distinct_stream_partitions(spark, sf_dir):
+    """A7 — src/storage/DeleteExpiredCmd.ts:73."""
+    from broker_spark.operators.metadata import distinct_stream_partitions
+
+    return distinct_stream_partitions(events_as_stream(load(spark, sf_dir, "events")))
+
+
+@register(
+    "bucket_index",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT stream_id, partition,
+           epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS records,
+           CAST(SUM(CAST(length(content) AS BIGINT)) AS BIGINT) AS size,
+           min(ts) AS date_create, max(ts) AS max_ts
+    FROM s GROUP BY 1, 2, 3
+    """,
+)
+def q_bucket_index(spark, sf_dir):
+    """A8: derived bucket counter table — src/storage/BucketManager.ts:325-344."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    from broker_spark.schema import bucket_of
+
+    return (
+        s.withColumn("bucket", bucket_of(F.col("ts")))
+        .groupBy("stream_id", "partition", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("records"),
+            F.sum(F.length("content").cast("long")).alias("size"),
+            F.min("ts").alias("date_create"),
+            F.max("ts").alias("max_ts"),
+        )
+    )
+
+
+@register(
+    "retention_selection",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL}),
+    b AS (
+      SELECT stream_id, partition, epoch_ms(ts) // 86400000 AS bucket,
+             max(ts) AS max_ts, CAST(COUNT(*) AS BIGINT) AS records
+      FROM s GROUP BY 1, 2, 3
+    )
+    SELECT * FROM b WHERE max_ts < TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_retention_selection(spark, sf_dir):
+    """F9: expired-bucket selection (verify max(ts) < cutoff per bucket) —
+    src/storage/DeleteExpiredCmd.ts:100-161."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    day = 86_400_000
+    from broker_spark.schema import bucket_of
+
+    b = (
+        s.withColumn("bucket", bucket_of(F.col("ts"), day))
+        .groupBy("stream_id", "partition", "bucket")
+        .agg(F.max("ts").alias("max_ts"), F.count(F.lit(1)).alias("records"))
+    )
+    return b.filter(F.col("max_ts") < F.timestamp_millis(F.lit(TS_2024_01_15)))
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (J*-ops, §2.3) over the TPC-H-ish star schema
+# ---------------------------------------------------------------------------
+
+_DEC2 = "CAST(SUM(CAST({x} AS DECIMAL(18,2))) AS DOUBLE)"
+_DEC4 = "CAST(SUM(CAST({x} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def _dec_sum(col, scale=2):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_DEC2.format(x='l_quantity')} AS sum_qty,
+           {_DEC2.format(x='l_extendedprice')} AS sum_base_price,
+           {_DEC4.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_DEC4.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_DEC2.format(x='l_quantity')} / COUNT(*) AS avg_qty,
+           {_DEC2.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: wide scan + hash agg; partial aggregation map-side,
+    4 groups — the shuffle is a few hundred bytes regardless of scale."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc, 4).alias("sum_disc_price"),
+            _dec_sum(charge, 4).alias("sum_charge"),
+            (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
+            (_dec_sum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           {_DEC4.format(x='l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: broadcast the filtered customer dim (small side),
+    shuffle only orders⨝lineitem on the order key; top-10 via
+    TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_volume",
+    f"""
+    SELECT r_name, n_name,
+           {_DEC4.format(x='l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_q5_nation_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table join; dims broadcast, facts shuffle once."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dec_sum(revenue, 4).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-K per key — rank pushdown keeps the shuffle to one pass."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "customers_with_open_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def q_customers_with_open_orders(spark, sf_dir):
+    """J2-style membership as a left-semi join (broadcast if small side)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_without_pending_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+)
+def q_customers_without_pending_orders(spark, sf_dir):
+    """Anti-join (assignment-refresh set-diff shape — src/storage/
+    StorageConfig.ts:105-117)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "rollup_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_DEC2.format(x='o_totalprice')} AS total_price
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup_order_stats(spark, sf_dir):
+    """Grouping-set rollup (extended agg surface, §2.4 note)."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed rollups + EWMA (W3/W4) over events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly_rollup(spark, sf_dir):
+    """W3: one tumbling-window cascade level (src/StreamMetrics.ts:158-202);
+    identical aggregation works under Structured Streaming + watermark."""
+    ev = load(spark, sf_dir, "events").withColumnRenamed("event_type", "event_type")
+    return rollup.rollup_level(ev, ["event_type"], "value", 3_600_000)
+
+
+@register(
+    "ewma_hourly",
+    """
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS value
+      FROM events GROUP BY 1, 2
+    ),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+      FROM hourly
+    ),
+    ew(event_type, bucket, value, ewma, rn) AS (
+      SELECT event_type, bucket, value, value, rn FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.bucket, n.value, 0.8 * e.ewma + 0.2 * n.value, n.rn
+      FROM numbered n JOIN ew e ON n.event_type = e.event_type AND n.rn = e.rn + 1
+    )
+    SELECT event_type, bucket, round(value, 6) AS value, round(ewma, 6) AS ewma
+    FROM ew
+    """,
+)
+def q_ewma_hourly(spark, sf_dir):
+    """W4: EWMA smoothing (0.8*prev + 0.2*x — src/StreamMetrics.ts:7-9,
+    133-143) as a stateful applyInPandas recurrence over hourly averages."""
+    ev = load(spark, sf_dir, "events")
+    hourly = rollup.rollup_level(ev, ["event_type"], "value", 3_600_000).select(
+        "event_type", "bucket", F.col("avg_value").alias("value")
+    )
+    out = rollup.ewma(hourly, "event_type")
+    return out.select(
+        "event_type", "bucket", F.round("value", 6).alias("value"), F.round("ewma", 6).alias("ewma")
+    )
+
+
+@register(
+    "json_content_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(CASE WHEN regexp_extract(props, '"k":\\s*([0-9]+)', 1) <> '' THEN 1 END) AS BIGINT) AS n_with_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_content_stats(spark, sf_dir):
+    """F8/§2.6: introspecting JSON content (the reference keeps it opaque;
+    this is the from_json/get_json_object extension surface)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*([0-9]+)', 1)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k.cast("int").cast("long")).alias("sum_k"),
+        F.count(F.when(k != "", 1)).alias("n_with_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup / text analysis / similarity (BASELINE north star)
+# ---------------------------------------------------------------------------
+
+_WORDS = "string_split(text, ' ')"
+_SHINGLES = (
+    "CASE WHEN len(words) >= 3 THEN "
+    "[words[i] || ' ' || words[i+1] || ' ' || words[i+2] for i in range(1, len(words) - 1)] "
+    "ELSE [] END"
+)
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact_groups(spark, sf_dir):
+    return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w)
+    SELECT doc_id,
+      list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
+      list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
+      list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
+      list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
+    FROM sh
+    """,
+)
+def q_dedup_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (
+      SELECT doc_id,
+        list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
+        list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
+        list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
+        list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
+      FROM shl
+    ),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    """,
+)
+def q_dedup_minhash_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS jaccard
+    FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("dedup_simhash", None)  # 60-bit simhash: no concise ANSI-SQL equivalent
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_len, n_tokens, n_bpe_tokens, n_punct,
+           round(n_punct * 1.0 / n_len, 6) AS punct_ratio,
+           round(least(n_tokens / 100.0, 1.0) * 0.5
+                 + (1.0 - n_punct * 1.0 / n_len) * 0.5, 6) AS quality_score
+    FROM t
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    return text.quality_features(load(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    score_exprs = ",\n".join(
+        "CAST(len([w for w in words if w in ({})]) AS INT) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]), lang
+        )
+        for lang in text.LANG_PRIORITY
+    )
+    best = "greatest({})".format(", ".join(f"score_{l}" for l in text.LANG_PRIORITY))
+    case = " ".join(
+        f"WHEN score_{l} = best THEN '{l}'" for l in text.LANG_PRIORITY
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+    scored AS (SELECT doc_id, lang, {score_exprs} FROM w),
+    b AS (SELECT *, {best} AS best FROM scored)
+    SELECT doc_id, lang, score_de, score_en, score_es, score_fr,
+           CASE WHEN best = 0 THEN 'und' {case} ELSE 'und' END AS predicted_lang
+    FROM b
+    """
+
+
+@register("language_id", _langid_sql())
+def q_language_id(spark, sf_dir):
+    return text.language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS fingerprint,
+           CAST(len(list_distinct(words)) AS INT) AS n_distinct_words
+    FROM w
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return text.fingerprint(load(spark, sf_dir, "documents"))
+
+
+_COS_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id,
+        list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                 i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_raw
+      FROM q, c WHERE query_id <> cand_id
+    )
+    SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, cand_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("ann_bruteforce_topk", _COS_SQL)
+def q_ann_bruteforce_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    return ann.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_grid_buckets",
+    """
+    SELECT concat_ws(',',
+             CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR),
+             CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR)) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_ann_grid_buckets(spark, sf_dir):
+    return ann.grid_lsh_buckets(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(strlen(text) AS BIGINT) AS payload_bytes,
+           sha256(text) AS payload_sha,
+           CAST(8 AS INT) AS feat_dim
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column -> mapInPandas decode
+    (stubbed deterministic 'decoder'); schema/batching real."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return multimodal.extract_features(media).select(
+        "media_id", "kind", "payload_bytes", "payload_sha", "feat_dim"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: e.fn for name, e in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.sql for name, e in CATALOG.items() if e.sql is not None}

@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLE_NAMES = [
     "region",
@@ -27,7 +29,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one table.  The driver's `events.parquet` uses TIMESTAMP(NANOS),
+    which Spark rejects by default (PARQUET_TYPE_ILLEGAL); read nanos as
+    long and truncate to micros — exactly what DuckDB's reader does — so
+    both engines see identical microsecond timestamps."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down -> fall through; non-nanos tables still read
+    df = spark.read.parquet(path)
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

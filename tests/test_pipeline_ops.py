@@ -1,0 +1,171 @@
+"""Unit tests for LLM-pipeline operators not fully covered by the oracle
+parity suite: simhash properties, exact-dedup row semantics, multimodal
+plumbing, EWMA recurrence, ANN recall sanity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.operators import rollup
+from broker_spark.pipeline import ann, dedup, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near dup
+        (3, "completely different words entirely here now", "en", "s", 44),
+        (4, "short doc", "en", "s", 9),  # < 3 words for trigram shingles? (2 words)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        g = dedup.exact_dedup_groups(docs).collect()
+        by_hash = {r["content_hash"]: r for r in g}
+        assert len(by_hash) == 4
+        dup = [r for r in g if r["n_copies"] == 2]
+        assert len(dup) == 1 and dup[0]["keeper_doc_id"] == 0
+
+    def test_dedup_keeps_one_copy(self, docs):
+        kept = dedup.exact_dedup(docs).collect()
+        assert sorted(r["doc_id"] for r in kept) == [0, 2, 3, 4]
+
+
+class TestMinhash:
+    def test_identical_docs_identical_signature(self, docs):
+        sig = {r["doc_id"]: (r["mh0"], r["mh1"], r["mh2"], r["mh3"])
+               for r in dedup.minhash_signatures(docs).collect()}
+        assert sig[0] == sig[1]
+        assert sig[0] != sig[3]
+
+    def test_short_doc_null_signature(self, docs):
+        sig = {r["doc_id"]: r["mh0"] for r in dedup.minhash_signatures(docs).collect()}
+        assert sig[4] is None  # 2 words -> no trigram shingles
+
+    def test_lsh_pairs_find_exact_dup(self, docs):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+        assert (0, 1) in pairs
+        assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+class TestSimhash:
+    def test_properties(self, docs):
+        sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+        assert sh[0] == sh[1]  # identical text -> identical simhash
+        # near-dup differs in few bits; unrelated differs in many
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+        assert hamming(sh[0], sh[2]) < hamming(sh[0], sh[3])
+        assert all(0 <= v < (1 << 60) for v in sh.values())
+
+
+class TestNgramJaccard:
+    def test_near_dup_scored(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        d = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+        assert d[(0, 1)] == 1.0
+        assert 0.1 < d[(0, 2)] < 1.0
+        assert (0, 3) not in d
+
+
+class TestAnn:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import math
+        rows = []
+        for i in range(50):
+            angle = (i % 10) * 0.1
+            rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3), 0.5]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_brute_force_topk_self_excluded_and_ranked(self, emb):
+        out = ann.brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+        assert all(r["query_id"] != r["cand_id"] for r in out)
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"]))
+        for q, lst in by_q.items():
+            lst.sort()
+            assert len(lst) == 5
+            cosines = [c for _, c in lst]
+            assert cosines == sorted(cosines, reverse=True)
+
+    def test_grid_topk_subset_of_bruteforce_space(self, emb):
+        grid = ann.grid_lsh_topk(emb, k=3, dims=2, width=0.5)
+        rows = grid.collect()
+        assert len(rows) > 0
+        assert all(r["query_id"] != r["cand_id"] for r in rows)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (0, "image", "image/png", b"\x89PNG-fake-bytes", 64, 64, None),
+            (1, "image", "image/png", b"other-bytes", 32, 32, None),
+            (2, "video", "video/mp4", b"\x00mp4", None, None, 3500),
+        ]
+        return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    def test_extract_features_deterministic(self, media):
+        out = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        assert out[0]["payload_sha"] == hashlib.sha256(b"\x89PNG-fake-bytes").hexdigest()
+        assert out[0]["feat_dim"] == 8
+        assert out[0]["payload_bytes"] == 15
+        again = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+        assert out[0]["feat_head"] == again[0]["feat_head"]
+
+    def test_metadata_stats_column_pruned(self, media):
+        stats = {r["kind"]: r for r in multimodal.media_metadata_stats(media).collect()}
+        assert stats["image"]["n"] == 2
+        assert stats["video"]["avg_duration_ms"] == 3500.0
+
+    def test_frame_sample_plan(self, media):
+        frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+        assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+class TestEwma:
+    def test_recurrence_exact(self, spark):
+        df = spark.createDataFrame(
+            [("k", 0, 10.0), ("k", 1, 20.0), ("k", 2, 30.0)],
+            "key string, bucket long, value double",
+        )
+        out = sorted(
+            rollup.ewma(df, "key", value_col="value").collect(), key=lambda r: r["bucket"]
+        )
+        assert out[0]["ewma"] == 10.0
+        assert out[1]["ewma"] == 0.8 * 10.0 + 0.2 * 20.0
+        assert out[2]["ewma"] == 0.8 * (0.8 * 10.0 + 0.2 * 20.0) + 0.2 * 30.0
+
+    def test_rollup_level_cascade(self, spark):
+        import datetime as dt
+        rows = [
+            ("p", dt.datetime(2024, 1, 1, 0, 0, s), 10.0) for s in range(0, 60, 10)
+        ] + [("p", dt.datetime(2024, 1, 1, 0, 1, s), 20.0) for s in range(0, 60, 10)]
+        df = spark.createDataFrame(rows, "peer_id string, ts timestamp, v double")
+        minute = rollup.rollup_level(df, ["peer_id"], "v", 60_000)
+        got = sorted(minute.collect(), key=lambda r: r["bucket"])
+        assert [r["avg_value"] for r in got] == [10.0, 20.0]
+        # second level consumes the first level's averages at a coarser bucket
+        hour = rollup.rollup_level(
+            minute.select(
+                "peer_id",
+                F.timestamp_millis(F.col("bucket") * 60_000).alias("ts"),
+                F.col("avg_value").alias("v"),
+            ),
+            ["peer_id"],
+            "v",
+            3_600_000,
+        )
+        h = hour.collect()
+        assert len(h) == 1 and h[0]["avg_value"] == 15.0

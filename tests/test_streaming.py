@@ -1,0 +1,120 @@
+"""Streaming ingest pipeline tests (M3): validation guards, partition
+assignment, checkpointed write into the partitioned log, windowed rates."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.operators import resend
+from broker_spark.streaming import ingest
+from tests.conftest import make_msg
+
+ENVELOPE = (
+    "stream_id string, partition int, ts timestamp, sequence_no int, "
+    "publisher_id string, msg_chain_id string, prev_ts timestamp, "
+    "prev_sequence_no int, signature_type int, signature string, "
+    "encryption_type int, content string"
+)
+
+
+def _now_ms() -> int:
+    return int(dt.datetime.now(dt.timezone.utc).timestamp() * 1000)
+
+
+class TestValidation:
+    def test_future_messages_dropped(self, spark):
+        # broker-drops-future-messages.test.ts — +300s threshold
+        now = _now_ms()
+        rows = [
+            make_msg("s", 0, now, 0),
+            make_msg("s", 0, now + 200_000, 1),   # within threshold
+            make_msg("s", 0, now + 400_000, 2),   # beyond +300s -> dropped
+        ]
+        df = spark.createDataFrame(rows, ENVELOPE)
+        out = ingest.validate(df).collect()
+        assert sorted(r["sequence_no"] for r in out) == [0, 1]
+
+    def test_invalid_json_dropped(self, spark):
+        # Publisher.ts:45-46 / broker-resistance-to-invalid-data.test.ts
+        now = _now_ms()
+        rows = [
+            make_msg("s", 0, now, 0, content='{"ok":1}'),
+            make_msg("s", 0, now, 1, content="not json {{"),
+            make_msg("s", 0, now, 2, content="[1,2,3]"),
+        ]
+        df = spark.createDataFrame(rows, ENVELOPE)
+        out = ingest.validate(df).collect()
+        assert sorted(r["sequence_no"] for r in out) == [0, 2]
+
+
+class TestPartitionAssignment:
+    def test_keyed_assignment_matches_reference(self, spark):
+        df = spark.createDataFrame([(f"key-{i}",) for i in range(10)], ["partition_key"])
+        out = ingest.assign_partition(df, 10).collect()
+        assert [r["partition"] for r in out] == [6, 7, 4, 4, 9, 1, 8, 0, 6, 6]
+
+
+class TestStreamingWrite:
+    def test_ingest_round_trip(self, spark, tmp_path):
+        """file-source stream → validate → partitioned sink → resend query."""
+        src_dir, out_dir, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "log"),
+            str(tmp_path / "ckpt"),
+        )
+        now = _now_ms()
+        rows = [make_msg("live", 0, now - 10_000 + i * 100, i % 3) for i in range(300)]
+        rows.append(make_msg("live", 0, now + 999_000, 0))  # future -> dropped
+        rows.append(make_msg("live", 0, now, 7, content="broken{"))  # bad JSON
+        spark.createDataFrame(rows, ENVELOPE).write.mode("overwrite").parquet(src_dir)
+
+        source = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+        q = ingest.start_ingest(
+            source, out_dir, ckpt, bucket_ms=1000, trigger_available_now=True
+        )
+        q.awaitTermination(120)
+        stored = spark.read.parquet(out_dir)
+        assert stored.count() == 300  # 2 invalid rows dropped
+
+        got = resend.request_last(stored, "live", 0, 5, bucket_ms=1000).collect()
+        assert len(got) == 5
+        ts_seq = [(r["ts"], r["sequence_no"]) for r in got]
+        assert ts_seq == sorted(ts_seq)
+
+    def test_exactly_once_on_restart(self, spark, tmp_path):
+        """Re-running with the same checkpoint must not duplicate rows."""
+        src_dir, out_dir, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "log"),
+            str(tmp_path / "ckpt"),
+        )
+        now = _now_ms()
+        rows = [make_msg("s", 0, now - 5000 + i, 0) for i in range(50)]
+        spark.createDataFrame(rows, ENVELOPE).write.mode("overwrite").parquet(src_dir)
+        for _ in range(2):
+            source = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+            q = ingest.start_ingest(source, out_dir, ckpt, trigger_available_now=True)
+            q.awaitTermination(120)
+        assert spark.read.parquet(out_dir).count() == 50
+
+
+class TestWindowedRates:
+    def test_windowed_rates_batch_semantics(self, spark):
+        """The aggregation itself, verified on a batch frame (streaming and
+        batch share the same logical plan)."""
+        rows = [make_msg("a", 0, t * 1000, 0) for t in range(0, 120)] + [
+            make_msg("b", 0, t * 1000, 0) for t in range(0, 60)
+        ]
+        df = spark.createDataFrame(rows, ENVELOPE)
+        out = ingest.windowed_rates(df, window="1 minute").collect()
+        per_stream = {}
+        for r in out:
+            per_stream.setdefault(r["stream_id"], 0)
+            per_stream[r["stream_id"]] += r["n_messages"]
+        assert per_stream == {"a": 120, "b": 60}
+        a_windows = [r for r in out if r["stream_id"] == "a"]
+        assert len(a_windows) == 2  # two 1-minute windows
+        assert all(r["n_bytes"] == r["n_messages"] * len('{"hello":"world"}') for r in out)
