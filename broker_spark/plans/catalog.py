@@ -594,16 +594,20 @@ def q_dedup_exact_groups(spark, sf_dir):
     return dedup.exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
+_MINHASH_SIG_SQL = """
+      list_aggregate(list_transform(shingles, s -> substring(md5(s), 1, 8)), 'min') AS mh0,
+      list_aggregate(list_transform(shingles, s -> substring(md5(s), 9, 8)), 'min') AS mh1,
+      list_aggregate(list_transform(shingles, s -> substring(md5(s), 17, 8)), 'min') AS mh2,
+      list_aggregate(list_transform(shingles, s -> substring(md5(s), 25, 8)), 'min') AS mh3
+"""
+
+
 @register(
     "dedup_minhash_signatures",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     sh AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w)
-    SELECT doc_id,
-      list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
-      list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
-      list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
-      list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
+    SELECT doc_id, {_MINHASH_SIG_SQL}
     FROM sh
     """,
 )
@@ -616,14 +620,7 @@ def q_dedup_minhash_signatures(spark, sf_dir):
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
-    sig AS (
-      SELECT doc_id,
-        list_aggregate(list_transform(shingles, s -> md5('0|' || s)), 'min') AS mh0,
-        list_aggregate(list_transform(shingles, s -> md5('1|' || s)), 'min') AS mh1,
-        list_aggregate(list_transform(shingles, s -> md5('2|' || s)), 'min') AS mh2,
-        list_aggregate(list_transform(shingles, s -> md5('3|' || s)), 'min') AS mh3
-      FROM shl
-    ),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
     banded AS (
       SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
       UNION ALL
