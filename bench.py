@@ -42,10 +42,14 @@ HEADLINE = [
     "dedup_exact_groups",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
     "text_quality",
     "language_id",
+    "token_stats",
     "ann_bruteforce_topk",
     "ann_grid_buckets",
+    "ann_ivf_topk",
+    "embedding_near_dup",
 ]
 
 

@@ -105,6 +105,37 @@ def grid_lsh_buckets(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    dims: int = 2,
+    width: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, grid-bucketed: candidates must
+    share a quantization cell (near-identical vectors always do — their
+    leading coordinates agree), then exact cosine >= threshold.
+
+    One shuffle on the cell key; per-cell work is C(cell, 2) scoring.
+    The exact-but-quadratic alternative is brute_force_topk with the full
+    corpus as the query set."""
+    cells = embeddings.select(
+        F.col(id_col), F.col(vec_col), grid_cell(F.col(vec_col), dims, width).alias("cell")
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    return (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def grid_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -132,42 +132,97 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.join(keepers, "doc_id", "left_semi")
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word features.
+SIMHASH_BITS = 60  # fits a signed long with headroom; 4 x 15-bit LSH bands
+SIMHASH_BAND_BITS = 15
 
-    Each word hashes to 64 bits (md5 hex prefix -> conv to long); bit b
-    contributes +1/-1 to counter b; the signature's bit b is 1 iff the
-    counter is positive.  Pure column expressions: the per-bit sums are
-    aggregates over the words array, composed with transform/aggregate.
+
+def word_hash60(w: Column) -> Column:
+    """Per-word 60-bit hash: first 15 hex chars of md5 -> long.  Bit-exact
+    across engines (DuckDB: CAST(concat('0x', substring(md5(w),1,15)) AS
+    BIGINT)), unlike murmur/xxhash."""
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per document: bit b of the signature is 1 iff the
+    majority of the document's words have bit b set in their 60-bit hash.
+
+    Shape: explode words -> per-word hash -> groupBy(doc_id) with 60
+    codegen'd conditional SUMs (map-side partial aggregation), then fold
+    the majority bits into one long.  Counter b = sum of bit b over words;
+    majority test `2*counter > n_words` is the +1/-1 sign test without the
+    subtraction.  Distributes cleanly: the shuffle carries one 60-counter
+    row per doc, not the words.
     """
-    words = F.split(text, " ")
-    # per-word 64-bit hash from the first 16 hex chars of md5
-    hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    words = _spread(docs).select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    def _bit_counter(b: int) -> Column:
-        # counter for bit b: sum over words of (bit set ? 1 : -1).
-        # NB: aggregate's merge lambda must take exactly (acc, x) — extra
-        # default args change the arity PySpark dispatches on.
-        def _merge(acc: Column, h: Column) -> Column:
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-
-        return F.aggregate(hashes, F.lit(0), _merge)
-
-    bits = []
-    for b in range(60):
-        cnt = _bit_counter(b)
-        bits.append(F.when(cnt > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(1 << b))
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
-    return out
+    h = word_hash60(F.col("w"))
+    counters = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        *[
+            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"c{b}") * 2 > F.col("n_words"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig + bit
+    return counters.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+def simhash_band_keys(sig: Column) -> Column:
+    """4 x 15-bit LSH band keys from a 60-bit signature."""
+    mask = (1 << SIMHASH_BAND_BITS) - 1
+    return F.array(
+        *[
+            F.shiftright(sig, b * SIMHASH_BAND_BITS).bitwiseAND(F.lit(mask))
+            for b in range(SIMHASH_BITS // SIMHASH_BAND_BITS)
+        ]
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one 15-bit band
+    (pigeonhole: hamming <= 3 over 4 bands guarantees a clean band), then
+    exact hamming = bit_count(xor) filter.
+
+    Same bucket-local shape as minhash_lsh_pairs: ONE shuffle on
+    (band_id, band_key), collect (doc_id, simhash) structs per bucket,
+    expand pairs in place, distinct."""
+    sig = simhash_signatures(docs)
+    banded = sig.select(
+        F.struct("doc_id", "simhash").alias("ds"),
+        F.posexplode(simhash_band_keys(F.col("simhash"))).alias("band_id", "band_key"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("ds")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    return (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(

@@ -68,6 +68,21 @@ def quality_features(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_stats(docs: DataFrame, group_col: str = "lang") -> DataFrame:
+    """Corpus token statistics per group (training-data sizing: how many
+    whitespace/BPE-ish tokens per language).  One hash-agg shuffle with
+    map-side partials — the per-doc token counting never leaves the scan."""
+    text = F.col("text")
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(text).cast("long")).alias("total_tokens"),
+        F.sum(bpe_ish_token_count(text).cast("long")).alias("total_bpe_tokens"),
+        F.round(
+            F.sum(token_count(text).cast("long")) / F.count(F.lit(1)), 6
+        ).alias("avg_tokens"),
+    )
+
+
 def _stopword_hits(words: Column, lang: str) -> Column:
     vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))

@@ -657,9 +657,53 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@register("dedup_simhash", None)  # 60-bit simhash: no concise ANSI-SQL equivalent
+def _simhash_sig_sql() -> str:
+    """60-bit simhash in portable SQL: per-word 60-bit hash, 60 majority
+    counters, fold majority bits into one BIGINT (mirrors dedup.simhash_
+    signatures bit-for-bit)."""
+    nb = dedup.SIMHASH_BITS
+    sums = ",\n      ".join(f"SUM((h >> {b}) & 1) AS c{b}" for b in range(nb))
+    bits = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(nb)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    h AS (SELECT doc_id, CAST(concat('0x', substring(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
+    g AS (SELECT doc_id, COUNT(*) AS n,
+      {sums}
+    FROM h GROUP BY doc_id)
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM g
+    """
+
+
+@register("dedup_simhash", _simhash_sig_sql())
 def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_simhash_sig_sql()}),
+    banded AS (
+      SELECT doc_id, simhash, band_id,
+             (simhash >> (band_id * {dedup.SIMHASH_BAND_BITS}))
+               & {(1 << dedup.SIMHASH_BAND_BITS) - 1} AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id)
+    )
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+    FROM banded l JOIN banded r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup: 15-bit-band LSH candidates + exact hamming filter
+    (hamming <= 3 over 4 bands can't miss, by pigeonhole)."""
+    out = dedup.simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @register(
@@ -744,6 +788,79 @@ _COS_SQL = """
       FROM scored
     ) WHERE rank <= 5
 """
+
+
+_CELL_SQL = """concat_ws(',',
+             CAST(CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR),
+             CAST(CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.5) AS BIGINT) AS VARCHAR))"""
+
+_PAIR_COS = """
+        list_sum(list_transform(range(1, len(av) + 1),
+                 i -> CAST(av[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(av) + 1),
+                 i -> CAST(av[i] AS DOUBLE) * CAST(av[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(bv) + 1),
+                 i -> CAST(bv[i] AS DOUBLE) * CAST(bv[i] AS DOUBLE)))))"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             a.embedding AS av, b.embedding AS bv
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, {_PAIR_COS} AS cos_raw FROM scored
+    )
+    SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, cand_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+      FROM ranked
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style approximate top-k: candidates restricted to the same
+    quantization cell — one shuffle on the cell key, no all-pairs scan."""
+    return ann.grid_lsh_topk(load(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS av, b.embedding AS bv
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT vec_a, vec_b, round({_PAIR_COS}, 6) AS cosine FROM scored
+    ) WHERE cosine >= 0.35
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, grid-bucketed candidates."""
+    return ann.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@register(
+    "token_stats",
+    """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)) AS BIGINT) AS total_bpe_tokens,
+           round(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) * 1.0 / COUNT(*), 6) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Corpus token accounting per language (training-data sizing)."""
+    return text.token_stats(load(spark, sf_dir, "documents"))
 
 
 @register("ann_bruteforce_topk", _COS_SQL)
