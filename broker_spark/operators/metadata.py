@@ -74,6 +74,21 @@ def last_message_ts(df: DataFrame, stream_id: str, partition: int) -> DataFrame:
     )
 
 
+def partition_metadata(df: DataFrame, stream_id: str, partition: int) -> DataFrame:
+    """The DataMetadataEndpoints response (src/http/DataMetadataEndpoints.ts:
+    21-26) — totalBytes / totalMessages / firstMessage / lastMessage — as
+    ONE aggregation pass (the reference issues four separate queries)."""
+    return (
+        df.filter((F.col("stream_id") == stream_id) & (F.col("partition") == partition))
+        .agg(
+            F.sum(F.octet_length(F.col("content"))).alias("totalBytes"),
+            F.count(F.lit(1)).alias("totalMessages"),
+            F.unix_millis(F.min("ts")).alias("firstMessage"),
+            F.unix_millis(F.max("ts")).alias("lastMessage"),
+        )
+    )
+
+
 def distinct_stream_partitions(df: DataFrame) -> DataFrame:
     """A7: `SELECT DISTINCT stream_id, partition`
     (src/storage/DeleteExpiredCmd.ts:73)."""

@@ -112,3 +112,14 @@ class Storage:
 
     def bucket_index(self) -> DataFrame:
         return metadata.bucket_index(self._log(), bucket_ms=self.bucket_ms)
+
+    def partition_metadata(self, stream_id: str, partition: int) -> dict:
+        """The metadata-endpoint payload (src/http/DataMetadataEndpoints.ts:
+        21-26), one aggregation pass; values are plain Python for JSON."""
+        row = metadata.partition_metadata(self._log(), stream_id, partition).collect()[0]
+        return {
+            "totalBytes": row["totalBytes"] or 0,
+            "totalMessages": row["totalMessages"],
+            "firstMessage": row["firstMessage"],
+            "lastMessage": row["lastMessage"],
+        }
