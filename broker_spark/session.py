@@ -27,6 +27,17 @@ def get_spark(
     In production these confs come from spark-submit; the function only
     fills in what is unset so cluster-level config wins.
     """
+    # Python workers deserialize our pandas-UDF / applyInPandas functions by
+    # module reference; make the package importable there no matter where
+    # the driver script lives.  (Cluster deployments ship the package with
+    # --py-files instead; this covers local mode.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
