@@ -40,6 +40,7 @@ from broker_spark.storage.store import Storage
 
 _DATA_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/data/partitions/([^/]+)/(last|from|range)$")
 _META_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/metadata/partitions/([^/]+)$")
+_PRODUCE_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/data$")
 
 
 def _parse_int_if_exists(qs: dict, key: str):
@@ -61,6 +62,7 @@ def _first(qs: dict, key: str) -> str | None:
 
 class DataQueryHandler(BaseHTTPRequestHandler):
     storage: Storage  # injected by serve()
+    spool = None  # PublishSpool, injected by serve() for the write path
     protocol_version = "HTTP/1.1"
 
     def log_message(self, *args) -> None:  # quiet test servers
@@ -94,6 +96,43 @@ class DataQueryHandler(BaseHTTPRequestHandler):
             self._handle_metadata(m.group(1), m.group(2))
             return
         self._send_json(404, {"error": f"Not found: {url.path}"})
+
+    # -- publish (DataProduceEndpoints.ts) ----------------------------------
+    def do_POST(self) -> None:  # noqa: N802 (stdlib API)
+        from broker_spark.serving.publish import (
+            MAX_BODY_BYTES,
+            PublishError,
+            parse_publish_query,
+        )
+
+        url = urlparse(self.path)
+        m = _PRODUCE_RE.match(url.path)
+        if not m:
+            self._send_json(404, {"error": f"Not found: {url.path}"})
+            return
+        if self.spool is None:
+            self._send_json(501, {"error": "Publishing not enabled on this node."})
+            return
+        stream_id = m.group(1)
+        if not self.authenticate(stream_id, "stream_publish"):
+            self._send_json(403, {"error": "Authentication failed."})
+            return
+        length = int(self.headers.get("Content-Length") or 0)
+        if length > MAX_BODY_BYTES:  # bodyParser limit '1024kb'
+            self._send_json(413, {"error": "Request body too large."})
+            return
+        body = self.rfile.read(length) if length else b""
+        if not body:
+            self._error("No request body or invalid request body.")
+            return
+        qs = parse_qs(url.query, keep_blank_values=True)
+        try:
+            req = parse_publish_query(stream_id, body, qs)
+            self.spool.publish(req)
+        except PublishError as e:
+            self._error(str(e))
+            return
+        self._send_json(200, {})
 
     # -- data queries -------------------------------------------------------
     def _handle_data(self, stream_id: str, partition_raw: str, name: str, qs: dict) -> None:
@@ -208,10 +247,18 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         self._send_json(200, meta)
 
 
-def serve(storage: Storage, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def serve(
+    storage: Storage,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    spool=None,
+) -> ThreadingHTTPServer:
     """Start the gateway on a background thread; returns the server (use
-    `.server_address` for the bound port, `.shutdown()` to stop)."""
-    handler = type("BoundDataQueryHandler", (DataQueryHandler,), {"storage": storage})
+    `.server_address` for the bound port, `.shutdown()` to stop).  Pass a
+    `publish.PublishSpool` to enable the write path."""
+    handler = type(
+        "BoundDataQueryHandler", (DataQueryHandler,), {"storage": storage, "spool": spool}
+    )
     server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
