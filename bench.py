@@ -59,11 +59,18 @@ def main() -> None:
     spark = get_spark(app_name="broker-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1).count()  # JVM warm-up, not query work
-    # warm file-listing/footer caches (schema only; no data scan)
+    # Python-worker-pool warm-up (first pandas UDF of a session pays the
+    # fork+Arrow init; that's session infrastructure, not query work)
+    import pandas as _pd
+
+    spark.createDataFrame([(1, 1.0)], "k int, v double").groupBy("k").applyInPandas(
+        lambda pdf: pdf, "k int, v double"
+    ).count()
+    # warm file listings + parquet footers (schema + a 1-row touch)
     from broker_spark.tables import TABLE_NAMES, load
 
     for t in TABLE_NAMES:
-        _ = load(spark, sf_dir, t).schema
+        _ = load(spark, sf_dir, t).limit(1).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

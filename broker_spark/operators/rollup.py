@@ -55,6 +55,36 @@ def rollup_level(
     )
 
 
+def cascade(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    level_ms: list[int],
+) -> dict[int, DataFrame]:
+    """W3 multi-resolution cascade: level 0 aggregates the raw stream;
+    every later level aggregates the PREVIOUS level's `avg_value` — the
+    reference's resend-last-60-and-average loop (src/StreamMetrics.ts:
+    158-202) without the resends.
+
+    Aggregating avgs-of-avgs matches the reference exactly (each level
+    weights its inputs equally regardless of sample counts).  Costs one
+    shuffle per level on (keys, bucket), each input 60-24x smaller than
+    the last — at 100 TB only level 0 touches raw data.
+    """
+    out: dict[int, DataFrame] = {}
+    cur, cur_val = df, value_col
+    for ms in level_ms:
+        lvl = rollup_level(cur, key_cols, cur_val, ms)
+        out[ms] = lvl
+        cur = lvl.select(
+            *key_cols,
+            F.timestamp_millis(F.col("bucket") * ms).alias("ts"),
+            F.col("avg_value"),
+        )
+        cur_val = "avg_value"
+    return out
+
+
 def _ewma_schema(key_col: str) -> StructType:
     return StructType(
         [

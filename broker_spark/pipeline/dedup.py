@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 DEFAULT_NUM_HASHES = 4
 DEFAULT_SHINGLE = 3
@@ -229,18 +230,31 @@ def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle: int = DEFAULT_SHINGLE,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle inverted index:
     explode shingles -> self-join on shingle -> count common shingles ->
     jaccard = common / (|A| + |B| - common); keep pairs >= threshold.
 
     Scale: the join key is a shingle (inverted index), so only documents
-    sharing at least one shingle ever meet — no all-pairs blowup.  Hot
-    shingles should be stop-shingle-filtered at very large corpora.
+    sharing at least one shingle ever meet — no all-pairs blowup.
+    `max_doc_freq` drops shingles appearing in more than that many docs
+    (boilerplate stop-shingles whose posting lists go quadratic at corpus
+    scale); None keeps exact Jaccard semantics.
     """
     sh = _spread(docs).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
     ).persist()  # referenced three times: two join sides + sizes
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        # jaccard is then over the retained shingle space (numerator and
+        # denominator consistently exclude stop-shingles)
+        sh = sh.join(broadcast(hot), "sh", "left_anti").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")

@@ -548,6 +548,31 @@ def q_ewma_hourly(spark, sf_dir):
 
 
 @register(
+    "rollup_daily_cascade",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, (bucket * 3600000) // 86400000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(avg_value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(avg_value) AS min_value, max(avg_value) AS max_value,
+           CAST(SUM(CAST(avg_value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def q_rollup_daily_cascade(spark, sf_dir):
+    """W3 cascade level 2: daily stats over hourly averages — the
+    reference's StreamMetrics hour->day resend-and-average loop
+    (src/StreamMetrics.ts:158-202)."""
+    ev = load(spark, sf_dir, "events")
+    levels = rollup.cascade(ev, ["event_type"], "value", [3_600_000, 86_400_000])
+    return levels[86_400_000]
+
+
+@register(
     "json_content_stats",
     """
     SELECT event_type,

@@ -199,6 +199,15 @@ class PublishSpool:
         with self._lock:
             self._flush_locked()
 
+    def close(self) -> None:
+        """Flush and cancel the pending timer (call before teardown so no
+        flush fires during interpreter shutdown)."""
+        with self._lock:
+            if self._timer is not None:
+                self._timer.cancel()
+                self._timer = None
+            self._flush_locked()
+
     def _flush_locked(self) -> None:
         if self._timer is not None:
             self._timer.cancel()
