@@ -26,7 +26,12 @@ from pyspark.sql.window import Window
 
 from broker_spark.operators import resend, rollup
 from broker_spark.pipeline import ann, dedup, multimodal, text
-from broker_spark.plans.adapters import EVENTS_AS_STREAM_SQL, events_as_stream
+from broker_spark.plans.adapters import (
+    EVENTS_AS_STREAM_SQL,
+    MEDIA_SQL,
+    docs_as_media,
+    events_as_stream,
+)
 from broker_spark.tables import load
 
 # -- epoch-ms literals for the resend family ---------------------------------
@@ -935,6 +940,48 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(media).select(
         "media_id", "kind", "payload_bytes", "payload_sha", "feat_dim"
     )
+
+
+@register(
+    "multimodal_metadata_stats",
+    f"""
+    WITH media AS ({MEDIA_SQL})
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(octet_length(payload) AS BIGINT)) AS BIGINT) AS total_payload_bytes,
+           round(AVG(width), 6) AS avg_width,
+           round(AVG(duration_ms), 6) AS avg_duration_ms
+    FROM media GROUP BY kind
+    """,
+)
+def q_multimodal_metadata_stats(spark, sf_dir):
+    """Metadata-only media aggregation (payload column pruned from the
+    scan — check ReadSchema)."""
+    media = docs_as_media(load(spark, sf_dir, "documents"))
+    out = multimodal.media_metadata_stats(media)
+    return out.select(
+        "kind",
+        "n",
+        "total_payload_bytes",
+        F.round("avg_width", 6).alias("avg_width"),
+        F.round("avg_duration_ms", 6).alias("avg_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_frame_plan",
+    f"""
+    WITH media AS ({MEDIA_SQL})
+    SELECT media_id,
+           unnest([i * 1000 for i in range(0, greatest(CAST(duration_ms // 1000 AS INT), 1))])
+             AS frame_ts_ms
+    FROM media WHERE kind = 'video'
+    """,
+)
+def q_multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per frame to decode."""
+    media = docs_as_media(load(spark, sf_dir, "documents"))
+    out = multimodal.frame_sample_plan(media, every_ms=1000)
+    return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,42 @@ def write_stream_data(
     )
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    predicate: str | None = None,
+    max_records_per_file: int = 500_000,
+) -> None:
+    """Maintenance job: rewrite (a subset of) the log's partitions with
+    right-sized files.
+
+    Streaming micro-batches leave one small file per trigger per open
+    partition; at 100 TB the small-file problem dominates scan cost.  This
+    reads the affected partitions (directory-pruned via `predicate`, e.g.
+    "bucket < 475000"), re-sorts on the clustering key, and atomically
+    replaces ONLY those partitions (dynamic partition overwrite).  The cap
+    mirrors the reference's 500k-records bucket target
+    (src/storage/BucketManager.ts:51).  Run it on closed (past) buckets so
+    it never races the live writer.
+    """
+    df = spark.read.parquet(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*PARTITION_COLUMNS)
+            .sortWithinPartitions(*PARTITION_COLUMNS, *ORDERING_COLUMNS)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def read_stream_data(spark: SparkSession, path: str) -> DataFrame:
     """Open the message log; partition columns come back from directory
     names, so filters on (stream_id, partition, bucket) prune directories
