@@ -34,8 +34,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_nation_volume",
+    "q6_forecast_revenue",
     "top_orders_per_customer",
     "rollup_order_stats",
+    "events_sessionization",
+    "distinct_users_daily",
     "events_hourly_rollup",
     "ewma_hourly",
     "json_content_stats",

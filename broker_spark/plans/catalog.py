@@ -943,6 +943,162 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {_DEC4.format(x='l_extendedprice * l_discount')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan+filter+agg — every predicate pushes to
+    the parquet scan; zero shuffle beyond the final partial-agg merge."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "assignment_diff",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT DISTINCT stream_id, partition FROM s WHERE stream_id IN ('click', 'view')
+    EXCEPT
+    SELECT DISTINCT stream_id, partition FROM s WHERE stream_id IN ('view', 'purchase')
+    """,
+)
+def q_assignment_diff(spark, sf_dir):
+    """Assignment-refresh set diff: removed = old \\ new
+    (src/storage/StorageConfig.ts:105-117) — exceptAll-free distinct
+    except, which Catalyst plans as a left-anti hash join."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    old = s.filter(F.col("stream_id").isin("click", "view")).select("stream_id", "partition").distinct()
+    new = s.filter(F.col("stream_id").isin("view", "purchase")).select("stream_id", "partition").distinct()
+    return old.subtract(new)
+
+
+@register(
+    "resend_union_merge",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL}),
+    u AS (
+      SELECT {_RESEND_COLS} FROM s
+      WHERE stream_id = 'click' AND partition = 3
+        AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+      UNION ALL
+      SELECT {_RESEND_COLS} FROM s
+      WHERE stream_id = 'click' AND partition = 3
+        AND ts >= TIMESTAMP '2024-01-20 00:00:00' AND ts < TIMESTAMP '2024-01-23 00:00:00'
+    )
+    SELECT * FROM u
+    """,
+)
+def q_resend_union_merge(spark, sf_dir):
+    """T5: the reference merges per-predicate sorted streams (`merge2`,
+    src/storage/Storage.ts:314,394); on Spark that's union + one total
+    order over disjoint ranges."""
+    s = events_as_stream(load(spark, sf_dir, "events"))
+
+    def rng(f, t):
+        return s.filter(
+            (F.col("stream_id") == "click") & (F.col("partition") == 3)
+            & (F.col("ts") >= F.lit(f).cast("timestamp")) & (F.col("ts") < F.lit(t).cast("timestamp"))
+        ).select("stream_id", "partition", "ts", "sequence_no", "publisher_id", "msg_chain_id", "content")
+
+    u = rng("2024-01-05 00:00:00", "2024-01-08 00:00:00").unionAll(
+        rng("2024-01-20 00:00:00", "2024-01-23 00:00:00")
+    )
+    return resend.ordered(u)
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + running sum — the batch
+    analog of `session_window` (reference W5's closest concept); one
+    shuffle on user_id serves both window passes and the final group-by."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    s = ev.select(
+        "user_id", "ts",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return (
+        s.groupBy("user_id", F.col("session_no").cast("int").alias("session_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    """
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_distinct_users_daily(spark, sf_dir):
+    """Distinct-count aggregate (Catalyst expands to a two-phase partial
+    distinct; swap in approx_count_distinct at 100 TB if exactness can be
+    traded for one fewer shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long"))
+        .groupBy("day")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "multimodal_metadata_stats",
     f"""
     WITH media AS ({MEDIA_SQL})
