@@ -1099,6 +1099,40 @@ def q_distinct_users_daily(spark, sf_dir):
 
 
 @register(
+    "asof_click_purchase",
+    """
+    WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, max(value) AS purchase_value
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT c.user_id, CAST(c.event_id AS BIGINT) AS click_event_id, c.ts AS click_ts,
+           p.purchase_value AS asof_purchase_value, p.ts AS asof_ts
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_click_purchase(spark, sf_dir):
+    """As-of join: each click paired with the user's most recent purchase
+    at or before it (union + ordered-window; one shuffle on user_id, no
+    range-join explosion).  DuckDB's native ASOF JOIN is the oracle."""
+    from broker_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="click_ts", right_ts="ts",
+        value_cols=["purchase_value"],
+    )
+
+
+@register(
     "multimodal_metadata_stats",
     f"""
     WITH media AS ({MEDIA_SQL})
