@@ -1099,6 +1099,29 @@ def q_distinct_users_daily(spark, sf_dir):
 
 
 @register(
+    "json_parsed_projection",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(COUNT(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_parsed
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_parsed_projection(spark, sf_dir):
+    """S8/F8: structured JSON projection with from_json (schema-on-read
+    over the opaque content column) — the typed counterpart of the
+    regexp-based json_content_stats."""
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return ev.groupBy("event_type").agg(
+        F.sum(k.cast("long")).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_parsed"),
+    )
+
+
+@register(
     "asof_click_purchase",
     """
     WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
