@@ -35,6 +35,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "asof_click_purchase",
     "top_orders_per_customer",
     "rollup_order_stats",
     "events_sessionization",

@@ -1,0 +1,109 @@
+"""End-to-end micro-pipeline (the broker.test.ts analog): streaming
+ingest -> partitioned log -> metadata upkeep -> HTTP resend -> TCP
+subscribe/fan-out, all against one Storage."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import socket
+import urllib.request
+
+from broker_spark.serving import http as serving_http
+from broker_spark.serving.tcp import serve_control
+from broker_spark.storage.store import Storage
+from broker_spark.streaming import ingest
+from broker_spark.streaming.fanout import foreach_batch_fanout
+from broker_spark.streaming.maintenance import foreach_batch_bucket_index
+from tests.conftest import make_msg
+
+ENVELOPE = (
+    "stream_id string, partition int, ts timestamp, sequence_no int, "
+    "publisher_id string, msg_chain_id string, prev_ts timestamp, "
+    "prev_sequence_no int, signature_type int, signature string, "
+    "encryption_type int, content string"
+)
+
+
+def test_ingest_store_query_fanout(spark, tmp_path):
+    now = int(dt.datetime.now(dt.timezone.utc).timestamp() * 1000)
+    base_ts = now - 60_000
+    src, log, ckpt, summary = (
+        str(tmp_path / "src"), str(tmp_path / "log"),
+        str(tmp_path / "ckpt"), str(tmp_path / "summary"),
+    )
+
+    # 1. publish 120 messages (3 invalid) through the streaming ingest
+    rows = [make_msg("e2e", 0, base_ts + i * 100, i % 4) for i in range(117)]
+    rows += [
+        make_msg("e2e", 0, now + 999_000, 0),            # future -> dropped
+        make_msg("e2e", 0, base_ts, 9, content="x{{"),   # bad JSON -> dropped
+        make_msg("other", 1, base_ts, 0),                # different stream
+    ]
+    spark.createDataFrame(rows, ENVELOPE).write.mode("append").parquet(src)
+    q = ingest.start_ingest(
+        spark.readStream.schema(ENVELOPE).parquet(src), log, ckpt,
+        bucket_ms=10_000, trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    st = Storage(spark, log, bucket_ms=10_000)
+
+    # 2. maintenance hook sees the stored batch (summary-side count)
+    foreach_batch_bucket_index(summary, bucket_ms=10_000)(st._log(), 0)
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.read.parquet(summary).agg(F.sum("records")).collect()[0][0] == 118
+    )
+
+    # 3. HTTP resend over the stored log
+    server = serving_http.serve(st)
+    host, port = server.server_address
+    try:
+        body = urllib.request.urlopen(
+            f"http://{host}:{port}/streams/e2e/data/partitions/0/last?count=3",
+            timeout=120,
+        ).read()
+        msgs = json.loads(body)
+        assert [m[1][2] for m in msgs] == [
+            base_ts + 114 * 100, base_ts + 115 * 100, base_ts + 116 * 100,
+        ]
+        meta = json.loads(
+            urllib.request.urlopen(
+                f"http://{host}:{port}/streams/e2e/metadata/partitions/0", timeout=120
+            ).read()
+        )
+        assert meta["totalMessages"] == 117
+    finally:
+        server.shutdown()
+
+    # 4. TCP resend lifecycle + live fan-out on the same storage
+    ctrl = serve_control(st)
+    s = socket.create_connection(ctrl.server_address, timeout=120)
+    f = s.makefile("rwb")
+
+    def send(o):
+        f.write((json.dumps(o) + "\n").encode())
+        f.flush()
+
+    def recv():
+        return json.loads(f.readline())
+
+    try:
+        send({"type": "SubscribeRequest", "requestId": "s", "streamId": "e2e",
+              "streamPartition": 0})
+        assert recv()["type"] == "SubscribeResponse"
+        send({"type": "ResendLastRequest", "requestId": "r", "streamId": "e2e",
+              "streamPartition": 0, "numberLast": 2})
+        got = [recv()["type"] for _ in range(4)]
+        assert got == ["ResendResponseResending", "UnicastMessage",
+                       "UnicastMessage", "ResendResponseResent"]
+        # live message: new micro-batch fanned out to the subscriber
+        live = spark.createDataFrame([make_msg("e2e", 0, now, 0)], ENVELOPE)
+        foreach_batch_fanout(ctrl.registry)(live, 1)
+        bc = recv()
+        assert bc["type"] == "BroadcastMessage" and bc["streamMessage"][1][2] == now
+    finally:
+        s.close()
+        ctrl.shutdown()
