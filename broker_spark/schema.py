@@ -70,6 +70,12 @@ IDENTITY_COLUMNS = [
 #: Total-order within a stream-partition — reference src/storage/Storage.ts:111
 ORDERING_COLUMNS = ["ts", "sequence_no", "publisher_id", "msg_chain_id"]
 
+#: Message identity — the reference's Cassandra primary key
+#: (src/storage/BatchManager.ts:8-10): re-inserting the same id is a no-op.
+MESSAGE_ID_COLUMNS = [
+    "stream_id", "partition", "ts", "sequence_no", "publisher_id", "msg_chain_id",
+]
+
 #: Physical layout partition columns (replaces the Cassandra partition key
 #: `(stream_id, partition, bucket_id)` — src/storage/Storage.ts:109-110).
 PARTITION_COLUMNS = ["stream_id", "partition", "bucket"]

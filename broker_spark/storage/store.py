@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from broker_spark.operators import metadata, resend
 from broker_spark.schema import DEFAULT_BUCKET_MS
@@ -36,6 +37,37 @@ class Storage:
         """Append a batch of messages (src/storage/Storage.ts:65-99; the
         bucket/batch machinery is subsumed by derivable partitions)."""
         write_stream_data(df, self.path, bucket_ms=self.bucket_ms)
+
+    def store_idempotent(self, df: DataFrame) -> None:
+        """Append with primary-key dedup — Cassandra INSERT semantics
+        (re-publishing a message id is a no-op, src/storage/
+        BatchManager.ts:8-10 primary key).
+
+        Parquet append would duplicate, so: dedup within the batch, then
+        anti-join against the EXISTING rows of only the affected
+        (stream, partition, bucket) partitions — directory-pruned, so the
+        read side is proportional to the buckets being written, never the
+        log.  Concurrent writers to the same bucket still need a
+        table-format transaction (Delta/Iceberg) — single-writer-per-
+        partition is this layout's contract, as in the reference.
+        """
+        from broker_spark.schema import MESSAGE_ID_COLUMNS, with_bucket
+
+        incoming = with_bucket(df, bucket_ms=self.bucket_ms).dropDuplicates(
+            MESSAGE_ID_COLUMNS
+        )
+        try:
+            existing = read_stream_data(self.spark, self.path)
+        except Exception:  # first write: nothing to dedup against
+            write_stream_data(df.dropDuplicates(MESSAGE_ID_COLUMNS), self.path,
+                              bucket_ms=self.bucket_ms)
+            return
+        touched = [r["bucket"] for r in incoming.select("bucket").distinct().collect()]
+        scoped = existing.filter(F.col("bucket").isin(touched)).select(
+            *MESSAGE_ID_COLUMNS
+        )
+        fresh = incoming.join(scoped, MESSAGE_ID_COLUMNS, "left_anti").drop("bucket")
+        write_stream_data(fresh, self.path, bucket_ms=self.bucket_ms)
 
     # -- read path ----------------------------------------------------------
     def _log(self) -> DataFrame:

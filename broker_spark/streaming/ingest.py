@@ -65,6 +65,7 @@ def start_ingest(
     bucket_ms: int = DEFAULT_BUCKET_MS,
     trigger_available_now: bool = False,
     processing_time: str | None = None,
+    dedup_watermark: str | None = None,
 ) -> StreamingQuery:
     """Validated, partitioned, checkpointed append into the message log.
 
@@ -72,8 +73,21 @@ def start_ingest(
     WS/HTTP/MQTT/Kafka payloads to them).  Exactly-once into the log comes
     from checkpoint + idempotent file commits — replacing the reference's
     1000-retry batch machinery (src/storage/BatchManager.ts:47).
+
+    `dedup_watermark` (e.g. "10 minutes") additionally drops re-published
+    message ids arriving within the watermark — Cassandra's primary-key
+    upsert semantics for at-least-once sources, with state bounded by the
+    watermark instead of the full log
+    (`dropDuplicatesWithinWatermark` on the message id).
     """
-    out = prepare(validate(source), bucket_ms)
+    out = validate(source)
+    if dedup_watermark is not None:
+        from broker_spark.schema import MESSAGE_ID_COLUMNS
+
+        out = out.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
+            MESSAGE_ID_COLUMNS
+        )
+    out = prepare(out, bucket_ms)
     writer = (
         out.writeStream.format("parquet")
         .option("path", path)
