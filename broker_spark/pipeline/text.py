@@ -106,6 +106,40 @@ def language_id(docs: DataFrame) -> DataFrame:
     return scored.withColumn("predicted_lang", pred)
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: hash every character k-gram,
+    keep the minimum hash of each sliding window of `window` consecutive
+    k-grams, emit the distinct minima per document.
+
+    The standard local-fingerprinting algorithm (Schleimer/Wilkerson/Aiken
+    winnowing): guarantees a shared fingerprint for any sufficiently long
+    shared substring, at ~1/window the storage of all k-gram hashes.  Pure
+    column expressions — k-gram extraction and window minima are array
+    ops inside the scan, one shuffle only if the caller aggregates.
+    """
+    text = F.col("text")
+    n = F.length(text)
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: text.substr(i, F.lit(k)))
+    hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
+    win_starts = F.when(
+        F.size(hashes) >= window,
+        F.sequence(F.lit(1), F.size(hashes) - window + 1),
+    ).otherwise(F.array().cast("array<int>"))
+    minima = F.transform(win_starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(minima)).alias("fingerprints"),
+        F.size(F.array_distinct(minima)).alias("n_fingerprints"),
+    )
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Bag-of-words document fingerprint: md5 over the sorted distinct word
     set — a cheap canonical-content hash (same words, any order -> same

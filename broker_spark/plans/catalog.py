@@ -877,6 +877,44 @@ def q_language_id(spark, sf_dir):
 
 
 @register(
+    "doc_winnow_fingerprints",
+    """
+    WITH g AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 8 THEN
+          [substring(md5(substring(text, i, 8)), 1, 8)
+           for i in range(1, length(text) - 8 + 2)]
+        ELSE [] END AS hashes
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) >= 4 THEN
+          [list_aggregate(hashes[i : i + 3], 'min')
+           for i in range(1, len(hashes) - 4 + 2)]
+        ELSE [] END AS minima
+      FROM g
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(minima)), ',') AS fingerprints,
+           CAST(len(list_distinct(minima)) AS INT) AS n_fingerprints
+    FROM w
+    """,
+)
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing fingerprints (k=8 char-grams, window=4) — rolling-hash
+    local fingerprinting; minima sets match DuckDB slice-by-slice.
+    The set serializes to a joined string so the cross-engine hash
+    compare sees a scalar column."""
+    out = text.winnow_fingerprints(load(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.array_join("fingerprints", ",").alias("fingerprints"),
+        "n_fingerprints",
+    )
+
+
+@register(
     "doc_fingerprint",
     f"""
     WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
