@@ -27,10 +27,26 @@ class Storage:
         spark: SparkSession,
         path: str,
         bucket_ms: int = DEFAULT_BUCKET_MS,
+        summary_path: str | None = None,
     ) -> None:
+        """`summary_path`: optional bucket-index summary table maintained by
+        `streaming.maintenance.foreach_batch_bucket_index`.  When present,
+        metadata queries read the summary (a few rows per bucket) instead
+        of scanning the log — the reference's bucket-counter strategy
+        (src/storage/Storage.ts:520-576), and the only sane answer at
+        100 TB."""
         self.spark = spark
         self.path = path
         self.bucket_ms = bucket_ms
+        self.summary_path = summary_path
+
+    def _summary(self) -> DataFrame | None:
+        if self.summary_path is None:
+            return None
+        try:
+            return self.spark.read.parquet(self.summary_path)
+        except Exception:
+            return None  # not materialized yet -> fall back to log scan
 
     # -- write path ---------------------------------------------------------
     def store(self, df: DataFrame) -> None:
@@ -131,23 +147,70 @@ class Storage:
 
     # -- metadata (src/http/DataMetadataEndpoints.ts:21-26) -----------------
     def get_first_message_ts(self, stream_id: str, partition: int) -> DataFrame:
+        s = self._summary()
+        if s is not None:
+            return (
+                s.filter((F.col("stream_id") == stream_id) & (F.col("partition") == partition))
+                .agg(F.min("date_create").alias("first_ts"))
+            )
         return metadata.first_message_ts(self._log(), stream_id, partition)
 
     def get_last_message_ts(self, stream_id: str, partition: int) -> DataFrame:
+        s = self._summary()
+        if s is not None:
+            return (
+                s.filter((F.col("stream_id") == stream_id) & (F.col("partition") == partition))
+                .agg(F.max("max_ts").alias("last_ts"))
+            )
         return metadata.last_message_ts(self._log(), stream_id, partition)
 
     def get_number_of_messages(self, stream_id: str) -> DataFrame:
+        s = self._summary()
+        if s is not None:
+            return (
+                s.filter(F.col("stream_id") == stream_id)
+                .groupBy("stream_id", "partition")
+                .agg(F.sum("records").alias("records"))
+            )
         return metadata.message_count(self._log(), stream_id)
 
     def get_total_bytes(self, stream_id: str) -> DataFrame:
+        s = self._summary()
+        if s is not None:
+            return (
+                s.filter(F.col("stream_id") == stream_id)
+                .groupBy("stream_id", "partition")
+                .agg(F.sum("size").alias("total_bytes"))
+            )
         return metadata.total_bytes(self._log(), stream_id)
 
     def bucket_index(self) -> DataFrame:
+        s = self._summary()
+        if s is not None:
+            return s
         return metadata.bucket_index(self._log(), bucket_ms=self.bucket_ms)
 
     def partition_metadata(self, stream_id: str, partition: int) -> dict:
         """The metadata-endpoint payload (src/http/DataMetadataEndpoints.ts:
         21-26), one aggregation pass; values are plain Python for JSON."""
+        s = self._summary()
+        if s is not None:
+            agg = (
+                s.filter((F.col("stream_id") == stream_id) & (F.col("partition") == partition))
+                .agg(
+                    F.sum("size").alias("totalBytes"),
+                    F.sum("records").alias("totalMessages"),
+                    F.unix_millis(F.min("date_create")).alias("firstMessage"),
+                    F.unix_millis(F.max("max_ts")).alias("lastMessage"),
+                )
+            )
+            row = agg.collect()[0]
+            return {
+                "totalBytes": row["totalBytes"] or 0,
+                "totalMessages": row["totalMessages"] or 0,
+                "firstMessage": row["firstMessage"],
+                "lastMessage": row["lastMessage"],
+            }
         row = metadata.partition_metadata(self._log(), stream_id, partition).collect()[0]
         return {
             "totalBytes": row["totalBytes"] or 0,
