@@ -670,6 +670,137 @@ def q_rollup_daily_cascade(spark, sf_dir):
 
 
 @register(
+    "moving_avg_daily",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS day_avg
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, round(day_avg, 6) AS day_avg,
+           round(avg(day_avg) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS ma7
+    FROM d
+    """,
+)
+def q_moving_avg_daily(spark, sf_dir):
+    """Rolling 7-day average per event type: windowed frame over the
+    daily rollup — one shuffle shared by the groupBy and the window."""
+    ev = load(spark, sf_dir, "events")
+    d = (
+        ev.withColumn("day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long"))
+        .groupBy("event_type", "day")
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)))
+            .alias("day_avg")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return d.select(
+        "event_type", "day",
+        F.round("day_avg", 6).alias("day_avg"),
+        F.round(F.avg("day_avg").over(w), 6).alias("ma7"),
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`).  At 100 TB swap for approx_percentile — the exact
+    form needs the full value multiset per group."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_DEC2.format(x='o_totalprice')} AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_order_stats(spark, sf_dir):
+    """Full grouping-set cube (§2.4 extended-agg surface)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dec_sum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@register(
+    "events_pivot_daily",
+    """
+    SELECT epoch_ms(ts) // 86400000 AS day,
+           CAST(COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot_daily(spark, sf_dir):
+    """Pivot with explicit values (deterministic columns; one shuffle —
+    no second pass to discover the pivot domain)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long"))
+        .groupBy("day")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+def _stopword_sql() -> str:
+    from broker_spark.pipeline.text import STOPWORDS
+
+    all_words = sorted({w for ws in STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in all_words)
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS INT) AS n_tokens,
+           CAST(len([x for x in words if x in ({lst})]) AS INT) AS n_stopwords,
+           round(len([x for x in words if x in ({lst})]) * 1.0 / len(words), 6)
+             AS stopword_ratio
+    FROM w
+    """
+
+
+@register("stopword_stats", _stopword_sql())
+def q_stopword_stats(spark, sf_dir):
+    """Stopword-ratio quality signal (high ratio ~ natural prose, low ~
+    boilerplate/code) over the union of all language stopword lists."""
+    docs = load(spark, sf_dir, "documents")
+    all_words = sorted({w for ws in text.STOPWORDS.values() for w in ws})
+    vocab = F.array(*[F.lit(w) for w in all_words])
+    words = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(words), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
     "json_content_stats",
     """
     SELECT event_type,

@@ -102,6 +102,47 @@ class TestStreamingWrite:
 
 
 class TestWindowedRates:
+    def test_windowed_rates_streaming_watermark(self, spark, tmp_path):
+        """Real streaming run: append mode only emits a window once the
+        watermark passes it — the first trigger's windows flush after the
+        second trigger's newer data advances the watermark."""
+        src, sink, ckpt = (
+            str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        )
+        base = 1_700_000_040_000  # minute-aligned epoch -> exact windows
+
+        def run():
+            q = (
+                ingest.windowed_rates(
+                    spark.readStream.schema(ENVELOPE).parquet(src),
+                    window="1 minute",
+                    watermark="2 minutes",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        rows = [make_msg("w", 0, base + i * 1000, 0) for i in range(120)]  # 2 windows
+        spark.createDataFrame(rows, ENVELOPE).write.mode("append").parquet(src)
+        run()
+        # watermark still at base+119s after trigger 1 -> nothing final yet;
+        # push it past both windows with a much later message
+        spark.createDataFrame(
+            [make_msg("w", 0, base + 600_000, 0)], ENVELOPE
+        ).write.mode("append").parquet(src)
+        run()
+        got = {
+            r["window_start"]: r["n_messages"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert sorted(got.values()) == [60, 60]
+        assert len(got) == 2
+
     def test_windowed_rates_batch_semantics(self, spark):
         """The aggregation itself, verified on a batch frame (streaming and
         batch share the same logical plan)."""
