@@ -569,6 +569,29 @@ def q_q13_customer_distribution(spark, sf_dir):
 
 
 @register(
+    "customers_open_and_pending",
+    """
+    SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT c_custkey FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderstatus = 'P'
+    """,
+)
+def q_customers_open_and_pending(spark, sf_dir):
+    """INTERSECT (distinct) — completes the set-op family with union/
+    except; Catalyst plans it as a left-semi join over distincts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+
+    def with_status(status):
+        flt = o.filter(F.col("o_orderstatus") == status)
+        return c.join(flt, c.c_custkey == flt.o_custkey, "left_semi").select("c_custkey")
+
+    return with_status("O").intersect(with_status("P"))
+
+
+@register(
     "rollup_order_stats",
     f"""
     SELECT o_orderstatus, o_orderpriority,
@@ -853,6 +876,24 @@ _MINHASH_SIG_SQL = """
       list_aggregate(list_transform(shingles, s -> substring(md5(s), 17, 8)), 'min') AS mh2,
       list_aggregate(list_transform(shingles, s -> substring(md5(s), 25, 8)), 'min') AS mh3
 """
+
+
+@register(
+    "dedup_exact_kept",
+    """
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT d.doc_id, d.lang, CAST(length(d.text) AS INT) AS n_len
+    FROM documents d JOIN keepers USING (doc_id)
+    """,
+)
+def q_dedup_exact_kept(spark, sf_dir):
+    """The kept-rows side of exact dedup: one row per distinct text
+    (min doc_id wins), via semi-join against the keeper set."""
+    docs = load(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs)
+    return kept.select("doc_id", "lang", F.length("text").cast("int").alias("n_len"))
 
 
 @register(
