@@ -87,7 +87,16 @@ class Storage:
 
     # -- read path ----------------------------------------------------------
     def _log(self) -> DataFrame:
-        return read_stream_data(self.spark, self.path)
+        """The message log; a not-yet-written log reads as an empty frame
+        (a fresh broker answers resends with NoResend, it doesn't 500 —
+        cf. the reference's empty-result tests, Storage.test.ts:95-121)."""
+        try:
+            return read_stream_data(self.spark, self.path)
+        except Exception:
+            from broker_spark.schema import STREAM_MESSAGE_SCHEMA
+
+            empty = self.spark.createDataFrame([], STREAM_MESSAGE_SCHEMA)
+            return empty.withColumn("bucket", F.lit(0).cast("long")).filter(F.lit(False))
 
     def request_last(self, stream_id: str, partition: int, n: int) -> DataFrame:
         return resend.request_last(

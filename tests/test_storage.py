@@ -94,3 +94,13 @@ def test_retention_respects_per_stream_config(spark):
     # now = day 200: stream a (10d retention) expired; stream b (default 365) not
     expired = retention.expired_buckets(bidx, cfg, 200 * 86_400_000)
     assert [r["stream_id"] for r in expired.collect()] == ["a"]
+
+
+def test_empty_storage_reads_gracefully(spark, tmp_path):
+    """A fresh node with no log answers empty, not 500 (the reference's
+    empty-result behavior, Storage.test.ts:95-121)."""
+    st = Storage(spark, str(tmp_path / "never-written"))
+    assert st.request_last("s", 0, 5).collect() == []
+    assert st.request_from("s", 0, 0).collect() == []
+    meta = st.partition_metadata("s", 0)
+    assert meta["totalMessages"] == 0 and meta["firstMessage"] is None
