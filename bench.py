@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_grid_buckets",
     "ann_ivf_topk",
+    "ann_multiprobe_topk",
     "embedding_near_dup",
 ]
 

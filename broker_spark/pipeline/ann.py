@@ -158,6 +158,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def grid_lsh_topk_multiprobe(
+    embeddings: DataFrame,
+    k: int = 5,
+    dims: int = 2,
+    width: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe grid top-k: each vector QUERIES its home cell plus all
+    adjacent cells (3^dims probes) while remaining a CANDIDATE only in its
+    home cell — recovering the neighbors that single-cell probing loses at
+    cell boundaries, at 3^dims x the query-side shuffle (candidate side,
+    the big one, is unreplicated).
+
+    Per-cell scoring stays a numpy matrix (queries x candidates) in
+    applyInPandas; pairs seen from multiple probes dedup in the final
+    per-query rank."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+
+    coords = [
+        F.floor(F.element_at(_as_double(F.col(vec_col)), i + 1) / F.lit(width)).cast("long")
+        for i in range(dims)
+    ]
+    probe_cells = F.array(
+        *[
+            F.concat_ws(",", *[(c + off).cast("string") for c, off in zip(coords, offs)])
+            for offs in itertools.product((-1, 0, 1), repeat=dims)
+        ]
+    )
+    home = F.concat_ws(",", *[c.cast("string") for c in coords])
+    queries = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.explode(probe_cells).alias("cell"),
+        F.lit(1).alias("is_query"),
+    )
+    cands = embeddings.select(
+        F.col(id_col), F.col(vec_col), home.alias("cell"), F.lit(0).alias("is_query")
+    )
+    both = queries.unionByName(cands)
+
+    def _score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "cand_id": [], "cos_raw": []}).astype(
+            {"query_id": "int64", "cand_id": "int64", "cos_raw": "float64"}
+        )
+        q = pdf[pdf["is_query"] == 1]
+        c = pdf[pdf["is_query"] == 0]
+        if q.empty or c.empty:
+            return empty
+        qm = np.stack(q[vec_col].to_numpy()).astype("float64")
+        cm = np.stack(c[vec_col].to_numpy()).astype("float64")
+        sims = (qm @ cm.T) / np.outer(
+            np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
+        )
+        qi, ci = np.repeat(np.arange(len(q)), len(c)), np.tile(np.arange(len(c)), len(q))
+        qid = q[id_col].to_numpy()[qi]
+        cid = c[id_col].to_numpy()[ci]
+        keep = qid != cid
+        return pd.DataFrame(
+            {"query_id": qid[keep], "cand_id": cid[keep], "cos_raw": sims[qi, ci][keep]}
+        )
+
+    scored = both.groupBy("cell").applyInPandas(
+        _score_cell, "query_id long, cand_id long, cos_raw double"
+    )
+    # a pair probed from several cells scores identically -> max() dedups
+    deduped = scored.groupBy("query_id", "cand_id").agg(F.max("cos_raw").alias("cos_raw"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
+    return (
+        deduped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
 def grid_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -1162,6 +1162,42 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ann_multiprobe_topk",
+    f"""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.5) AS BIGINT) AS c1,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.5) AS BIGINT) AS c2
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding,
+             (c1 + dx) || ',' || (c2 + dy) AS cell
+      FROM v, (SELECT unnest([-1, 0, 1]) AS dx), (SELECT unnest([-1, 0, 1]) AS dy)
+    ),
+    c AS (SELECT vec_id, embedding, c1 || ',' || c2 AS cell FROM v),
+    pairs AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+             q.embedding AS av, c.embedding AS bv
+      FROM q JOIN c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+    ),
+    scored AS (SELECT query_id, cand_id, {_PAIR_COS} AS cos_raw FROM pairs)
+    SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, cand_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_multiprobe_topk(spark, sf_dir):
+    """Multi-probe grid top-k: queries probe home + adjacent cells,
+    candidates stay home-only — boundary neighbors recovered at 3^dims x
+    query-side (not candidate-side) replication."""
+    return ann.grid_lsh_topk_multiprobe(load(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
     "embedding_near_dup",
     f"""
     WITH c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
