@@ -234,6 +234,54 @@ def grid_lsh_topk_multiprobe(
     )
 
 
+def ivf_topk_by_assignment(
+    embeddings: DataFrame,
+    k: int = 5,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a given coarse assignment column (a cluster id /
+    centroid assignment — here the corpus ships one; in production train
+    pyspark.ml KMeans and `transform` to produce it).  Candidates are
+    restricted to the query's inverted list: one shuffle on the
+    assignment, per-list numpy scoring."""
+    import numpy as np
+    import pandas as pd
+
+    def _topk_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "cand_id": [], "rank": [], "cosine": []}
+        ).astype({"query_id": "int64", "cand_id": "int64", "rank": "int32", "cosine": "float64"})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        np.fill_diagonal(sims, -np.inf)
+        ids = pdf[id_col].to_numpy()
+        kk = min(k, n - 1)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        qi = np.repeat(np.arange(n), kk)
+        ci = order.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": ids[qi],
+                "cand_id": ids[ci],
+                "rank": np.tile(np.arange(1, kk + 1), n).astype("int32"),
+                "cosine": np.round(sims[qi, ci], 6),
+            }
+        )
+
+    return (
+        embeddings.select(F.col(id_col), F.col(vec_col), F.col(cell_col).alias("_cell"))
+        .groupBy("_cell")
+        .applyInPandas(_topk_cell, "query_id long, cand_id long, rank int, cosine double")
+    )
+
+
 def grid_lsh_topk(
     embeddings: DataFrame,
     k: int = 5,

@@ -1162,6 +1162,31 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "ann_label_ivf_topk",
+    f"""
+    WITH c AS (SELECT vec_id, embedding, label FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+             a.embedding AS av, b.embedding AS bv
+      FROM c a JOIN c b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (SELECT query_id, cand_id, {_PAIR_COS} AS cos_raw FROM scored)
+    SELECT query_id, cand_id, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, cand_id, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+      FROM ranked
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_label_ivf_topk(spark, sf_dir):
+    """IVF top-k over the corpus's cluster assignment (inverted lists =
+    label groups; production trains pyspark.ml KMeans for the same
+    column)."""
+    return ann.ivf_topk_by_assignment(load(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
     "ann_multiprobe_topk",
     f"""
     WITH v AS (
