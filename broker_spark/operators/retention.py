@@ -25,6 +25,7 @@ def expired_buckets(
     bucket_idx: DataFrame,
     retention: DataFrame,
     now_ms: int,
+    default_days: int = DEFAULT_STORAGE_DAYS,
 ) -> DataFrame:
     """F9 + J3: buckets fully older than each stream's retention cutoff.
 
@@ -41,7 +42,7 @@ def expired_buckets(
     )
     joined = bucket_idx.join(broadcast(retention), "stream_id", "left").withColumn(
         "storage_days",
-        F.coalesce(F.col("storage_days"), F.lit(DEFAULT_STORAGE_DAYS)),
+        F.coalesce(F.col("storage_days"), F.lit(default_days)),
     )
     return joined.filter(F.col("max_ts") < cutoff).select(
         "stream_id", "partition", "bucket", "max_ts"

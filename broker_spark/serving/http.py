@@ -222,12 +222,27 @@ class DataQueryHandler(BaseHTTPRequestHandler):
                 msg_chain_id or None,
             )
 
+        # Pull the first frame chunk BEFORE committing the 200 so a storage
+        # failure still yields the reference's 500 JSON ('data.on("error")'
+        # before headersSent, DataQueryEndpoints.ts:86-93).
+        try:
+            pieces = frame(self.storage.stream_rows(df), fmt, version)
+            first = next(pieces)
+        except StopIteration:
+            first = None
+        except Exception:
+            self._send_json(500, {"error": "Failed to fetch data!"})
+            return
         self.send_response(200)
         self.send_header("Content-Type", fmt.content_type)
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
         try:
-            for piece in frame(self.storage.stream_rows(df), fmt, version):
+            for piece in ([first] if first is not None else []):
+                data = piece.encode()
+                if data:
+                    self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+            for piece in pieces:
                 data = piece.encode()
                 if data:
                     self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
