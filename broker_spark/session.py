@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # keep wide plans (simhash bit counters, unpivoted percentile grids)
+        # inside whole-stage codegen; the default silently falls back to
+        # interpreted mode above 100 fields
+        .config("spark.sql.codegen.maxFields", "400")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
