@@ -1984,6 +1984,245 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(l_extendedprice / l_quantity) AS ps_unitcost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    joined AS (
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_unitcost,
+             MIN(ps_unitcost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM part
+      JOIN ps       ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE p_size = 25 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(ps_unitcost, 6) AS unit_cost
+    FROM joined WHERE ps_unitcost = min_cost
+    """,
+)
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: cheapest supplier per part within a region.  The
+    part-supplier relation is derived from lineitem (no partsupp in the
+    fixture) with unit cost = min observed price/quantity; the correlated
+    MIN decorrelates to a window over the joined, region-filtered set.
+    The float equality is safe: both engines take MIN over identical IEEE
+    quotients."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unitcost"))
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(broadcast(s), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .withColumn("min_cost", F.min("ps_unitcost").over(w))
+        .filter(F.col("ps_unitcost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round("ps_unitcost", 6).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l_partkey,
+             {_DEC4.format(x='l_extendedprice * (1 - l_discount)')} AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT {_DEC4.format(x='value')} * 0.001 FROM val)
+    """,
+)
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose traded value from a nation group
+    exceeds a fraction of the group total (lineitem value stands in for
+    partsupp stock value).  The scalar total is a 1-row broadcast; the
+    per-part values are decimal-exact 4-dp doubles, so re-summing them
+    through DECIMAL is engine-independent."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+                "value"
+            )
+        )
+    )
+    total = val.agg((_dec_sum(F.col("value"), 4) * 0.001).alias("threshold"))
+    return (
+        val.join(broadcast(total), F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+    )
+
+
+@register(
+    "q20_part_promotion",
+    """
+    SELECT s_name, s_acctbal FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 100
+    )
+    """,
+)
+def q_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who moved real volume of a named part
+    family in a year (availqty is not in the fixture, so the threshold is
+    on shipped quantity).  Two chained semi-joins: parts→lineitem
+    (broadcast) and the HAVING aggregate→supplier."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%")).select(
+        "p_partkey"
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    movers = (
+        li.join(broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return s.join(broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi").select(
+        "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "q21_sole_returner",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND n_name IN ('NATION_2', 'NATION_4')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_q21_sole_returner(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the *only* one with returned
+    lines in multi-supplier finalized orders (returnflag stands in for
+    the missing receipt>commit lateness).  The correlated EXISTS /
+    NOT EXISTS pair becomes a semi- then anti-join on the order key with
+    a supplier-inequality residual."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_2", "NATION_4"))
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o1_key"), F.col("l_suppkey").alias("s1_key")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        l1.join(
+            l2,
+            (F.col("o1_key") == F.col("o2_key")) & (F.col("s1_key") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o1_key") == F.col("o3_key")) & (F.col("s1_key") != F.col("s3_key")),
+            "left_anti",
+        )
+        .join(o, F.col("o1_key") == o.o_orderkey, "left_semi")
+        .join(broadcast(s), F.col("s1_key") == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customers",
+    f"""
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           {_DEC2.format(x='c_acctbal')} AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 7 AS INT) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_nationkey % 7 IN (0, 1, 2, 3)
+        AND c_acctbal > (SELECT {_DEC2.format(x='c_acctbal')} / COUNT(*)
+                         FROM customer
+                         WHERE c_acctbal > 0 AND c_nationkey % 7 IN (0, 1, 2, 3))
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no *recent*
+    orders, grouped by a nation-derived code (the fixture has no phone
+    column, and every customer has at least one historical order, so the
+    anti-join is scoped to orders since 1999 to stay non-trivial).
+    Scalar-avg broadcast + anti-join against orders."""
+    c = load(spark, sf_dir, "customer").filter((F.col("c_nationkey") % 7).isin(0, 1, 2, 3))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (_dec_sum(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select((F.col("c_nationkey") % 7).cast("int").alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
