@@ -2223,6 +2223,116 @@ def q_q22_idle_customers(spark, sf_dir):
     )
 
 
+@register(
+    "events_lag_deltas",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_ms) AS BIGINT) AS total_gap_ms,
+           CAST(MAX(gap_ms) AS BIGINT) AS max_gap_ms
+    FROM d GROUP BY user_id HAVING COUNT(gap_ms) > 0
+    """,
+)
+def q_events_lag_deltas(spark, sf_dir):
+    """Per-user inter-event gap statistics via lag() — the arrival-rate
+    primitive behind the reference's per-second metric sampling
+    (StreamMetrics.ts:133-143).  Gaps are integer milliseconds, so the
+    cross-engine comparison is exact; the window and the group-by share
+    one user_id shuffle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", gap.alias("gap_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_ms").alias("n_gaps"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+            F.max("gap_ms").alias("max_gap_ms"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+@register(
+    "grouping_sets_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {_DEC2.format(x='o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def q_grouping_sets_order_stats(spark, sf_dir):
+    """GROUPING SETS — the third grouping-extension alongside the cube and
+    rollup entries: per-status, per-priority, and per-(status, priority)
+    totals in one pass (Catalyst expands to a single Expand + hash
+    aggregate, one shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], ["o_orderstatus", "o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q_range_join_clicks_before_purchase(spark, sf_dir):
+    """Range (band) join: clicks in the hour before each purchase.  The
+    equality on user_id makes this a hash join with the time band as a
+    join residual — NOT a cross product — so it shuffles once on user_id
+    and scales with events-per-user, not events².  Complements the as-of
+    join (nearest-one) with the interval-all-matches shape."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            "left",
+        )
+        .groupBy(
+            "purchase_id", F.col("p_user").alias("user_id")
+        )
+        .agg(F.count("c_id").alias("clicks_1h"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
