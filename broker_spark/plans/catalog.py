@@ -2000,7 +2000,7 @@ def q_q19_disjunctive_revenue(spark, sf_dir):
       JOIN supplier ON s_suppkey = ps_suppkey
       JOIN nation   ON s_nationkey = n_nationkey
       JOIN region   ON n_regionkey = r_regionkey
-      WHERE p_size = 25 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+      WHERE p_size < 10 AND r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
            ROUND(ps_unitcost, 6) AS unit_cost
@@ -2018,9 +2018,7 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     ps = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unitcost"))
-    p = load(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 25) & (F.col("p_type") == "STANDARD")
-    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -2131,7 +2129,7 @@ def q_q20_part_promotion(spark, sf_dir):
     JOIN orders ON o_orderkey = l1.l_orderkey
     JOIN nation ON s_nationkey = n_nationkey
     WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      AND n_name IN ('NATION_2', 'NATION_4')
+      AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
       AND EXISTS (SELECT 1 FROM lineitem l2
                   WHERE l2.l_orderkey = l1.l_orderkey
                     AND l2.l_suppkey <> l1.l_suppkey)
@@ -2149,7 +2147,9 @@ def q_q21_sole_returner(spark, sf_dir):
     NOT EXISTS pair becomes a semi- then anti-join on the order key with
     a supplier-inequality residual."""
     s = load(spark, sf_dir, "supplier")
-    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_2", "NATION_4"))
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    )
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load(spark, sf_dir, "lineitem")
     l1 = li.filter(F.col("l_returnflag") == "R").select(
