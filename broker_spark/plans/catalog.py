@@ -304,14 +304,17 @@ def _dec_sum(col, scale=2):
 
 @register(
     "q1_pricing_summary",
-    f"""
+    """
     SELECT l_returnflag, l_linestatus,
-           {_DEC2.format(x='l_quantity')} AS sum_qty,
-           {_DEC2.format(x='l_extendedprice')} AS sum_base_price,
-           {_DEC4.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-           {_DEC4.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-           {_DEC2.format(x='l_quantity')} / COUNT(*) AS avg_qty,
-           {_DEC2.format(x='l_extendedprice')} / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -320,18 +323,26 @@ def _dec_sum(col, scale=2):
 )
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: wide scan + hash agg; partial aggregation map-side,
-    4 groups — the shuffle is a few hundred bytes regardless of scale."""
+    4 groups — the shuffle is a few hundred bytes regardless of scale.
+
+    The multi-factor products are computed in the DECIMAL domain (operands
+    cast to DECIMAL(12,2) *before* multiplying) so the product is exact on
+    both engines; a double-domain product rounded per-row to DECIMAL lands
+    on .xxxx5 ties where Spark (HALF_UP) and DuckDB (half-even) diverge."""
     li = load(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc * (1 + F.col("l_tax"))
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(12,2)")
+    t = F.col("l_tax").cast("decimal(12,2)")
+    disc = p * (F.lit(1).cast("decimal(12,2)") - d)
+    charge = disc * (F.lit(1).cast("decimal(12,2)") + t)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dec_sum(F.col("l_quantity")).alias("sum_qty"),
             _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dec_sum(disc, 4).alias("sum_disc_price"),
-            _dec_sum(charge, 4).alias("sum_charge"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1))).alias("avg_qty"),
             (_dec_sum(F.col("l_extendedprice")) / F.count(F.lit(1))).alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
