@@ -41,7 +41,7 @@ def run(
     expired = retention.expired_buckets(idx, cfg, now, default_days=default_days)
     if dry_run:
         return [
-            f"{path}/stream_id={r['stream_id']}/partition={r['partition']}/bucket={r['bucket']}"
+            retention.partition_path(path, r["stream_id"], r["partition"], r["bucket"])
             for r in expired.collect()
         ]
     return retention.drop_expired_partitions(spark, path, expired)

@@ -20,6 +20,31 @@ from pyspark.sql.functions import broadcast
 # Reference default retention — src/storage/DeleteExpiredCmd.ts:91
 DEFAULT_STORAGE_DAYS = 365
 
+# Characters Spark escapes in partition directory names (Hive
+# FileUtils.escapePathName, mirrored by Spark's ExternalCatalogUtils):
+# ASCII control chars plus the shell/URI-special set.  Reference stream
+# ids routinely contain '/' and ':', so a raw f-string path never matches
+# the on-disk directory.
+_ESCAPE_CHARS = frozenset(chr(c) for c in range(0x01, 0x20)) | frozenset(
+    '"#%\'*/:=?\\\x7f{[]^'
+)
+
+
+def escape_path_name(value: str) -> str:
+    """Percent-encode a partition value exactly the way Spark does on
+    write (ExternalCatalogUtils.escapePathName), so reconstructed paths
+    match the physical directory layout."""
+    return "".join(f"%{ord(ch):02X}" if ch in _ESCAPE_CHARS else ch for ch in value)
+
+
+def partition_path(table_path: str, stream_id: str, partition, bucket) -> str:
+    """Physical directory of one (stream_id, partition, bucket) log
+    partition, with partition values escaped as Spark escapes them."""
+    return (
+        f"{table_path}/stream_id={escape_path_name(str(stream_id))}"
+        f"/partition={partition}/bucket={bucket}"
+    )
+
 
 def expired_buckets(
     bucket_idx: DataFrame,
@@ -68,10 +93,7 @@ def drop_expired_partitions(
     conf = jsc.hadoopConfiguration()
     removed: list[str] = []
     for r in rows:
-        path_str = (
-            f"{table_path}/stream_id={r['stream_id']}"
-            f"/partition={r['partition']}/bucket={r['bucket']}"
-        )
+        path_str = partition_path(table_path, r["stream_id"], r["partition"], r["bucket"])
         path = jvm.org.apache.hadoop.fs.Path(path_str)
         fs = path.getFileSystem(conf)
         if fs.exists(path):

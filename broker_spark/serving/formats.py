@@ -31,12 +31,16 @@ CONTENT_TYPE_JSON = 0
 
 
 def _ms(ts: Any) -> int:
-    """Row `ts` (naive-UTC datetime) -> epoch milliseconds."""
+    """Row `ts` -> epoch milliseconds.
+
+    PySpark's TimestampType.fromInternal yields naive *local-time*
+    datetimes; ``datetime.timestamp()`` applies the same local rules, so
+    the round-trip is offset-free on any host tz (``calendar.timegm``
+    would re-interpret the wall time as UTC and shift by the host offset).
+    """
     if isinstance(ts, int):
         return ts
-    import calendar
-
-    return calendar.timegm(ts.timetuple()) * 1000 + ts.microsecond // 1000
+    return round(ts.timestamp() * 1000)
 
 
 def message_id(row: Any) -> list:

@@ -29,7 +29,7 @@ import json
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from broker_spark.operators.resend import (
     MAX_SEQUENCE_NUMBER_VALUE,
@@ -60,6 +60,16 @@ def _first(qs: dict, key: str) -> str | None:
     return qs[key][0] if key in qs else None
 
 
+def _seq_or_default(qs: dict, key: str, default: int) -> int:
+    """Sequence-number params fall back to their bound when absent OR
+    non-numeric (DataQueryEndpoints.ts:149,170-171 — `parseIntIfExists(x)
+    || BOUND` falls back on NaN because NaN is falsy in JS; Python NaN is
+    truthy, so the fallback must be explicit or `sequence_no >= NaN`
+    silently drops every boundary-timestamp row)."""
+    v = _parse_int_if_exists(qs, key)
+    return default if v is None or _is_nan(v) else v
+
+
 class DataQueryHandler(BaseHTTPRequestHandler):
     storage: Storage  # injected by serve()
     spool = None  # PublishSpool, injected by serve() for the write path
@@ -87,13 +97,15 @@ class DataQueryHandler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
         url = urlparse(self.path)
         qs = parse_qs(url.query, keep_blank_values=True)
+        # Express decodeURIComponent's path params; stream ids routinely
+        # contain '/' and ':' and arrive percent-encoded in the path.
         m = _DATA_RE.match(url.path)
         if m:
-            self._handle_data(m.group(1), m.group(2), m.group(3), qs)
+            self._handle_data(unquote(m.group(1)), m.group(2), m.group(3), qs)
             return
         m = _META_RE.match(url.path)
         if m:
-            self._handle_metadata(m.group(1), m.group(2))
+            self._handle_metadata(unquote(m.group(1)), m.group(2))
             return
         self._send_json(404, {"error": f"Not found: {url.path}"})
 
@@ -113,7 +125,7 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         if self.spool is None:
             self._send_json(501, {"error": "Publishing not enabled on this node."})
             return
-        stream_id = m.group(1)
+        stream_id = unquote(m.group(1))
         if not self.authenticate(stream_id, "stream_publish"):
             self._send_json(403, {"error": "Authentication failed."})
             return
@@ -162,7 +174,7 @@ class DataQueryHandler(BaseHTTPRequestHandler):
             df = self.storage.request_last(stream_id, partition, count)
         elif name == "from":
             from_ts = _parse_int_if_exists(qs, "fromTimestamp")
-            from_seq = _parse_int_if_exists(qs, "fromSequenceNumber") or MIN_SEQUENCE_NUMBER_VALUE
+            from_seq = _seq_or_default(qs, "fromSequenceNumber", MIN_SEQUENCE_NUMBER_VALUE)
             publisher_id = _first(qs, "publisherId")
             if from_ts is None:
                 self._error('Query parameter "fromTimestamp" required.')
@@ -178,8 +190,8 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         else:  # range
             from_ts = _parse_int_if_exists(qs, "fromTimestamp")
             to_ts = _parse_int_if_exists(qs, "toTimestamp")
-            from_seq = _parse_int_if_exists(qs, "fromSequenceNumber") or MIN_SEQUENCE_NUMBER_VALUE
-            to_seq = _parse_int_if_exists(qs, "toSequenceNumber") or MAX_SEQUENCE_NUMBER_VALUE
+            from_seq = _seq_or_default(qs, "fromSequenceNumber", MIN_SEQUENCE_NUMBER_VALUE)
+            to_seq = _seq_or_default(qs, "toSequenceNumber", MAX_SEQUENCE_NUMBER_VALUE)
             publisher_id = _first(qs, "publisherId")
             msg_chain_id = _first(qs, "msgChainId")
             if "fromOffset" in qs or "toOffset" in qs:

@@ -170,14 +170,19 @@ class PublishSpool:
         """Validate + enqueue; returns the assigned partition."""
         validate_message(req.timestamp, req.content, now_ms)
         partition = partition_for_key(self.partition_count, req.partition_key)
+        # tz-aware datetimes: naive ones go through time.mktime (driver-OS
+        # local tz) in non-Arrow createDataFrame, shifting every stored ts
+        # on non-UTC hosts; aware UTC datetimes convert offset-free.
         row = (
             req.stream_id,
             partition,
-            dt.datetime.utcfromtimestamp(req.timestamp / 1000.0),
+            dt.datetime.fromtimestamp(req.timestamp / 1000.0, dt.timezone.utc),
             req.sequence_number,
             req.publisher_id,
             req.msg_chain_id,
-            dt.datetime.utcfromtimestamp(req.prev_ts / 1000.0) if req.prev_ts else None,
+            dt.datetime.fromtimestamp(req.prev_ts / 1000.0, dt.timezone.utc)
+            if req.prev_ts
+            else None,
             req.prev_seq if req.prev_ts else None,
             req.signature_type,
             req.signature,

@@ -54,6 +54,28 @@ def test_delete_expired_default_days(spark, tmp_path):
     assert len(removed) == 1
 
 
+def test_delete_expired_escapes_special_chars(spark, tmp_path):
+    """Reference stream ids routinely contain '/' and ':'; Spark escapes
+    them in partition directory names on write, so the sweep must escape
+    when reconstructing paths or it silently retains expired data."""
+    path = str(tmp_path / "log4")
+    st = Storage(spark, path, bucket_ms=1000)
+    sid = "domain/stream:1"
+    st.store(spark.createDataFrame([make_msg(sid, 0, 1000, 0)], ENVELOPE))
+
+    would = delete_expired.run(
+        spark, path, bucket_ms=1000, default_days=1, now_ms=3 * 86_400_000,
+        dry_run=True,
+    )
+    assert len(would) == 1 and "stream_id=domain%2Fstream%3A1" in would[0]
+
+    removed = delete_expired.run(
+        spark, path, bucket_ms=1000, default_days=1, now_ms=3 * 86_400_000
+    )
+    assert len(removed) == 1
+    assert st.request_last(sid, 0, 10).count() == 0
+
+
 def test_gateway_500_on_storage_failure(spark, tmp_path):
     """A failing scan surfaces as the reference's 500 JSON, not a broken
     chunked response (DataQueryEndpoints.ts:86-93)."""

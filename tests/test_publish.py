@@ -132,6 +132,42 @@ class TestSpoolAndRoundTrip:
         # threshold reached -> flushed without explicit flush()
         assert st.request_last("s", 0, 10).count() == 5
 
+    def test_publish_ts_is_utc_regardless_of_host_tz(self, spark, tmp_path):
+        """Stored ts must equal the epoch-ms from the API contract even on a
+        non-UTC host: naive datetimes go through time.mktime (driver-local
+        tz) in non-Arrow createDataFrame; tz-aware UTC ones convert
+        offset-free."""
+        import os
+        import time as _time
+
+        st = Storage(spark, str(tmp_path / "log5"))
+        spool = PublishSpool(st, partition_count=1, close_timeout_s=60.0)
+        from broker_spark.serving.publish import PublishRequest
+
+        epoch_ms = 1_700_000_000_000
+        old_tz = os.environ.get("TZ")
+        os.environ["TZ"] = "America/New_York"
+        _time.tzset()
+        try:
+            spool.publish(
+                PublishRequest("tz-s", "{}", timestamp=epoch_ms, sequence_number=0),
+                now_ms=epoch_ms,
+            )
+            spool.close()  # flush (createDataFrame conversion) inside the NY window
+        finally:
+            if old_tz is None:
+                os.environ.pop("TZ", None)
+            else:
+                os.environ["TZ"] = old_tz
+            _time.tzset()
+        import datetime as dt
+
+        row = st.request_last("tz-s", 0, 1).collect()[0]
+        stored_ms = int(
+            row["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1000
+        )
+        assert stored_ms == epoch_ms
+
     def test_keyed_partition_assignment(self, spark, tmp_path):
         st = Storage(spark, str(tmp_path / "log4"))
         spool = PublishSpool(st, partition_count=10, close_timeout_s=60.0)

@@ -145,6 +145,66 @@ def test_empty_result_is_empty_array(base_url):
     assert json.loads(body) == []
 
 
+def test_seq_param_nan_falls_back_to_bound(base_url):
+    """Non-numeric sequence params default to their bound, like the
+    reference's `parseIntIfExists(x) || BOUND` where NaN is falsy
+    (DataQueryEndpoints.ts:149,170-171).  A NaN leaking into the predicate
+    would silently drop every boundary-timestamp row."""
+    status, _, body = _get(
+        f"{base_url}/streams/s1/data/partitions/0/from"
+        "?fromTimestamp=1000&fromSequenceNumber=notanumber"
+    )
+    assert status == 200
+    assert [m[1][2] for m in json.loads(body)] == [1000, 2000, 3000]
+
+    status, _, body = _get(
+        f"{base_url}/streams/s1/data/partitions/0/range?fromTimestamp=1000"
+        "&toTimestamp=3000&fromSequenceNumber=foo&toSequenceNumber=bar"
+    )
+    assert status == 200
+    assert [m[1][2] for m in json.loads(body)] == [1000, 2000, 3000]
+
+
+def test_encoded_stream_id_in_path(spark, tmp_path):
+    """Stream ids routinely contain '/' and ':' and arrive percent-encoded
+    in the URL path; Express decodeURIComponent's path params, so must we."""
+    st = Storage(spark, str(tmp_path / "enc-log"), bucket_ms=3_600_000)
+    rows = [("domain/stream:1", 0, _dt(1000), 0, "pub", "1", '{"v": 1}')]
+    st.store(spark.createDataFrame(rows, ENVELOPE))
+    server = serving_http.serve(st)
+    host, port = server.server_address
+    try:
+        status, _, body = _get(
+            f"http://{host}:{port}/streams/domain%2Fstream%3A1/data/partitions/0/last"
+        )
+        assert status == 200
+        assert [m[1][0] for m in json.loads(body)] == ["domain/stream:1"]
+    finally:
+        server.shutdown()
+
+
+def test_serving_ms_is_tz_independent(base_url):
+    """Formatted epoch-ms must not shift on a non-UTC host: PySpark
+    materializes naive *local-time* datetimes, and the formatter must
+    invert exactly that (not re-interpret the wall time as UTC)."""
+    import os
+    import time as _time
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        status, _, body = _get(f"{base_url}/streams/s1/data/partitions/0/last?count=3")
+        assert status == 200
+        assert [m[1][2] for m in json.loads(body)] == [1000, 2000, 3000]
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
 def test_range_with_publisher(base_url):
     status, _, body = _get(
         f"{base_url}/streams/s1/data/partitions/0/range?fromTimestamp=1000"
