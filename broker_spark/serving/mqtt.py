@@ -1,0 +1,383 @@
+"""MQTT ingest/egress adapter (S3): a minimal MQTT 3.1.1 server over TCP.
+
+Mirrors src/mqtt/MqttServer.ts:
+- CONNECT must carry a password (the API key); missing password ->
+  CONNACK return code 4 "bad user name or password"
+  (MqttServer.ts:139-162, Connection.ts:50-52).
+- PUBLISH: topic is the stream id; there is no way to express a partition
+  over MQTT, so a RANDOM partition is chosen; the server assigns the
+  timestamp (now) and a GLOBAL incrementing sequence number; publisher_id
+  and msg_chain_id are the connection's client id; non-JSON payloads are
+  wrapped as {"mqttPayload": ...} (MqttServer.ts:19,165-197,21-30).
+- qos 1 PUBLISH is acknowledged with PUBACK (MqttServer.ts:186-190).
+- A failed publish/subscribe authorization sends CONNACK return code 5
+  "not authorized" (MqttServer.ts:193-196, Connection.ts:55-57).
+- SUBSCRIBE registers the connection on partition 0's shelf but receives
+  every broadcast of the stream regardless of the message's partition,
+  exactly like the reference's `streams.get(streamId, 0)` lookup in
+  broadcastMessage (MqttServer.ts:216-247, 281-302); delivery is a qos-0
+  PUBLISH whose payload is the message content JSON.
+- PINGREQ -> PINGRESP liveness.
+
+The packet codec is a self-contained MQTT 3.1.1 subset (CONNECT/CONNACK/
+PUBLISH/PUBACK/SUBSCRIBE/SUBACK/UNSUBSCRIBE/UNSUBACK/PINGREQ/PINGRESP/
+DISCONNECT) — no external MQTT library in this container; any standard
+client speaks it.
+"""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import struct
+import threading
+import time
+from collections import defaultdict
+
+from broker_spark.serving.publish import (
+    PublishError,
+    PublishRequest,
+    PublishSpool,
+    wrap_mqtt_payload,
+)
+
+# -- packet types (MQTT 3.1.1 §2.2.1) ---------------------------------------
+CONNECT, CONNACK, PUBLISH, PUBACK = 1, 2, 3, 4
+SUBSCRIBE, SUBACK, UNSUBSCRIBE, UNSUBACK = 8, 9, 10, 11
+PINGREQ, PINGRESP, DISCONNECT = 12, 13, 14
+
+# CONNACK return codes (§3.2.2.3) — Connection.ts:45-62
+RC_ACCEPTED = 0
+RC_SERVER_UNAVAILABLE = 3
+RC_BAD_USERNAME_OR_PASSWORD = 4
+RC_NOT_AUTHORIZED = 5
+
+
+# -- codec -------------------------------------------------------------------
+
+def encode_varint(n: int) -> bytes:
+    """Remaining-length varint (§2.2.3)."""
+    out = bytearray()
+    while True:
+        byte = n % 128
+        n //= 128
+        out.append(byte | 0x80 if n else byte)
+        if not n:
+            return bytes(out)
+
+
+def encode_utf8(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def decode_utf8(buf: bytes, i: int) -> tuple[str, int]:
+    (n,) = struct.unpack_from(">H", buf, i)
+    return buf[i + 2 : i + 2 + n].decode("utf-8"), i + 2 + n
+
+
+def encode_packet(ptype: int, flags: int, body: bytes) -> bytes:
+    return bytes([(ptype << 4) | flags]) + encode_varint(len(body)) + body
+
+
+def read_packet(rfile) -> tuple[int, int, bytes] | None:
+    """Read one packet; None on clean EOF."""
+    head = rfile.read(1)
+    if not head:
+        return None
+    ptype, flags = head[0] >> 4, head[0] & 0x0F
+    length, mult = 0, 1
+    for _ in range(4):
+        b = rfile.read(1)
+        if not b:
+            return None
+        length += (b[0] & 0x7F) * mult
+        if not b[0] & 0x80:
+            break
+        mult *= 128
+    body = rfile.read(length) if length else b""
+    if len(body) < length:
+        return None
+    return ptype, flags, body
+
+
+def encode_connect(
+    client_id: str,
+    username: str | None = None,
+    password: str | None = None,
+    keepalive: int = 60,
+) -> bytes:
+    """Client-side CONNECT (used by tests and as the codec reference)."""
+    flags = 0x02  # clean session
+    tail = encode_utf8(client_id)
+    if username is not None:
+        flags |= 0x80
+        tail += encode_utf8(username)
+    if password is not None:
+        flags |= 0x40
+        tail += encode_utf8(password)
+    body = encode_utf8("MQTT") + bytes([4, flags]) + struct.pack(">H", keepalive) + tail
+    return encode_packet(CONNECT, 0, body)
+
+
+def parse_connect(body: bytes) -> dict:
+    proto, i = decode_utf8(body, 0)
+    level = body[i]
+    flags = body[i + 1]
+    (keepalive,) = struct.unpack_from(">H", body, i + 2)
+    i += 4
+    client_id, i = decode_utf8(body, i)
+    will_topic = will_message = None
+    if flags & 0x04:  # will flag
+        will_topic, i = decode_utf8(body, i)
+        will_message, i = decode_utf8(body, i)
+    username = password = None
+    if flags & 0x80:
+        username, i = decode_utf8(body, i)
+    if flags & 0x40:
+        password, i = decode_utf8(body, i)
+    return {
+        "protocol": proto,
+        "level": level,
+        "keepalive": keepalive,
+        "client_id": client_id,
+        "username": username,
+        "password": password,
+        "will_topic": will_topic,
+        "will_message": will_message,
+    }
+
+
+def encode_publish(topic: str, payload: bytes, qos: int = 0, packet_id: int = 1) -> bytes:
+    body = encode_utf8(topic)
+    if qos:
+        body += struct.pack(">H", packet_id)
+    return encode_packet(PUBLISH, qos << 1, body + payload)
+
+
+def parse_publish(flags: int, body: bytes) -> dict:
+    qos = (flags >> 1) & 0x03
+    topic, i = decode_utf8(body, 0)
+    packet_id = None
+    if qos:
+        (packet_id,) = struct.unpack_from(">H", body, i)
+        i += 2
+    return {"topic": topic, "qos": qos, "packet_id": packet_id, "payload": body[i:]}
+
+
+def encode_subscribe(packet_id: int, topics: list[str], qos: int = 0) -> bytes:
+    body = struct.pack(">H", packet_id)
+    for t in topics:
+        body += encode_utf8(t) + bytes([qos])
+    return encode_packet(SUBSCRIBE, 0x02, body)
+
+
+def parse_topic_list(body: bytes, with_qos: bool) -> tuple[int, list[str]]:
+    (packet_id,) = struct.unpack_from(">H", body, 0)
+    i, topics = 2, []
+    while i < len(body):
+        t, i = decode_utf8(body, i)
+        if with_qos:
+            i += 1
+        topics.append(t)
+    return packet_id, topics
+
+
+def encode_unsubscribe(packet_id: int, topics: list[str]) -> bytes:
+    body = struct.pack(">H", packet_id)
+    for t in topics:
+        body += encode_utf8(t)
+    return encode_packet(UNSUBSCRIBE, 0x02, body)
+
+
+def encode_connack(return_code: int) -> bytes:
+    return encode_packet(CONNACK, 0, bytes([0, return_code]))
+
+
+# -- server ------------------------------------------------------------------
+
+class MqttHandler(socketserver.StreamRequestHandler):
+    """One MQTT connection — the reference's mqtt/Connection.ts lifecycle."""
+
+    def setup(self) -> None:
+        super().setup()
+        self._write_lock = threading.Lock()
+        self.client_id = ""
+        self.token: str | None = None
+        self.connected = False
+
+    def _send(self, packet: bytes) -> None:
+        with self._write_lock:
+            self.wfile.write(packet)
+            self.wfile.flush()
+
+    def finish(self) -> None:
+        self.server.broker._drop_connection(self)  # type: ignore[attr-defined]
+        super().finish()
+
+    def handle(self) -> None:
+        broker: MqttBroker = self.server.broker  # type: ignore[attr-defined]
+        while True:
+            try:
+                pkt = read_packet(self.rfile)
+            except (ConnectionError, OSError):
+                return
+            if pkt is None:
+                return
+            ptype, flags, body = pkt
+            if ptype == CONNECT:
+                self._on_connect(broker, parse_connect(body))
+            elif ptype == PUBLISH:
+                self._on_publish(broker, parse_publish(flags, body))
+            elif ptype == SUBSCRIBE:
+                self._on_subscribe(broker, *parse_topic_list(body, with_qos=True))
+            elif ptype == UNSUBSCRIBE:
+                pid, topics = parse_topic_list(body, with_qos=False)
+                for t in topics:
+                    broker.unsubscribe(self, t)
+                self._send(encode_packet(UNSUBACK, 0, struct.pack(">H", pid)))
+            elif ptype == PINGREQ:
+                self._send(encode_packet(PINGRESP, 0, b""))
+            elif ptype == DISCONNECT:
+                return
+
+    # MqttServer.ts:139-162 — password required, then token fetch
+    def _on_connect(self, broker: MqttBroker, packet: dict) -> None:
+        if packet["password"] is None:
+            self._send(encode_connack(RC_BAD_USERNAME_OR_PASSWORD))
+            return
+        try:
+            self.token = broker.get_token(packet["password"])
+        except ValueError:
+            self._send(encode_connack(RC_BAD_USERNAME_OR_PASSWORD))
+            return
+        except Exception:  # noqa: BLE001 — core API unreachable
+            self._send(encode_connack(RC_SERVER_UNAVAILABLE))
+            return
+        self.client_id = packet["client_id"]
+        self.connected = True
+        self._send(encode_connack(RC_ACCEPTED))
+
+    # MqttServer.ts:165-197
+    def _on_publish(self, broker: MqttBroker, packet: dict) -> None:
+        topic = packet["topic"]
+        if not broker.authenticate(topic, self.token, "stream_publish"):
+            self._send(encode_connack(RC_NOT_AUTHORIZED))
+            return
+        text = packet["payload"].decode("utf-8")
+        content = wrap_mqtt_payload(text)
+        req = PublishRequest(
+            stream_id=topic,
+            content=content,
+            timestamp=int(time.time() * 1000),
+            sequence_number=broker.next_sequence_number(),
+            publisher_id=self.client_id,
+            msg_chain_id=self.client_id,
+            partition_key=None,  # random partition — MqttServer.ts:173-174
+        )
+        try:
+            partition = broker.spool.publish(req)
+        except PublishError:
+            self._send(encode_connack(RC_NOT_AUTHORIZED))
+            return
+        if packet["qos"]:
+            self._send(encode_packet(PUBACK, 0, struct.pack(">H", packet["packet_id"])))
+        # loopback fan-out: the reference's network node echoes the message
+        # back through broadcastMessage (MqttServer.ts:67,281-302)
+        broker.broadcast(topic, partition, content)
+
+    # MqttServer.ts:216-247 — always partition 0's shelf
+    def _on_subscribe(self, broker: MqttBroker, packet_id: int, topics: list[str]) -> None:
+        granted = []
+        for topic in topics:
+            if not broker.authenticate(topic, self.token, "stream_subscribe"):
+                self._send(encode_connack(RC_NOT_AUTHORIZED))
+                return
+            broker.subscribe(self, topic)
+            granted.append(0)  # deliveries are qos 0
+        self._send(
+            encode_packet(SUBACK, 0, struct.pack(">H", packet_id) + bytes(granted))
+        )
+
+
+class MqttBroker:
+    """Shared state across connections: the global sequence counter, the
+    per-stream connection shelves, and the auth hooks."""
+
+    def __init__(self, spool: PublishSpool):
+        self.spool = spool
+        self._lock = threading.Lock()
+        self._sequence = 0  # `let sequenceNumber = 0` — MqttServer.ts:19
+        self._shelves: dict[str, set] = defaultdict(set)
+
+    # -- hooks (StreamFetcher analogs; default allow) -----------------------
+    def get_token(self, password: str) -> str:
+        """StreamFetcher.getToken — raise ValueError to refuse (rc 4), any
+        other exception for server-unavailable (rc 3)."""
+        return password
+
+    def authenticate(self, stream_id: str, token: str | None, operation: str) -> bool:
+        return True
+
+    # -----------------------------------------------------------------------
+    def next_sequence_number(self) -> int:
+        with self._lock:
+            self._sequence += 1
+            return self._sequence
+
+    def subscribe(self, conn: MqttHandler, stream_id: str) -> None:
+        with self._lock:
+            self._shelves[stream_id].add(conn)
+
+    def unsubscribe(self, conn: MqttHandler, stream_id: str) -> None:
+        with self._lock:
+            self._shelves[stream_id].discard(conn)
+
+    def _drop_connection(self, conn: MqttHandler) -> None:
+        with self._lock:
+            for shelf in self._shelves.values():
+                shelf.discard(conn)
+
+    def broadcast(self, stream_id: str, partition: int, content: str) -> int:
+        """Deliver to every subscriber of the stream (any partition —
+        the reference looks up `streams.get(streamId, 0)` regardless of the
+        message's partition, MqttServer.ts:281-302).  Payload is the content
+        JSON; topic is the stream id (= name here)."""
+        with self._lock:
+            targets = list(self._shelves.get(stream_id, ()))
+        pkt = encode_publish(stream_id, content.encode("utf-8"))
+        sent = 0
+        for conn in targets:
+            try:
+                conn._send(pkt)
+                sent += 1
+            except (ConnectionError, OSError):
+                self._drop_connection(conn)
+        return sent
+
+    def broadcast_row(self, row) -> int:
+        """Adapter for streaming fan-out hooks: broadcast a stored message
+        Row (e.g. from foreachBatch) to MQTT subscribers."""
+        return self.broadcast(row["stream_id"], row["partition"], row["content"])
+
+
+def serve_mqtt(
+    spool: PublishSpool,
+    broker: MqttBroker | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+) -> socketserver.ThreadingTCPServer:
+    """Start the MQTT server on a background thread.  Returns the server;
+    `.server_address` has the bound port, `.broker` the shared state (attach
+    `broker.broadcast_row` to a foreachBatch sink for streamed delivery)."""
+    broker = broker if broker is not None else MqttBroker(spool)
+    server_cls = type(
+        "MqttServer",
+        (socketserver.ThreadingTCPServer,),
+        {"allow_reuse_address": True, "daemon_threads": True},
+    )
+    server = server_cls((host, port), MqttHandler)
+    server.broker = broker  # type: ignore[attr-defined]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server
