@@ -90,8 +90,33 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         """sendError (src/http/DataQueryEndpoints.ts:57-62): 400 + JSON."""
         self._send_json(400, {"error": message})
 
+    stream_fetcher = None  # serving.auth.StreamFetcher, injected by serve()
+
     def authenticate(self, stream_id: str, operation: str = "stream_subscribe") -> bool:
         """Hook for the core-API permission check; default allow."""
+        return True
+
+    def _authorize(self, stream_id: str, operation: str) -> bool:
+        """Authenticator middleware (RequestAuthenticatorMiddleware.ts:11-53):
+        Bearer-header parsing + memoized StreamFetcher permission check with
+        the reference's status/error mapping.  Falls back to the boolean
+        `authenticate` hook when no StreamFetcher is configured."""
+        if self.stream_fetcher is None:
+            if not self.authenticate(stream_id, operation):
+                self._send_json(403, {"error": "Authentication failed."})
+                return False
+            return True
+        from broker_spark.serving.auth import authenticate_request
+
+        status, payload = authenticate_request(
+            self.stream_fetcher,
+            stream_id,
+            self.headers.get("Authorization"),
+            operation,
+        )
+        if status != 200:
+            self._send_json(status, payload)
+            return False
         return True
 
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
@@ -122,12 +147,13 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         if not m:
             self._send_json(404, {"error": f"Not found: {url.path}"})
             return
+        stream_id = unquote(m.group(1))
+        # middleware order matches the reference: authenticator runs before
+        # the route handler (DataProduceEndpoints.ts router wiring)
+        if not self._authorize(stream_id, "stream_publish"):
+            return
         if self.spool is None:
             self._send_json(501, {"error": "Publishing not enabled on this node."})
-            return
-        stream_id = unquote(m.group(1))
-        if not self.authenticate(stream_id, "stream_publish"):
-            self._send_json(403, {"error": "Authentication failed."})
             return
         length = int(self.headers.get("Content-Length") or 0)
         if length > MAX_BODY_BYTES:  # bodyParser limit '1024kb'
@@ -154,8 +180,7 @@ class DataQueryHandler(BaseHTTPRequestHandler):
             self._error(f'Path parameter "partition" not a number: {partition_raw}')
             return
         partition = int(pm.group(0))
-        if not self.authenticate(stream_id):
-            self._send_json(403, {"error": "Authentication failed."})
+        if not self._authorize(stream_id, "stream_subscribe"):
             return
         fmt = get_format(_first(qs, "format"))
         if fmt is None:
@@ -279,12 +304,16 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     spool=None,
+    stream_fetcher=None,
 ) -> ThreadingHTTPServer:
     """Start the gateway on a background thread; returns the server (use
     `.server_address` for the bound port, `.shutdown()` to stop).  Pass a
-    `publish.PublishSpool` to enable the write path."""
+    `publish.PublishSpool` to enable the write path and a
+    `auth.StreamFetcher` to enable the authenticator middleware."""
     handler = type(
-        "BoundDataQueryHandler", (DataQueryHandler,), {"storage": storage, "spool": spool}
+        "BoundDataQueryHandler",
+        (DataQueryHandler,),
+        {"storage": storage, "spool": spool, "stream_fetcher": stream_fetcher},
     )
     server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
