@@ -57,6 +57,65 @@ class TestMinhash:
         assert (0, 3) not in pairs and (1, 3) not in pairs
 
 
+class TestGuardedDedup:
+    """Hot-bucket / stop-shingle guards must preserve near-dup recall:
+    true near-dups share many *rare* shingles, so dropping high-frequency
+    keys removes quadratic boilerplate buckets, not the dup signal."""
+
+    def test_guards_preserve_near_dup_recall_on_fixture(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        truth = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        assert truth, "fixture must contain high-jaccard near-dups"
+
+        # stop-shingle guard: recall vs ground truth survives intact
+        guarded_jacc = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.5, max_doc_freq=4
+            ).collect()
+        }
+        jacc_recall = len(truth & guarded_jacc) / len(truth)
+        assert jacc_recall >= 0.9, f"jaccard guard lost recall: {jacc_recall}"
+
+        # stop-bucket guard: flood the corpus with a degenerate boilerplate
+        # group (the 100 TB failure mode: one band key collecting a huge id
+        # list whose C(n,2) expansion goes quadratic).  A cap above the
+        # largest GENUINE near-dup group (size 4 here) kills the flood's
+        # quadratic pair expansion while keeping every true pair.
+        spark_ = docs.sparkSession
+        flood = spark_.createDataFrame(
+            [(100_000 + i, "boiler plate legal footer repeated verbatim")
+             for i in range(60)],
+            "doc_id long, text string",
+        )
+        combined = docs.select("doc_id", "text").unionByName(flood)
+
+        unguarded_base = {
+            (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+        }
+        found = truth & unguarded_base
+        assert found, "unguarded LSH must find true pairs"
+
+        guarded = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(combined, max_bucket_size=10).collect()
+        }
+        # every true pair unguarded LSH finds survives the guard...
+        assert found <= guarded, f"guard lost true pairs: {sorted(found - guarded)}"
+        # ...and the flood's C(60,2)=1770 boilerplate pairs are gone
+        flood_pairs = {p for p in guarded if p[0] >= 100_000 and p[1] >= 100_000}
+        assert not flood_pairs, f"{len(flood_pairs)} boilerplate pairs leaked"
+
+    def test_guard_actually_drops_buckets(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        unguarded = dedup.minhash_lsh_pairs(docs).count()
+        guarded = dedup.minhash_lsh_pairs(docs, max_bucket_size=2).count()
+        assert guarded < unguarded  # the cap bites on this fixture
+
+
 class TestSimhash:
     def test_properties(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
