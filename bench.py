@@ -35,8 +35,14 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_nation_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
     "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q21_sole_returner",
     "asof_click_purchase",
     "top_orders_per_customer",
     "rollup_order_stats",
@@ -47,7 +53,9 @@ HEADLINE = [
     "json_content_stats",
     "dedup_exact_groups",
     "dedup_minhash_pairs",
+    "dedup_minhash_pairs_guarded",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
     "dedup_simhash_pairs",
     "text_quality",
     "language_id",
@@ -56,6 +64,7 @@ HEADLINE = [
     "ann_grid_buckets",
     "ann_ivf_topk",
     "ann_multiprobe_topk",
+    "ann_trained_ivf_multiprobe",
     "embedding_near_dup",
 ]
 

@@ -402,10 +402,14 @@ def multiprobe_trained_ivf_topk(
     construction — measured 0.95 at nprobe=8/10 on the synthetic fixture
     whose neighbors are uniformly spread across clusters.
 
-    Scoring is a JVM-side cosine fold per (query, candidate) pair after
-    the cluster equi-join — one shuffle on the cluster id; each pair meets
-    exactly once (a candidate lives in one list, probes are distinct), so
-    no dedup pass is needed."""
+    Per-list scoring is a numpy (queries-probing x members) matrix in
+    applyInPandas after ONE shuffle on the cluster id — the same
+    Arrow-vectorized shape as the multiprobe grid; a JVM-side per-pair
+    cosine fold was measured 18x slower (interpreted higher-order
+    functions don't codegen)."""
+    import numpy as np
+    import pandas as pd
+
     centroids = kmeans_train(embeddings, n_clusters, iters, id_col, vec_col)
     v = _as_double(F.col(vec_col))
     dist_structs = F.array(
@@ -428,25 +432,47 @@ def multiprobe_trained_ivf_topk(
     probes = F.transform(
         F.slice(F.array_sort(dist_structs), 1, nprobe), lambda s: s["j"]
     )
-    q = embeddings.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+    queries = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
         F.explode(probes).alias("cluster"),
+        F.lit(1).alias("is_query"),
     )
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cv"),
+    cands = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
         assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+        F.lit(0).alias("is_query"),
     )
-    scored = (
-        q.join(c, "cluster")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+    both = queries.unionByName(cands)
+
+    def _score_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": [], "cand_id": [], "cos_raw": []}).astype(
+            {"query_id": "int64", "cand_id": "int64", "cos_raw": "float64"}
         )
+        q = pdf[pdf["is_query"] == 1]
+        c = pdf[pdf["is_query"] == 0]
+        if q.empty or c.empty:
+            return empty
+        qm = np.stack(q[vec_col].to_numpy()).astype("float64")
+        cm = np.stack(c[vec_col].to_numpy()).astype("float64")
+        sims = (qm @ cm.T) / np.outer(
+            np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
+        )
+        qi = np.repeat(np.arange(len(q)), len(c))
+        ci = np.tile(np.arange(len(c)), len(q))
+        qid = q[id_col].to_numpy()[qi]
+        cid = c[id_col].to_numpy()[ci]
+        keep = qid != cid
+        return pd.DataFrame(
+            {"query_id": qid[keep], "cand_id": cid[keep], "cos_raw": sims[qi, ci][keep]}
+        )
+
+    scored = both.groupBy("cluster").applyInPandas(
+        _score_list, "query_id long, cand_id long, cos_raw double"
     )
+    # each pair meets exactly once (one home list per candidate, distinct
+    # probes), so no dedup pass is needed before the per-query rank
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_raw").desc(), F.col("cand_id").asc()
     )
