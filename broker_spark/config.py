@@ -155,7 +155,7 @@ class Broker:
 def start_broker(spark, config: dict) -> Broker:
     """Validate the config, open the log, start the configured adapters
     (src/broker.ts:28-160; per-adapter start mirrors adapterRegistry.ts)."""
-    from broker_spark.jobs.stream_metrics import start_cascade
+    from broker_spark.jobs.stream_metrics import MetricsContext, start_cascade
     from broker_spark.serving import http as http_adapter
     from broker_spark.serving import mqtt as mqtt_adapter
     from broker_spark.serving import tcp as tcp_adapter
@@ -165,20 +165,25 @@ def start_broker(spark, config: dict) -> Broker:
 
     validate_config(config)
     storage_cfg = config.get("storage") or {}
+    metrics = MetricsContext()
     storage = Storage(
         spark,
         storage_cfg["path"],
         bucket_ms=storage_cfg.get("bucketMs", 3_600_000),
     )
     spool = PublishSpool(
-        storage, partition_count=storage_cfg.get("partitionCount", 1)
+        storage,
+        partition_count=storage_cfg.get("partitionCount", 1),
+        metrics=metrics,
     )
     servers: dict[str, Any] = {}
     for adapter in config["adapters"]:
         name = adapter["name"]
         port = adapter.get("port", 0)
         if name == "http":
-            servers[name] = http_adapter.serve(storage, port=port, spool=spool)
+            servers[name] = http_adapter.serve(
+                storage, port=port, spool=spool, metrics=metrics
+            )
         elif name == "ws":
             servers[name] = ws_adapter.serve_ws(
                 storage,
@@ -198,6 +203,9 @@ def start_broker(spark, config: dict) -> Broker:
             storage,
             spool,
             per_node["nodeAddress"],
+            metrics=metrics,  # the sec tier samples the live node counters
             report_ms=per_node.get("intervals"),
         )
-    return Broker(storage, spool, servers, tiers)
+    broker = Broker(storage, spool, servers, tiers)
+    broker.metrics = metrics
+    return broker

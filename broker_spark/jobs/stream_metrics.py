@@ -99,6 +99,28 @@ class MetricsContext:
             self._last_ts = now
             return rates
 
+    def report(self, peer_id: str = "") -> dict:
+        """Non-destructive snapshot for the /volume endpoint
+        (src/http/VolumeEndpoint.ts + MetricsContext.report): totals plus
+        rates since the last sample() tick, without resetting the window
+        the sec-tier sampler is using."""
+        with self._lock:
+            now = time.monotonic()
+            elapsed = max(now - self._last_ts, 1e-9)
+            metrics = {
+                k: {
+                    "total": v,
+                    "rate": (v - self._last.get(k, 0.0)) / elapsed,
+                }
+                for k, v in self._counters.items()
+            }
+        return {
+            "peerId": peer_id,
+            "startTime": self.start_time,
+            "currentTime": int(time.time() * 1000),
+            "metrics": metrics,
+        }
+
 
 # counter name -> report path, for the sec-tier sampler
 _SEC_FIELDS = {

@@ -91,6 +91,7 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         self._send_json(400, {"error": message})
 
     stream_fetcher = None  # serving.auth.StreamFetcher, injected by serve()
+    metrics = None  # jobs.stream_metrics.MetricsContext, injected by serve()
 
     def authenticate(self, stream_id: str, operation: str = "stream_subscribe") -> bool:
         """Hook for the core-API permission check; default allow."""
@@ -131,6 +132,10 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         m = _META_RE.match(url.path)
         if m:
             self._handle_metadata(unquote(m.group(1)), m.group(2))
+            return
+        # GET /volume (src/http/VolumeEndpoint.ts): the metrics report
+        if url.path in ("/volume", "/api/v1/volume") and self.metrics is not None:
+            self._send_json(200, self.metrics.report())
             return
         self._send_json(404, {"error": f"Not found: {url.path}"})
 
@@ -274,18 +279,25 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", fmt.content_type)
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        out_bytes = 0
         try:
             for piece in ([first] if first is not None else []):
                 data = piece.encode()
                 if data:
                     self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+                    out_bytes += len(data)
             for piece in pieces:
                 data = piece.encode()
                 if data:
                     self.wfile.write(b"%x\r\n%s\r\n" % (len(data), data))
+                    out_bytes += len(data)
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             pass  # client abort cancels the iteration (DataQueryEndpoints.ts:96-99)
+        finally:
+            if self.metrics is not None:  # storageRead counters (VolumeLogger)
+                self.metrics.record("storage.readBytes", out_bytes)
+                self.metrics.record("storage.readMessages", 1)
 
     # -- metadata (DataMetadataEndpoints.ts) --------------------------------
     def _handle_metadata(self, stream_id: str, partition_raw: str) -> None:
@@ -305,15 +317,22 @@ def serve(
     port: int = 0,
     spool=None,
     stream_fetcher=None,
+    metrics=None,
 ) -> ThreadingHTTPServer:
     """Start the gateway on a background thread; returns the server (use
     `.server_address` for the bound port, `.shutdown()` to stop).  Pass a
-    `publish.PublishSpool` to enable the write path and a
-    `auth.StreamFetcher` to enable the authenticator middleware."""
+    `publish.PublishSpool` to enable the write path, an
+    `auth.StreamFetcher` to enable the authenticator middleware, and a
+    `stream_metrics.MetricsContext` to enable GET /volume + counters."""
     handler = type(
         "BoundDataQueryHandler",
         (DataQueryHandler,),
-        {"storage": storage, "spool": spool, "stream_fetcher": stream_fetcher},
+        {
+            "storage": storage,
+            "spool": spool,
+            "stream_fetcher": stream_fetcher,
+            "metrics": metrics,
+        },
     )
     server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)

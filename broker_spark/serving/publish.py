@@ -161,6 +161,7 @@ class PublishSpool:
     max_records: int = BATCH_MAX_RECORDS
     max_bytes: int = BATCH_MAX_BYTES
     close_timeout_s: float = BATCH_CLOSE_TIMEOUT_S
+    metrics: object | None = None  # stream_metrics.MetricsContext (optional)
     _rows: list = field(default_factory=list)
     _bytes: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock)
@@ -170,6 +171,9 @@ class PublishSpool:
         """Validate + enqueue; returns the assigned partition."""
         validate_message(req.timestamp, req.content, now_ms)
         partition = partition_for_key(self.partition_count, req.partition_key)
+        if self.metrics is not None:  # VolumeLogger eventsIn / kbIn counters
+            self.metrics.record("publisher.messages", 1)
+            self.metrics.record("publisher.bytes", len(req.content))
         # tz-aware datetimes: naive ones go through time.mktime (driver-OS
         # local tz) in non-Arrow createDataFrame, shifting every stored ts
         # on non-UTC hosts; aware UTC datetimes convert offset-free.
@@ -222,3 +226,6 @@ class PublishSpool:
         rows, self._rows, self._bytes = self._rows, [], 0
         df = self.storage.spark.createDataFrame(rows, ENVELOPE_DDL)
         self.storage.store(df)
+        if self.metrics is not None:  # storageWrite counters (VolumeLogger)
+            self.metrics.record("storage.writeMessages", len(rows))
+            self.metrics.record("storage.writeBytes", sum(len(r[-1]) for r in rows))

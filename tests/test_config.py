@@ -65,6 +65,36 @@ class TestValidation:
         assert load_config(str(p))["network"]["name"] == "node-1"
 
 
+def test_volume_endpoint_reports_live_counters(spark, tmp_path):
+    """GET /volume (VolumeEndpoint.ts): publish + resend traffic shows up
+    in the metrics report's totals."""
+    cfg = base_config(
+        storage={"path": str(tmp_path / "vol-log"), "bucketMs": 3_600_000},
+    )
+    broker = start_broker(spark, cfg)
+    try:
+        host, port = broker.adapter_address("http")
+        req = urllib.request.Request(
+            f"http://{host}:{port}/streams/v-s/data?ts=1000",
+            data=b'{"v": 1}', method="POST",
+        )
+        urllib.request.urlopen(req, timeout=60)
+        broker.spool.flush()
+        urllib.request.urlopen(
+            f"http://{host}:{port}/streams/v-s/data/partitions/0/last", timeout=120
+        ).read()
+        report = json.loads(
+            urllib.request.urlopen(f"http://{host}:{port}/volume", timeout=60).read()
+        )
+        m = report["metrics"]
+        assert m["publisher.messages"]["total"] == 1
+        assert m["publisher.bytes"]["total"] == len(b'{"v": 1}')
+        assert m["storage.writeMessages"]["total"] == 1
+        assert m["storage.readBytes"]["total"] > 0
+    finally:
+        broker.close()
+
+
 def test_start_broker_wires_adapters(spark, tmp_path):
     cfg = base_config(
         adapters=[{"name": "http", "port": 0}, {"name": "tcp", "port": 0},
