@@ -226,6 +226,80 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Near-dup clusters from candidate pairs: connected components by
+    min-label propagation, run to fixpoint.
+
+    The step every corpus-scale dedup pipeline needs after pair
+    generation: pairs only say "a ~ b"; keeping one doc per GROUP requires
+    the transitive closure (a~b, b~c => {a,b,c} is one cluster).
+
+    Shape per iteration: propagate each node's current label across edges
+    (one shuffle on the edge key), take the min of own and neighbor
+    labels, and stop when no label changed — O(cluster diameter)
+    iterations, and near-dup clusters are shallow (a duplicate family's
+    diameter is small even when the family is large).  At extreme scale
+    swap in the large-star/small-star contraction, which is O(log d);
+    the result (min reachable id per node) is identical.
+
+    Returns (id_col, component) for every document; singletons are their
+    own component.  Deterministic — equals exact connected components —
+    so the DuckDB oracle is a recursive CTE."""
+    ids = docs.select(id_col).distinct()
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("component")).persist()
+    prev = labels
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # carry old + new through ONE persisted frame: the change count and
+        # the next labels both read it without a second join
+        stepped = (
+            labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
+            .select(
+                F.col(id_col),
+                F.col("component").alias("_old"),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = stepped.filter(F.col("component") != F.col("_old")).count()
+        prev.unpersist()
+        prev = stepped
+        labels = stepped.select(id_col, "component")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_cluster_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup output: one row per near-dup cluster — the component id
+    (= min doc id in the cluster, the keeper) with the cluster size.
+    Downstream, a semi-join of docs against keepers drops the rest."""
+    comp = connected_components(docs, pairs, id_col)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+    ).withColumnRenamed("component", "keeper_doc_id")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle: int = DEFAULT_SHINGLE,

@@ -962,6 +962,61 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
+_CC_SQL_PREFIX = f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.d
+    ),
+    comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)
+"""
+
+
+@register(
+    "dedup_components",
+    _CC_SQL_PREFIX + "SELECT doc_id, component FROM comp",
+)
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components (min-label propagation to
+    fixpoint) over the MinHash-LSH candidate pairs — the transitive step
+    that turns pairwise "a ~ b" into keep-one-per-group dedup.  The oracle
+    is DuckDB's recursive CTE (exact min-reachable-id components); the
+    Spark side iterates O(cluster diameter) label-propagation rounds, each
+    one edge-key shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.connected_components(docs, dedup.minhash_lsh_pairs(docs))
+
+
+@register(
+    "dedup_cluster_keepers",
+    _CC_SQL_PREFIX
+    + """
+    SELECT component AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+    """,
+)
+def q_dedup_cluster_keepers(spark, sf_dir):
+    """The dedup decision table: one row per cluster, keeper = min doc_id,
+    with cluster size.  Semi-join docs against keepers to drop the rest."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dedup_cluster_keepers(docs, dedup.minhash_lsh_pairs(docs))
+
+
 @register(
     "dedup_minhash_pairs_guarded",
     f"""

@@ -116,6 +116,26 @@ class TestGuardedDedup:
         assert guarded < unguarded  # the cap bites on this fixture
 
 
+class TestConnectedComponents:
+    def test_transitive_clustering_and_keepers(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(7)], "doc_id long"
+        )
+        # chain 0-1-2 (transitive), pair 4-5, singletons 3 and 6
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (4, 5)], "doc_a long, doc_b long"
+        )
+        from broker_spark.pipeline.dedup import connected_components, dedup_cluster_keepers
+
+        comp = {r["doc_id"]: r["component"]
+                for r in connected_components(docs, pairs).collect()}
+        assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+        keepers = {r["keeper_doc_id"]: r["cluster_size"]
+                   for r in dedup_cluster_keepers(docs, pairs).collect()}
+        assert keepers == {0: 3, 3: 1, 4: 2, 6: 1}
+
+
 class TestSimhash:
     def test_properties(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
