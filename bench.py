@@ -52,6 +52,7 @@ HEADLINE = [
     "ewma_hourly",
     "json_content_stats",
     "dedup_exact_groups",
+    "dedup_cluster_keepers",
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_guarded",
     "dedup_ngram_jaccard",

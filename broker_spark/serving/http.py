@@ -41,6 +41,7 @@ from broker_spark.storage.store import Storage
 _DATA_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/data/partitions/([^/]+)/(last|from|range)$")
 _META_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/metadata/partitions/([^/]+)$")
 _PRODUCE_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/data$")
+_STORAGE_RE = re.compile(r"^/(?:api/v1/)?streams/([^/]+)/storage/partitions/([^/]+)$")
 
 
 def _parse_int_if_exists(qs: dict, key: str):
@@ -92,6 +93,7 @@ class DataQueryHandler(BaseHTTPRequestHandler):
 
     stream_fetcher = None  # serving.auth.StreamFetcher, injected by serve()
     metrics = None  # jobs.stream_metrics.MetricsContext, injected by serve()
+    storage_config = None  # storage.config.StorageConfig, injected by serve()
 
     def authenticate(self, stream_id: str, operation: str = "stream_subscribe") -> bool:
         """Hook for the core-API permission check; default allow."""
@@ -136,6 +138,27 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         # GET /volume (src/http/VolumeEndpoint.ts): the metrics report
         if url.path in ("/volume", "/api/v1/volume") and self.metrics is not None:
             self._send_json(200, self.metrics.report())
+            return
+        # GET /streams/:id/storage/partitions/:p (StorageConfigEndpoints.ts):
+        # is this stream-partition assigned to this storage node?
+        m = _STORAGE_RE.match(url.path)
+        if m and self.storage_config is not None:
+            if not re.match(r"^[+-]?\d+", m.group(2)):
+                body = f"Partition is not a number: {m.group(2)}".encode()
+                self.send_response(400)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            found = self.storage_config.has_stream(
+                unquote(m.group(1)), int(m.group(2))
+            )
+            if found:
+                self._send_json(200, {})
+            else:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
             return
         self._send_json(404, {"error": f"Not found: {url.path}"})
 
@@ -318,12 +341,14 @@ def serve(
     spool=None,
     stream_fetcher=None,
     metrics=None,
+    storage_config=None,
 ) -> ThreadingHTTPServer:
     """Start the gateway on a background thread; returns the server (use
     `.server_address` for the bound port, `.shutdown()` to stop).  Pass a
     `publish.PublishSpool` to enable the write path, an
-    `auth.StreamFetcher` to enable the authenticator middleware, and a
-    `stream_metrics.MetricsContext` to enable GET /volume + counters."""
+    `auth.StreamFetcher` to enable the authenticator middleware, a
+    `stream_metrics.MetricsContext` to enable GET /volume + counters, and
+    a `storage.config.StorageConfig` for the assignment endpoint."""
     handler = type(
         "BoundDataQueryHandler",
         (DataQueryHandler,),
@@ -332,6 +357,7 @@ def serve(
             "spool": spool,
             "stream_fetcher": stream_fetcher,
             "metrics": metrics,
+            "storage_config": storage_config,
         },
     )
     server = ThreadingHTTPServer((host, port), handler)

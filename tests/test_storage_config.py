@@ -85,6 +85,38 @@ class TestAssignmentEvents:
         assert get_key("a::b/c", 0) == "a::b/c::0"
 
 
+def test_storage_config_endpoint(spark, tmp_path):
+    """GET /streams/:id/storage/partitions/:p (StorageConfigEndpoints.ts):
+    200 {} when assigned, 404 when not, 400 on a non-numeric partition."""
+    import urllib.error
+    import urllib.request
+
+    from broker_spark.serving import http as serving_http
+    from broker_spark.storage.store import Storage
+
+    cfg = StorageConfig("node", fetch_streams=lambda: [{"id": "s1", "partitions": 1}])
+    cfg.refresh()
+    st = Storage(spark, str(tmp_path / "sc-log"))
+    server = serving_http.serve(st, storage_config=cfg)
+    host, port = server.server_address
+
+    def get(path):
+        try:
+            with urllib.request.urlopen(f"http://{host}:{port}{path}", timeout=60) as r:
+                return r.status, r.read().decode()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read().decode()
+
+    try:
+        assert get("/streams/s1/storage/partitions/0") == (200, "{}")
+        assert get("/streams/s1/storage/partitions/5")[0] == 404
+        assert get("/streams/nope/storage/partitions/0")[0] == 404
+        status, body = get("/streams/s1/storage/partitions/zero")
+        assert (status, body) == (400, "Partition is not a number: zero")
+    finally:
+        server.shutdown()
+
+
 def test_filter_assigned_is_broadcast_semi_join(spark):
     cfg = StorageConfig("node", fetch_streams=lambda: [{"id": "keep", "partitions": 2}])
     cfg.refresh()
