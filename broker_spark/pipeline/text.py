@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 #: Tiny per-language stopword lists for the n-gram/stopword language-ID
 #: heuristic.  Deliberately small and deterministic.
@@ -80,6 +82,96 @@ def token_stats(docs: DataFrame, group_col: str = "lang") -> DataFrame:
         F.round(
             F.sum(token_count(text).cast("long")) / F.count(F.lit(1)), 6
         ).alias("avg_tokens"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), ties broken by term ascending.
+
+    Shape: one explode + two hash-aggs (tf on (doc, term), df on term) and
+    one broadcast of the single-row corpus count; the per-doc rank is a
+    window partitioned by doc_id — no global sort.  At corpus scale the
+    df table is the only medium-size side and joins on the term key."""
+    terms = docs.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def hash_sample(docs: DataFrame, threshold: int = 6554, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus sampling: keep rows whose md5(id) prefix (first
+    4 hex chars as an int in [0, 65536)) falls under `threshold` — 6554 is
+    ~10%.  Hash-based sampling is reproducible across runs/engines and
+    stratifies uniformly regardless of id distribution; it's the standard
+    way to cut a training-mix subset that's stable under re-runs."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return docs.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < threshold
+    )
+
+
+def quality_topk_per_group(
+    docs: DataFrame, k: int = 5, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group quality selection: top-k documents by quality score (ties
+    by doc_id) in each group — the 'keep the best N per language' step of
+    a training-mix recipe.  Window over the group key, one shuffle."""
+    feats = quality_features(docs).join(
+        docs.select("doc_id", group_col), "doc_id"
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        feats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", group_col, "quality_score", "rank")
+    )
+
+
+def corpus_histogram(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
+    """Training-mix accounting: docs / tokens / mean quality per
+    (language, length-bucket) cell — the table a data-mixture design reads.
+    One hash-agg shuffle; all token math stays in the scan stage."""
+    text = F.col("text")
+    feats = quality_features(docs).join(docs.select("doc_id", "lang", "text"), "doc_id")
+    return feats.groupBy(
+        "lang",
+        F.floor(F.col("n_len") / bucket_chars).cast("long").alias("len_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
 
 

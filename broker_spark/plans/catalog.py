@@ -1149,6 +1149,106 @@ def q_text_quality(spark, sf_dir):
     return text.quality_features(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH terms AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM terms GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * (ln((n.n_docs + 1) * 1.0 / (dfq.df + 1)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                     ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 terms by smoothed TF-IDF — the classic keyword /
+    importance-weighting primitive of a text pipeline."""
+    return text.tfidf_top_terms(load(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "corpus_hash_sample",
+    """
+    SELECT doc_id, lang,
+           CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                     AS BIGINT) AS INT) AS sample_bucket
+    FROM documents
+    WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+               AS BIGINT) < 6554
+    """,
+)
+def q_corpus_hash_sample(spark, sf_dir):
+    """Deterministic ~10% corpus sample by md5(doc_id) prefix —
+    reproducible across engines and runs (unlike rand()-based sampling),
+    the standard stable-subset cut for training-mix experiments."""
+    return text.hash_sample(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "sample_bucket"
+    )
+
+
+@register(
+    "quality_topk_per_lang",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(least(n_tokens / 100.0, 1.0) * 0.5
+                   + (1.0 - n_punct * 1.0 / n_len) * 0.5, 6) AS quality_score
+      FROM t
+    )
+    SELECT doc_id, lang, quality_score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY quality_score DESC, doc_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_quality_topk_per_lang(spark, sf_dir):
+    """Keep-the-best-N-per-language: per-group quality top-k, the
+    selection step of a training-mix recipe."""
+    return text.quality_topk_per_group(load(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "corpus_histogram",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct
+      FROM documents
+    )
+    SELECT lang, CAST(n_len // 200 AS BIGINT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           round(AVG(round(least(n_tokens / 100.0, 1.0) * 0.5
+                           + (1.0 - n_punct * 1.0 / n_len) * 0.5, 6)), 6) AS avg_quality
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q_corpus_histogram(spark, sf_dir):
+    """Training-mix accounting: docs / tokens / mean quality per
+    (language, length-bucket) cell."""
+    return text.corpus_histogram(load(spark, sf_dir, "documents"))
+
+
 def _langid_sql() -> str:
     score_exprs = ",\n".join(
         "CAST(len([w for w in words if w in ({})]) AS INT) AS score_{}".format(
