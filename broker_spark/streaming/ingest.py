@@ -102,6 +102,40 @@ def start_ingest(
     return writer.start()
 
 
+def session_rollup(
+    source: DataFrame,
+    gap: str = "30 seconds",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """W5 streaming form: gap-based session windows per (stream, publisher)
+    — Spark's native `session_window` merges events closer than `gap` into
+    one growing window and closes it when the watermark passes the gap, so
+    session state is bounded; the batch catalog entry (`events_
+    sessionization`) proves the same semantics via lag + running sum."""
+    return (
+        source.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap),
+            F.col("stream_id"),
+            F.col("publisher_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "stream_id",
+            "publisher_id",
+            "n_messages",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
 def windowed_rates(
     source: DataFrame,
     window: str = "1 minute",

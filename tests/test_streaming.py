@@ -143,6 +143,47 @@ class TestWindowedRates:
         assert sorted(got.values()) == [60, 60]
         assert len(got) == 2
 
+    def test_session_rollup_streaming(self, spark, tmp_path):
+        """W5 via native session_window: two bursts of the same publisher
+        separated by more than the gap close as two sessions once the
+        watermark passes."""
+        src, sink, ckpt = (
+            str(tmp_path / "s-src"), str(tmp_path / "s-sink"), str(tmp_path / "s-ckpt")
+        )
+        base = 1_700_000_040_000
+
+        def run():
+            q = (
+                ingest.session_rollup(
+                    spark.readStream.schema(ENVELOPE).parquet(src),
+                    gap="30 seconds",
+                    watermark="1 minute",
+                )
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # burst 1: 5 msgs 10 s apart; burst 2: 90 s later (gap 30 s splits)
+        rows = [make_msg("s", 0, base + i * 10_000, 0) for i in range(5)]
+        rows += [make_msg("s", 0, base + 130_000 + i * 10_000, 0) for i in range(3)]
+        spark.createDataFrame(rows, ENVELOPE).write.mode("append").parquet(src)
+        run()
+        # advance the watermark far past both sessions
+        spark.createDataFrame(
+            [make_msg("s", 0, base + 900_000, 0)], ENVELOPE
+        ).write.mode("append").parquet(src)
+        run()
+        sessions = sorted(
+            (r["session_start"], r["n_messages"])
+            for r in spark.read.parquet(sink).collect()
+        )
+        assert [n for _, n in sessions] == [5, 3]
+
     def test_windowed_rates_batch_semantics(self, spark):
         """The aggregation itself, verified on a batch frame (streaming and
         batch share the same logical plan)."""
