@@ -1,0 +1,72 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale — filter pushdown to parquet, broadcast joins for dims, partition
+pruning on the bucketed log, no cartesian blowups in pair generators —
+asserted on the actual executed plans so a refactor can't silently lose
+them."""
+
+from __future__ import annotations
+
+import pytest
+
+from broker_spark.plans.catalog import CATALOG
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    return CATALOG[name].fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_dims_broadcast(spark):
+    """Star joins broadcast their filtered dims; the fact side shuffles at
+    most once per agg."""
+    for name in ("q3_shipping_priority", "q5_nation_volume", "q10_returned_items"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pair_generators_never_cartesian(spark):
+    for name in (
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "embedding_near_dup",
+        "ann_ivf_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_no_row_at_a_time_python(spark):
+    """Python appears only as Arrow-batched FlatMapGroupsInPandas /
+    MapInPandas — never BatchEvalPython (row-at-a-time UDF)."""
+    for name, entry in CATALOG.items():
+        plan = entry.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_log_scan_prunes_partitions(spark, tmp_path):
+    """A (stream_id, partition, bucket) predicate on the written log shows
+    up as PartitionFilters — directories are pruned before any file opens
+    (the two-level bucket-index lookup, for free)."""
+    from broker_spark.storage.store import Storage
+    from tests.conftest import make_msg
+
+    envelope = (
+        "stream_id string, partition int, ts timestamp, sequence_no int, "
+        "publisher_id string, msg_chain_id string, prev_ts timestamp, "
+        "prev_sequence_no int, signature_type int, signature string, "
+        "encryption_type int, content string"
+    )
+    st = Storage(spark, str(tmp_path / "plan-log"), bucket_ms=1000)
+    rows = [make_msg(s, 0, 1000 + i, 0) for s in ("a", "b") for i in range(3)]
+    st.store(spark.createDataFrame(rows, envelope))
+    df = st.request_last("a", 0, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "stream_id" in plan.split("PartitionFilters", 1)[1][:300]
