@@ -89,7 +89,9 @@ def main() -> None:
     for t in TABLE_NAMES:
         _ = load(spark, sf_dir, t).limit(1).count()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # best-of-3: this VM shows ±3x noisy-neighbor windows; a third run
+    # tightens the floor (best-of-N is monotone, so still r1-comparable)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = CATALOG[name].fn
