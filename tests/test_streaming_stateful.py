@@ -93,6 +93,19 @@ class TestFanout:
         assert got_a == [1, 2, 3]  # total order within the batch
         assert got_x == []  # unsubscribed
 
+    def test_refcounted_subscription_across_connections(self):
+        """SubscriptionManager semantics (src/SubscriptionManager.ts:14-30):
+        the stream-partition stays network-subscribed while ANY connection
+        holds it; the last unsubscribe releases it."""
+        reg = SubscriptionRegistry()
+        reg.subscribe("conn-1", "s", 0, lambda r: None)
+        reg.subscribe("conn-2", "s", 0, lambda r: None)
+        assert reg.subscribed_keys() == [("s", 0)]
+        reg.unsubscribe("conn-1", "s", 0)
+        assert reg.subscribed_keys() == [("s", 0)]  # conn-2 still holds it
+        reg.unsubscribe("conn-2", "s", 0)
+        assert reg.subscribed_keys() == []  # count hit zero -> released
+
     def test_no_subscribers_is_free(self, spark):
         reg = SubscriptionRegistry()
         called = []
