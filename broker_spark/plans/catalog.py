@@ -1413,6 +1413,41 @@ def q_ann_label_ivf_topk(spark, sf_dir):
     return ann.ivf_topk_by_assignment(load(spark, sf_dir, "embeddings"), k=5)
 
 
+@register(
+    "salted_stream_totals",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT stream_id, partition,
+           CAST(COUNT(*) AS BIGINT) AS records,
+           CAST(SUM(strlen(content)) AS BIGINT) AS bytes,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_salted_stream_totals(spark, sf_dir):
+    """Skew-proof per-stream totals: the salted two-stage aggregation
+    (groupBy(keys + salt) partials -> groupBy(keys) merge) whose result is
+    provably identical to the plain GROUP BY — that identity IS the oracle.
+    At 100 TB one hot stream-partition funnels into a single reducer under
+    a plain groupBy; the salt spreads it over n_salts reducers while
+    map-side partials keep shuffled volume unchanged."""
+    from broker_spark.functions.skew import salted_agg
+    from broker_spark.plans.adapters import events_as_stream
+
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    return salted_agg(
+        s,
+        ["stream_id", "partition"],
+        {
+            "records": ("count", F.lit(1)),
+            "bytes": ("sum", F.octet_length("content").cast("long")),
+            "first_ts": ("min", F.col("ts")),
+            "last_ts": ("max", F.col("ts")),
+        },
+        n_salts=16,
+    )
+
+
 def _lloyd_sql(dim: int = 64, k: int = 10) -> str:
     """Deterministic Lloyd's k-means (2 assignments, 1 rounded update) as
     unrolled CTEs — the oracle for ann.kmeans_train/trained_ivf_topk.

@@ -215,6 +215,27 @@ def test_range_with_publisher(base_url):
     assert [m[1][2] for m in msgs] == [1000, 2000]
 
 
+def test_resend_survives_client_disconnect(base_url):
+    """resends-cancelled-on-client-disconnect.test.ts: a client that drops
+    mid-stream must not wedge the server — the chunked writer swallows the
+    broken pipe and the next request is served normally."""
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(base_url)
+    s = socket.create_connection((u.hostname, u.port), timeout=30)
+    s.sendall(
+        b"GET /streams/s1/data/partitions/0/range?fromTimestamp=0&toTimestamp=9999999 HTTP/1.1\r\n"
+        b"Host: x\r\n\r\n"
+    )
+    s.recv(16)  # read a few bytes of the response, then hang up mid-stream
+    s.close()
+
+    status, _, body = _get(f"{base_url}/streams/s1/data/partitions/0/last?count=1")
+    assert status == 200
+    assert len(json.loads(body)) == 1
+
+
 def test_metadata_endpoint(base_url):
     status, _, body = _get(f"{base_url}/streams/s1/metadata/partitions/0")
     assert status == 200
