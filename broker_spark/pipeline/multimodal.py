@@ -106,6 +106,73 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 5000) -> DataFrame:
+    """Audio chunking *plan*: one row per fixed-length chunk
+    (media_id, chunk_idx, chunk_start_ms, chunk_end_ms) — the Whisper-style
+    pre-segmentation step.  Pure column expressions (sequence + explode);
+    the last chunk is clipped to the clip's duration.  The per-chunk decode
+    would run through the same mapInPandas shape as extract_features."""
+    n_chunks = F.ceil(F.col("duration_ms") / chunk_ms).cast("int")
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.col("duration_ms"),
+            F.posexplode(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+            ).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.col("chunk_idx") * chunk_ms).cast("long").alias("chunk_start_ms"),
+            F.least(
+                (F.col("chunk_idx") + 1) * F.lit(chunk_ms).cast("long"),
+                F.col("duration_ms"),
+            ).cast("long").alias("chunk_end_ms"),
+        )
+    )
+
+
+def image_resize_batches(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Image-resize plumbing over mapInPandas: Arrow batches in, one row per
+    image out with the resize geometry (scale factors, letterbox padding).
+    The pixel work is STUBBED — no image libs in this container — but the
+    batch shape, schema, and geometry math are the real pipeline: swap the
+    body for PIL/cv2 `resize` and the plan is unchanged."""
+    import pandas as pd
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            w = pdf["width"].astype("float64")
+            scale = (target_w / w).round(6)
+            out_h = (w * 0 + target_h).astype("int32")  # letterbox to target
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "src_width": pdf["width"].astype("int32"),
+                    "target_w": pd.Series([target_w] * len(pdf), dtype="int32"),
+                    "target_h": out_h,
+                    "scale_x": scale.astype("float64"),
+                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "width", "payload")
+        .mapInPandas(
+            _resize,
+            "media_id long, src_width int, target_w int, target_h int,"
+            " scale_x double, payload_bytes long",
+        )
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to decode
     (media_id, frame_ts_ms) — the explode happens engine-side; the decode

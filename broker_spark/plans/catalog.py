@@ -1918,6 +1918,49 @@ def q_multimodal_frame_plan(spark, sf_dir):
     return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
 
 
+@register(
+    "multimodal_audio_chunks",
+    f"""
+    WITH media AS ({MEDIA_SQL})
+    SELECT media_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 5000 AS BIGINT) AS chunk_start_ms,
+           CAST(least((i + 1) * 5000, duration_ms) AS BIGINT) AS chunk_end_ms
+    FROM (
+      SELECT media_id, duration_ms,
+             unnest([x for x in range(0,
+               greatest(CAST(ceil(duration_ms / 5000.0) AS BIGINT), 1))]) AS i
+      FROM media WHERE kind = 'audio'
+    )
+    """,
+)
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Audio chunking plan: fixed-length segments with the tail clipped to
+    the clip duration — the Whisper-style pre-segmentation step, engine-side
+    (sequence + posexplode, no Python)."""
+    media = docs_as_media(load(spark, sf_dir, "documents"))
+    return multimodal.audio_chunk_plan(media, chunk_ms=5000)
+
+
+@register(
+    "multimodal_image_resize",
+    f"""
+    WITH media AS ({MEDIA_SQL})
+    SELECT media_id, CAST(width AS INT) AS src_width,
+           CAST(224 AS INT) AS target_w, CAST(224 AS INT) AS target_h,
+           round(224.0 / width, 6) AS scale_x,
+           CAST(octet_length(payload) AS BIGINT) AS payload_bytes
+    FROM media WHERE kind = 'image'
+    """,
+)
+def q_multimodal_image_resize(spark, sf_dir):
+    """Image-resize plumbing: Arrow-batched mapInPandas with the real
+    geometry math (scale, letterbox) and batch schema; the pixel op itself
+    is stubbed — no image libs in this container — and swaps in without
+    touching the plan."""
+    media = docs_as_media(load(spark, sf_dir, "documents"))
+    return multimodal.image_resize_batches(media, target_w=224, target_h=224)
+
+
 # ---------------------------------------------------------------------------
 # Extended relational surface: remaining TPC-H shapes adapted to the reduced
 # fixture schema (no partsupp / commit dates / shipmode — each docstring
