@@ -282,6 +282,33 @@ def ivf_topk_by_assignment(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    code_i = floor(x_i / scale + 0.5) — 4x storage compression for the
+    embedding column, the standard pre-index shrink at corpus scale.
+
+    floor(x + 0.5) instead of round(): engines disagree on round()'s tie
+    rule (HALF_UP vs half-even — the q1 lesson), while floor on identical
+    IEEE doubles is bit-deterministic everywhere.  All column expressions;
+    codes serialize to a string so the result is hashable cross-engine."""
+    v = _as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.size(v).alias("n_dims"),
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes"
+        ),
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_clusters: int = 10,

@@ -1448,6 +1448,30 @@ def q_salted_stream_totals(spark, sf_dir):
     )
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+               FROM embeddings),
+    s AS (SELECT vec_id, dv,
+                 list_aggregate(list_transform(dv, x -> abs(x)), 'max') / 127.0
+                   AS scale
+          FROM v)
+    SELECT vec_id, round(scale, 6) AS scale,
+           CAST(len(dv) AS INT) AS n_dims,
+           array_to_string(
+             list_transform(dv, x -> CAST(CAST(floor(x / scale + 0.5) AS INT)
+                                          AS VARCHAR)), ',') AS codes
+    FROM s
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage shrink before
+    indexing); floor(x+0.5) keeps the rounding engine-portable."""
+    return ann.quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
 def _lloyd_sql(dim: int = 64, k: int = 10) -> str:
     """Deterministic Lloyd's k-means (2 assignments, 1 rounded update) as
     unrolled CTEs — the oracle for ann.kmeans_train/trained_ivf_topk.
