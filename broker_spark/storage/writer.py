@@ -112,9 +112,21 @@ def write_bucketed_table(
     )
 
 
-def read_stream_data(spark: SparkSession, path: str) -> DataFrame:
+def read_stream_data(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """Open the message log; partition columns come back from directory
     names, so filters on (stream_id, partition, bucket) prune directories
     before any file is opened — the two-level bucket-index lookup
-    (src/storage/BucketManager.ts:228-264) for free."""
-    return spark.read.parquet(path)
+    (src/storage/BucketManager.ts:228-264) for free.
+
+    `merge_schema=True` unions the schemas of all parquet footers, so a
+    log whose envelope gained columns over its lifetime (the Cassandra
+    ALTER TABLE analog) reads as one frame with nulls for the old files'
+    missing columns.  Off by default: schema merging reads every footer,
+    which matters at millions of files — flip it only after an envelope
+    migration, then compact to rewrite old partitions at the new schema."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)

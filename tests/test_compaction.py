@@ -54,3 +54,30 @@ def test_compaction_predicate_leaves_other_partitions(spark, tmp_path):
     assert len(glob.glob(f"{path}/stream_id=a/partition=0/bucket=0/*.parquet")) < 3
     assert st.request_last("a", 0, 10).count() == 3
     assert st.request_last("b", 0, 10).count() == 3
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """A log whose envelope gained a column mid-life reads as one frame
+    with merge_schema=True (nulls for old files), and compaction then
+    rewrites everything at the unified schema."""
+    from broker_spark.storage.writer import read_stream_data, write_stream_data
+
+    path = str(tmp_path / "evo-log")
+    v1 = spark.createDataFrame(_rows("s", [1000, 2000]), ENVELOPE)
+    write_stream_data(v1, path, bucket_ms=3_600_000)
+
+    import pyspark.sql.functions as F
+
+    v2 = spark.createDataFrame(_rows("s", [3000]), ENVELOPE).withColumn(
+        "trace_id", F.lit("t-1")
+    )
+    write_stream_data(v2, path, bucket_ms=3_600_000)
+
+    merged = read_stream_data(spark, path, merge_schema=True)
+    assert "trace_id" in merged.columns
+    got = merged.orderBy("ts").collect()
+    assert [r["trace_id"] for r in got] == [None, None, "t-1"]
+    # without merging, the first-listed footer wins and the column may
+    # be absent — the documented default for untouched logs
+    plain = read_stream_data(spark, path)
+    assert plain.count() == 3
