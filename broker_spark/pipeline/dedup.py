@@ -249,13 +249,19 @@ def connected_components(
 
     Returns (id_col, component) for every document; singletons are their
     own component.  Deterministic — equals exact connected components —
-    so the DuckDB oracle is a recursive CTE."""
+    so the DuckDB oracle is a recursive CTE.
+
+    Only documents that appear in a pair enter the propagation loop; the
+    (overwhelmingly larger, at corpus scale) singleton set joins the
+    result afterwards as its own components — the iteration cost scales
+    with the near-dup subgraph, not the corpus."""
     ids = docs.select(id_col).distinct()
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = ids.select(F.col(id_col), F.col(id_col).alias("component")).persist()
+    paired_ids = edges.select(F.col("src").alias(id_col)).distinct()
+    labels = paired_ids.select(F.col(id_col), F.col(id_col).alias("component")).persist()
     prev = labels
     for _ in range(max_iter):
         neighbor_min = (
@@ -283,7 +289,10 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    singletons = ids.join(paired_ids, id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    return labels.unionByName(singletons)
 
 
 def dedup_cluster_keepers(
