@@ -113,6 +113,60 @@ def minhash_lsh_pairs(
     )
 
 
+def _banded(sig: DataFrame, num_hashes: int, rows_per_band: int) -> DataFrame:
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{j}") for j in range(b, min(b + rows_per_band, num_hashes))],
+            )
+            for b in range(0, num_hashes, rows_per_band)
+        ]
+    )
+    return sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_key")
+    ).filter(F.col("band_key") != "")
+
+
+def minhash_lsh_pairs_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 2,
+    max_corpus_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental dedup: LSH candidates between a NEW batch and an
+    EXISTING corpus — the production ingestion shape (dedup what's coming
+    in against what's already stored, never corpus x corpus).
+
+    Both sides band their signatures; candidates come from an equi-join on
+    (band_id, band_key) — so the work scales with band-key collisions, not
+    |new| x |corpus|.  At scale, persist the corpus's banded signatures as
+    a bucketed table on the band key and each batch joins shuffle-free.
+    `max_corpus_bucket` drops corpus band keys hotter than the cap (the
+    boilerplate guard).  Returns distinct (new_doc_id, corpus_doc_id)."""
+    nb = _banded(minhash_signatures(new_docs, num_hashes), num_hashes, rows_per_band)
+    cb = _banded(minhash_signatures(corpus, num_hashes), num_hashes, rows_per_band)
+    if max_corpus_bucket is not None:
+        hot = (
+            cb.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_corpus_bucket)
+            .select("band_id", "band_key")
+        )
+        cb = cb.join(broadcast(hot), ["band_id", "band_key"], "left_anti")
+    return (
+        nb.alias("n")
+        .join(cb.alias("c"), ["band_id", "band_key"])
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .filter(F.col("new_doc_id") != F.col("corpus_doc_id"))
+        .distinct()
+    )
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: hash-groupBy on content hash; keeper = min(doc_id).
     One shuffle on md5(text) — partial aggregation makes the map side cheap

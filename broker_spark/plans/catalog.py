@@ -962,6 +962,34 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "dedup_incremental_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    nb AS (SELECT * FROM banded WHERE doc_id >= 250),
+    cb AS (SELECT * FROM banded WHERE doc_id < 250)
+    SELECT DISTINCT nb.doc_id AS new_doc_id, cb.doc_id AS corpus_doc_id
+    FROM nb JOIN cb ON nb.band_id = cb.band_id AND nb.band_key = cb.band_key
+    WHERE nb.doc_id <> cb.doc_id
+    """,
+)
+def q_dedup_incremental_pairs(spark, sf_dir):
+    """Incremental (batch-vs-corpus) LSH dedup: the new half of the
+    documents table deduped against the old half — the production
+    ingestion shape, a band equi-join instead of a self-join."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_between(
+        docs.filter(F.col("doc_id") >= 250), docs.filter(F.col("doc_id") < 250)
+    )
+
+
 _CC_SQL_PREFIX = f"""
     WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
     shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
