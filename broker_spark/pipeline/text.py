@@ -140,6 +140,40 @@ def hash_sample(docs: DataFrame, threshold: int = 6554, id_col: str = "doc_id") 
     )
 
 
+def stratified_sample(
+    docs: DataFrame, k: int = 10, group_col: str = "lang", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic stratified sample: exactly k rows per group, chosen by
+    md5(id) order — a reproducible 'random' draw (hash order is uniform
+    but stable across runs/engines), the per-stratum counterpart of
+    hash_sample.  One window shuffle on the group key."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(id_col, group_col)
+        .withColumn("draw_rank", F.row_number().over(w))
+        .filter(F.col("draw_rank") <= k)
+    )
+
+
+def term_document_frequency(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus vocabulary head: the k terms appearing in the most documents
+    (df desc, term asc) — the stop-word / boilerplate-detection input.
+    Distinct (doc, term) then one term-key agg; top-k via a single-partition
+    window over the tiny aggregated frame."""
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(words_col(F.col("text")))).alias("term")
+    )
+    df_ = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return (
+        df_.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "df", "rank")
+    )
+
+
 def quality_topk_per_group(
     docs: DataFrame, k: int = 5, group_col: str = "lang"
 ) -> DataFrame:

@@ -1225,6 +1225,43 @@ def q_corpus_hash_sample(spark, sf_dir):
 
 
 @register(
+    "stratified_sample_per_lang",
+    """
+    SELECT doc_id, lang, rank AS draw_rank FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+      FROM documents
+    ) WHERE rank <= 10
+    """,
+)
+def q_stratified_sample_per_lang(spark, sf_dir):
+    """Exactly 10 docs per language, drawn by md5(doc_id) order — a
+    reproducible stratified sample for training-mix experiments."""
+    return text.stratified_sample(load(spark, sf_dir, "documents"), k=10)
+
+
+@register(
+    "term_document_frequency",
+    f"""
+    WITH terms AS (
+      SELECT DISTINCT doc_id, unnest(list_distinct({_WORDS})) AS term FROM documents
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM terms GROUP BY term)
+    SELECT term, df, rank FROM (
+      SELECT term, df,
+             CAST(row_number() OVER (ORDER BY df DESC, term) AS INT) AS rank
+      FROM dfq
+    ) WHERE rank <= 20
+    """,
+)
+def q_term_document_frequency(spark, sf_dir):
+    """Vocabulary head: top-20 terms by document frequency — the
+    stop-word / boilerplate detection input."""
+    return text.term_document_frequency(load(spark, sf_dir, "documents"), k=20)
+
+
+@register(
     "quality_topk_per_lang",
     r"""
     WITH t AS (
