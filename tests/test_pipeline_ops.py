@@ -136,6 +136,78 @@ class TestConnectedComponents:
         assert keepers == {0: 3, 3: 1, 4: 2, 6: 1}
 
 
+class TestConnectedComponentsProperty:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Min-label propagation to fixpoint == exact connected components,
+        checked against a plain union-find on random graphs (including
+        chains deeper than one propagation round)."""
+        import random
+
+        def union_find(n, edges):
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # component id = min node id in the component
+            comp = {}
+            for x in range(n):
+                r = find(x)
+                comp.setdefault(r, []).append(x)
+            return {x: min(m) for r, m in comp.items() for x in m}
+
+        from broker_spark.pipeline.dedup import connected_components
+
+        rng = random.Random(7)
+        for trial in range(2):
+            n = 24
+            edges = sorted(
+                {tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(5, 18))}
+            )
+            # add a chain so diameter > 1 propagation round
+            chain_base = rng.randrange(n - 4)
+            edges += [(chain_base + i, chain_base + i + 1) for i in range(3)]
+            expected = union_find(n, edges)
+
+            docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            got = {
+                r["doc_id"]: r["component"]
+                for r in connected_components(docs, pairs).collect()
+            }
+            assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+class TestQuantization:
+    def test_int8_roundtrip_error_bound(self, spark):
+        """Dequantized values are within scale/2 of the originals, codes
+        fit int8's [-127, 127], and the zero-vector-free fixture has
+        positive scales."""
+        from broker_spark.pipeline.ann import quantize_int8
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = quantize_int8(emb).collect()
+        originals = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+        assert len(out) == len(originals)
+        for r in out:
+            scale = r["scale"]
+            assert scale > 0
+            codes = [int(c) for c in r["codes"].split(",")]
+            assert len(codes) == r["n_dims"] == 64
+            assert all(-127 <= c <= 127 for c in codes)
+            vec = originals[r["vec_id"]]
+            # scale is rounded to 6dp for the hashable output; allow for it
+            for x, c in zip(vec, codes):
+                assert abs(c * scale - float(x)) <= scale / 2 + 1e-4
+
+
 class TestSimhash:
     def test_properties(self, docs):
         sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
