@@ -174,6 +174,41 @@ def term_document_frequency(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def unigram_logprob_score(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative log-probability under an add-one-smoothed
+    unigram model trained on the corpus itself — the cheap stand-in for
+    KenLM-style perplexity filtering (high score = improbable tokens =
+    likely junk; low = repetitive boilerplate).
+
+    score(d) = -(1/|d|) * sum_t ln((tf(t) + 1) / (N + V))
+    with tf = corpus token frequency, N = total tokens, V = vocab size.
+
+    Shape: one explode + a term-key agg for the model, then a term-key
+    join back and a per-doc agg — the model table is the only medium side
+    and would be bucketed on term at corpus scale."""
+    terms = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = terms.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("term").alias("vocab"),
+    )
+    scored = (
+        terms.join(tf, "term")
+        .crossJoin(broadcast(totals))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("tf") + 1).cast("double")
+                / (F.col("n_total") + F.col("vocab")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nll"), 6).alias("mean_nll"),
+    )
+
+
 def quality_topk_per_group(
     docs: DataFrame, k: int = 5, group_col: str = "lang"
 ) -> DataFrame:

@@ -1262,6 +1262,25 @@ def q_term_document_frequency(spark, sf_dir):
 
 
 @register(
+    "unigram_logprob_score",
+    f"""
+    WITH terms AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY term),
+    totals AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT term) AS vocab FROM terms)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(AVG(-ln((tf.tf + 1) * 1.0 / (totals.n_total + totals.vocab))), 6)
+             AS mean_nll
+    FROM terms JOIN tf USING (term), totals
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob_score(spark, sf_dir):
+    """KenLM-style quality proxy: mean token negative log-probability under
+    an add-one-smoothed unigram model trained on the corpus itself."""
+    return text.unigram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+@register(
     "quality_topk_per_lang",
     r"""
     WITH t AS (
