@@ -244,6 +244,143 @@ def corpus_histogram(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-word
+    fraction, most-frequent-unigram fraction, and most-frequent-bigram
+    fraction — the standard boilerplate / degenerate-text signals a
+    training-data pipeline thresholds on (Rae et al. 2021, §A1.1).
+
+    Shape: explode words once, hash-agg on (doc_id, term) then (doc_id)
+    with map-side partials; bigrams are built as an in-row array transform
+    (O(n) concat per row) and take the same two-level agg.  Both paths
+    shuffle only on doc_id — scale-safe, no global state."""
+    words = words_col(F.col("text"))
+    terms = docs.select("doc_id", F.explode(words).alias("term"))
+    unic = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    us = unic.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_tf"),
+    )
+    n = F.size(words)
+    bigram_arr = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = docs.select("doc_id", F.explode(bigram_arr).alias("bg"))
+    bgc = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    bs = bgc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bg")
+    )
+    return (
+        us.join(bs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_word_frac"),
+            F.round(F.col("max_tf") / F.col("n_tokens"), 6).alias(
+                "top_unigram_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("max_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed token-budget
+    packs by running token count, contiguous within (lang, doc_id order).
+    `pack_id` = floor(tokens-before / budget); `pack_offset` = position of
+    the doc's first token inside its pack.  Deterministic — the same corpus
+    always packs identically, so shard manifests are reproducible.
+
+    Shape: one window cumsum partitioned by lang.  At 100 TB a per-lang
+    window serializes each language onto one task; shard first by a
+    hash-bucket column (e.g. md5(doc_id) % n_shards) and pack within
+    (lang, shard) — identical plan, partition key widened."""
+    n_tokens = token_count(F.col("text")).cast("long")
+    sel = docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    sel = sel.withColumn("cum_before", cum_before)
+    pack = F.floor(F.col("cum_before") / budget).cast("long")
+    return sel.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("cum_before") - pack * budget).cast("long").alias("pack_offset"),
+    )
+
+
+def decontamination_overlap(
+    docs: DataFrame, threshold: int = 3277, shingle: int = 3
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    k-gram shingles with a held-out benchmark set (here: the ~5%
+    md5-bucket sample standing in for an eval set).  The standard
+    n-gram-overlap test-set contamination check (GPT-3 appx C shape).
+
+    Shape: benchmark shingle set is distinct + broadcast (eval sets are
+    small by construction); the corpus side explodes distinct shingles and
+    left-joins on the shingle key, then one doc_id agg.  Corpus side never
+    self-joins — cost is linear in corpus shingles."""
+    from broker_spark.pipeline.dedup import word_shingles
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    base = docs.withColumn("bucket", bucket)
+    sh = F.array_distinct(word_shingles(F.col("text"), shingle))
+    bench_sh = (
+        base.filter(F.col("bucket") < threshold)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_sh = base.filter(F.col("bucket") >= threshold).select(
+        "doc_id", F.explode(sh).alias("sh")
+    )
+    joined = corpus_sh.join(broadcast(bench_sh), "sh", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("contamination_frac"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0).alias("contaminated"),
+    )
+
+
+def source_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Per-source duplication accounting: documents, distinct texts (by
+    md5), duplicate rate, and token volume per `source` — the table that
+    decides which crawl/source needs aggressive dedup in the mix.
+    One hash-agg shuffle on source; md5 stays in the scan stage."""
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(F.col("text"))).cast("long").alias("n_unique_texts"),
+        F.round(
+            F.lit(1.0) - F.countDistinct(F.md5(F.col("text"))) / F.count(F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+
+
 def _stopword_hits(words: Column, lang: str) -> Column:
     vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))

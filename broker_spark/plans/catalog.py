@@ -2842,6 +2842,123 @@ def q_range_join_clicks_before_purchase(spark, sf_dir):
     )
 
 
+@register(
+    "repetition_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    uni AS (SELECT doc_id, unnest(l) AS term FROM w),
+    unic AS (SELECT doc_id, term, COUNT(*) AS c FROM uni GROUP BY doc_id, term),
+    us AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS max_tf
+      FROM unic GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS b
+      FROM w WHERE len(l) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_bg
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT us.doc_id, n_tokens, n_distinct,
+           round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_word_frac,
+           round(max_tf * 1.0 / n_tokens, 6) AS top_unigram_frac,
+           round(coalesce(max_bg * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_frac
+    FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    """,
+)
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate-word / top-unigram /
+    top-bigram fractions) — the degenerate-text signals a training-data
+    pipeline thresholds on before mixing."""
+    return text.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+           CAST(cum_before - CAST(floor(cum_before / 256.0) AS BIGINT) * 256
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: contiguous 256-token packs per
+    language by running token count — reproducible shard manifests."""
+    return text.pack_sequences(load(spark, sf_dir, "documents"), budget=256)
+
+
+@register(
+    "decontamination_overlap",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    w AS (SELECT doc_id, bucket, {_WORDS} AS l FROM b),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(
+               [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]
+             )) AS sh
+      FROM w WHERE len(l) >= 3
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE bucket < 3277),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE bucket >= 3277),
+    j AS (
+      SELECT corpus.doc_id, corpus.sh,
+             CASE WHEN bench.sh IS NULL THEN 0 ELSE 1 END AS hit
+      FROM corpus LEFT JOIN bench ON corpus.sh = bench.sh
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           round(SUM(hit) * 1.0 / COUNT(*), 6) AS contamination_frac,
+           SUM(hit) > 0 AS contaminated
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: word-3-gram overlap of each corpus doc
+    against a held-out ~5% benchmark sample (broadcast shingle set)."""
+    return text.decontamination_overlap(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_dedup_stats",
+    f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           round(1.0 - COUNT(DISTINCT md5(text)) * 1.0 / COUNT(*), 6) AS dup_rate,
+           CAST(SUM(len({_WORDS})) AS BIGINT) AS total_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def q_source_dedup_stats(spark, sf_dir):
+    """Per-source duplication accounting: which crawl/source needs
+    aggressive dedup in the training mix."""
+    return text.source_dedup_stats(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 
 
