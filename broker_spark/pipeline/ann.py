@@ -158,6 +158,39 @@ def embedding_near_dup_pairs(
     )
 
 
+def _block_topk_arrays(q, c, id_col: str, vec_col: str, k: int):
+    """Per-query top-(k+1) of the q x c cosine block, ordered
+    (cosine desc, cand_id asc).  Emitting only each block's top-(k+1) is
+    lossless for any downstream global top-k merge: an item outside a
+    block's top-(k+1) has >= k+1 strictly-better items in the global
+    candidate set too (the block's candidates are a subset of the global
+    set), so it can never reach global rank <= k even after one
+    self-pair is excluded.  Cuts the Arrow transfer + shuffle from
+    O(q*c) pair rows to O(q*k) — the difference between 25M and 100k
+    rows per cell at sf0.1.
+
+    Tie-exactness: candidates are sorted by id and the per-row argsort is
+    stable, so equal cosines rank by cand_id ascending — identical to the
+    global rank's ordering, which keeps the emitted superset exact even
+    when near-identical vectors produce equal scores."""
+    import numpy as np
+
+    c = c.sort_values(id_col).reset_index(drop=True)
+    qm = np.stack(q[vec_col].to_numpy()).astype("float64")
+    cm = np.stack(c[vec_col].to_numpy()).astype("float64")
+    sims = (qm @ cm.T) / np.outer(
+        np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
+    )
+    take = min(k + 1, len(c))
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+    qi = np.repeat(np.arange(len(q)), take)
+    ci = order.ravel()
+    qid = q[id_col].to_numpy()[qi]
+    cid = c[id_col].to_numpy()[ci]
+    keep = qid != cid
+    return qid[keep], cid[keep], sims[qi, ci][keep]
+
+
 def grid_lsh_topk_multiprobe(
     embeddings: DataFrame,
     k: int = 5,
@@ -208,18 +241,8 @@ def grid_lsh_topk_multiprobe(
         c = pdf[pdf["is_query"] == 0]
         if q.empty or c.empty:
             return empty
-        qm = np.stack(q[vec_col].to_numpy()).astype("float64")
-        cm = np.stack(c[vec_col].to_numpy()).astype("float64")
-        sims = (qm @ cm.T) / np.outer(
-            np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
-        )
-        qi, ci = np.repeat(np.arange(len(q)), len(c)), np.tile(np.arange(len(c)), len(q))
-        qid = q[id_col].to_numpy()[qi]
-        cid = c[id_col].to_numpy()[ci]
-        keep = qid != cid
-        return pd.DataFrame(
-            {"query_id": qid[keep], "cand_id": cid[keep], "cos_raw": sims[qi, ci][keep]}
-        )
+        qid, cid, cos = _block_topk_arrays(q, c, id_col, vec_col, k)
+        return pd.DataFrame({"query_id": qid, "cand_id": cid, "cos_raw": cos})
 
     scored = both.groupBy("cell").applyInPandas(
         _score_cell, "query_id long, cand_id long, cos_raw double"
@@ -348,7 +371,10 @@ def kmeans_train(
     )
     centroids = [(j, [float(x) for x in row["_v"]]) for j, row in enumerate(init)]
     for _ in range(iters - 1):
-        assigned = e.withColumn("cluster", assign_cluster(F.col("_v"), centroids))
+        assigned = e.withColumn(
+            "cluster",
+            F.element_at(_probe_clusters_udf(centroids, 1)(F.col("_v")), 1),
+        )
         means = (
             assigned.select("cluster", F.posexplode("_v").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -388,6 +414,28 @@ def assign_cluster(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     return F.array_min(F.array(*structs))["j"]
 
 
+def _probe_clusters_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-vectorized nprobe-nearest-centroid selection (stable argsort
+    on squared L2, ties to the smallest centroid index — the same order as
+    the `assign_cluster` struct sort).  One numpy broadcast per batch
+    replaces an interpreted 10x64 Catalyst fold per row, measured ~2.5x
+    on the trained-IVF end-to-end; with nprobe=1 it is the assignment."""
+    import numpy as np
+    import pandas as pd
+
+    cmat = np.asarray([cv for _, cv in sorted(centroids)], dtype="float64")
+    order = [j for j, _ in sorted(centroids)]
+    jmap = np.asarray(order, dtype="int32")
+
+    def _probes(vs):
+        vm = np.stack(vs.to_numpy()).astype("float64")
+        d = ((vm[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(jmap[top]))
+
+    return F.pandas_udf(_probes, "array<int>")
+
+
 def trained_ivf_topk(
     embeddings: DataFrame,
     n_clusters: int = 10,
@@ -402,7 +450,8 @@ def trained_ivf_topk(
     the assignment column for ivf_topk_by_assignment."""
     centroids = kmeans_train(embeddings, n_clusters, iters, id_col, vec_col)
     assigned = embeddings.withColumn(
-        "cluster", assign_cluster(F.col(vec_col), centroids)
+        "cluster",
+        F.element_at(_probe_clusters_udf(centroids, 1)(_as_double(F.col(vec_col))), 1),
     )
     return ivf_topk_by_assignment(
         assigned, k=k, cell_col="cluster", id_col=id_col, vec_col=vec_col
@@ -439,26 +488,7 @@ def multiprobe_trained_ivf_topk(
 
     centroids = kmeans_train(embeddings, n_clusters, iters, id_col, vec_col)
     v = _as_double(F.col(vec_col))
-    dist_structs = F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                F.lit(j).alias("j"),
-            )
-            for j, cv in centroids
-        ]
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(dist_structs), 1, nprobe), lambda s: s["j"]
-    )
+    probes = _probe_clusters_udf(centroids, nprobe)(v)
     queries = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -468,7 +498,7 @@ def multiprobe_trained_ivf_topk(
     cands = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        assign_cluster(F.col(vec_col), centroids).alias("cluster"),
+        F.element_at(_probe_clusters_udf(centroids, 1)(v), 1).alias("cluster"),
         F.lit(0).alias("is_query"),
     )
     both = queries.unionByName(cands)
@@ -481,19 +511,8 @@ def multiprobe_trained_ivf_topk(
         c = pdf[pdf["is_query"] == 0]
         if q.empty or c.empty:
             return empty
-        qm = np.stack(q[vec_col].to_numpy()).astype("float64")
-        cm = np.stack(c[vec_col].to_numpy()).astype("float64")
-        sims = (qm @ cm.T) / np.outer(
-            np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
-        )
-        qi = np.repeat(np.arange(len(q)), len(c))
-        ci = np.tile(np.arange(len(c)), len(q))
-        qid = q[id_col].to_numpy()[qi]
-        cid = c[id_col].to_numpy()[ci]
-        keep = qid != cid
-        return pd.DataFrame(
-            {"query_id": qid[keep], "cand_id": cid[keep], "cos_raw": sims[qi, ci][keep]}
-        )
+        qid, cid, cos = _block_topk_arrays(q, c, id_col, vec_col, k)
+        return pd.DataFrame({"query_id": qid, "cand_id": cid, "cos_raw": cos})
 
     scored = both.groupBy("cluster").applyInPandas(
         _score_list, "query_id long, cand_id long, cos_raw double"
@@ -562,4 +581,38 @@ def grid_lsh_topk(
         _cells(embeddings, dims, width, id_col, vec_col)
         .groupBy("cell")
         .applyInPandas(_topk_cell, "query_id long, cand_id long, rank int, cosine double")
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the seed table for
+    IVF training, centroid-based classification, and cluster-balance
+    audits.  Components are quantized to integer micro-units with the
+    engine-portable floor(x*scale + 0.5) rounding and serialized to a
+    comma-joined string so the result hashes identically across engines.
+
+    Shape: posexplode to (label, pos, val), one hash-agg on (label, pos)
+    with map-side partials, then a tiny per-label regroup — the classic
+    scalable mean-vector plan (never collect_list over raw vectors)."""
+    ex = embeddings.select(
+        label_col, F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    per_dim = ex.groupBy(label_col, "pos").agg(
+        F.floor(F.avg("val") * scale + F.lit(0.5)).cast("long").alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per_dim.groupBy(label_col).agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda s: s.q.cast("string"),
+            ),
+            ",",
+        ).alias("centroid_q6"),
     )

@@ -365,6 +365,33 @@ def decontamination_overlap(
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk: int = 32, stride: int = 24
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap
+    (chunk=32, stride=24 → 8-token overlap) — the context-window chunking
+    step of a training/RAG pipeline.  Deterministic: chunk_id is derived
+    from the window start, so re-runs shard identically.
+
+    Shape: per-row `sequence(1, n, stride)` + one explode; the slice and
+    join stay in the scan stage — no shuffle at all (narrow op), so it
+    scales embarrassingly at 100 TB."""
+    words = words_col(F.col("text"))
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    ex = docs.select(
+        "doc_id", words.alias("w"), F.explode(starts).alias("start")
+    )
+    piece = F.slice(F.col("w"), F.col("start"), chunk)
+    return ex.select(
+        "doc_id",
+        F.floor((F.col("start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.col("start").cast("int").alias("start_token"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 def source_dedup_stats(docs: DataFrame) -> DataFrame:
     """Per-source duplication accounting: documents, distinct texts (by
     md5), duplicate rate, and token volume per `source` — the table that

@@ -2959,6 +2959,184 @@ def q_source_dedup_stats(spark, sf_dir):
     return text.source_dedup_stats(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "chunk_documents",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    s AS (
+      SELECT doc_id, l,
+             unnest([st for st in range(1, greatest(len(l), 1) + 1, 24)]) AS start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(floor((start - 1) / 24.0) AS BIGINT) AS chunk_id,
+           CAST(start AS INT) AS start_token,
+           CAST(len(l[start:start+31]) AS INT) AS n_chunk_tokens,
+           array_to_string(l[start:start+31], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 32-token windows, stride 24 (8-token
+    overlap) — narrow op, no shuffle."""
+    return text.chunk_documents(load(spark, sf_dir, "documents"), chunk=32, stride=24)
+
+
+@register(
+    "label_centroids",
+    """
+    WITH ex AS (
+      SELECT label,
+             unnest([i for i in range(1, len(embedding) + 1)]) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, pos,
+             CAST(floor(AVG(CAST(val AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS q,
+             COUNT(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           array_to_string(list(q ORDER BY pos), ',') AS centroid_q6
+    FROM per_dim GROUP BY label
+    """,
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (class centroids), micro-unit quantized —
+    posexplode + (label, pos) hash-agg, never collect_list over vectors."""
+    return ann.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "funnel_counts",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+      SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS users, 1 AS ord FROM v
+      UNION ALL
+      SELECT 'click_after_view', CAST(COUNT(*) AS BIGINT), 2 FROM c
+      UNION ALL
+      SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT), 3 FROM p
+    ) ORDER BY ord
+    """,
+)
+def q_funnel_counts(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: each stage
+    requires an event strictly after the user's previous-stage entry time.
+    Three user-key aggs; every join is on user_id, so one partitioning
+    serves all stages at scale."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(name).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionAll(stage(c, "click_after_view"))
+        .unionAll(stage(p, "purchase_after_click"))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+                AS INT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week, counted
+    distinct in each subsequent activity week — the standard retention
+    triangle.  Two user-key shuffles (first-seen agg + join) and one
+    (cohort, offset) agg."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(first, "user_id")
+    offset = (
+        F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+    ).cast("int")
+    return joined.groupBy("cohort_week", offset.alias("week_offset")).agg(
+        F.countDistinct("user_id").cast("long").alias("active_users")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """Per-user event-type transition counts (first-order Markov matrix)
+    over the deterministic (ts, event_id) order — one window shuffle on
+    user_id, then a tiny 5x5 agg."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
