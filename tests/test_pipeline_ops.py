@@ -320,3 +320,111 @@ class TestEwma:
         )
         h = hour.collect()
         assert len(h) == 1 and h[0]["avg_value"] == 15.0
+
+
+class TestBlockTopkLossless:
+    """The per-block top-(k+1) emission must be an exact superset of what
+    the full q x c pair matrix contributes to any global top-k merge —
+    including when identical vectors produce exact score ties."""
+
+    def _full_pairs(self, q, c, k):
+        import numpy as np
+
+        c = c.sort_values("vec_id").reset_index(drop=True)
+        qm = np.stack(q["embedding"].to_numpy()).astype("float64")
+        cm = np.stack(c["embedding"].to_numpy()).astype("float64")
+        sims = (qm @ cm.T) / np.outer(
+            np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
+        )
+        out = []
+        for i in range(len(q)):
+            row = sorted(
+                (
+                    (-sims[i, j], c["vec_id"][j])
+                    for j in range(len(c))
+                    if c["vec_id"][j] != q["vec_id"].iloc[i]
+                ),
+            )[:k]
+            out.extend((q["vec_id"].iloc[i], cid, -s) for s, cid in row)
+        return set((a, b) for a, b, _ in out)
+
+    def test_matches_brute_force_with_ties(self):
+        import numpy as np
+        import pandas as pd
+
+        from broker_spark.pipeline.ann import _block_topk_arrays
+
+        rng = np.random.default_rng(7)
+        base = rng.random((12, 8))
+        base[5] = base[2]  # identical vectors -> exact cosine ties
+        base[9] = base[2]
+        vecs = [base[i] for i in range(len(base))]
+        df = pd.DataFrame({"vec_id": np.arange(12, dtype="int64"), "embedding": vecs})
+        for k in (1, 3, 5, 20):
+            qid, cid, cos = _block_topk_arrays(df, df, "vec_id", "embedding", k)
+            got = set(zip(qid.tolist(), cid.tolist()))
+            expect = self._full_pairs(df, df, k)
+            # emitted set must cover the exact global top-k pairs
+            assert expect <= got, f"k={k}: missing {expect - got}"
+            # and never more than (k+1) per query
+            from collections import Counter
+
+            assert max(Counter(qid.tolist()).values()) <= k + 1
+
+
+class TestRepetitionAndPacking:
+    def test_repetition_stats_match_python(self, spark):
+        import collections
+
+        from broker_spark.pipeline import text as T
+
+        rows = [
+            (0, "a a a a"),            # fully repetitive
+            (1, "a b c d"),            # all distinct
+            (2, "x y x y x"),          # top bigram 'x y' twice / 4 bigrams
+            (3, "solo"),               # single token, no bigrams
+        ]
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        got = {r.doc_id: r for r in T.repetition_stats(df).collect()}
+        for doc_id, txt in rows:
+            words = txt.split(" ")
+            uni = collections.Counter(words)
+            bigs = collections.Counter(
+                " ".join(words[i : i + 2]) for i in range(len(words) - 1)
+            )
+            r = got[doc_id]
+            assert r.n_tokens == len(words)
+            assert r.n_distinct == len(uni)
+            assert r.top_unigram_frac == pytest.approx(
+                max(uni.values()) / len(words), abs=1e-6
+            )
+            expect_big = (max(bigs.values()) / sum(bigs.values())) if bigs else 0.0
+            assert r.top_bigram_frac == pytest.approx(expect_big, abs=1e-6)
+
+    def test_pack_sequences_invariants(self, spark):
+        from broker_spark.pipeline import text as T
+
+        rows = [(i, "en", "w " * (i % 7 + 1)) for i in range(40)]
+        df = spark.createDataFrame(
+            [(i, lang, t.strip()) for i, lang, t in rows],
+            "doc_id LONG, lang STRING, text STRING",
+        )
+        out = T.pack_sequences(df, budget=10).collect()
+        # every doc assigned exactly once; pack ids contiguous from 0
+        assert len(out) == 40
+        by_pack: dict = {}
+        for r in out:
+            by_pack.setdefault(r.pack_id, []).append(r)
+            assert 0 <= r.pack_offset < 10  # offset always inside the budget
+        packs = sorted(by_pack)
+        assert packs == list(range(len(packs)))
+        # deterministic: same input -> same packing
+        again = {(r.doc_id, r.pack_id) for r in T.pack_sequences(df, budget=10).collect()}
+        assert again == {(r.doc_id, r.pack_id) for r in out}
+
+    def test_funnel_is_monotone(self, spark):
+        from broker_spark.plans.catalog import CATALOG
+        from tests.conftest import SF_SMALL
+
+        rows = {r.stage: r.users for r in CATALOG["funnel_counts"].fn(spark, SF_SMALL).collect()}
+        assert rows["view"] >= rows["click_after_view"] >= rows["purchase_after_click"]
