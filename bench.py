@@ -67,6 +67,14 @@ HEADLINE = [
     "ann_multiprobe_topk",
     "ann_trained_ivf_multiprobe",
     "embedding_near_dup",
+    "repetition_stats",
+    "pack_sequences",
+    "decontamination_overlap",
+    "chunk_documents",
+    "label_centroids",
+    "funnel_counts",
+    "cohort_retention",
+    "event_transition_matrix",
 ]
 
 

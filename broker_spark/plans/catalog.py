@@ -3078,7 +3078,7 @@ def q_funnel_counts(spark, sf_dir):
     "cohort_retention",
     """
     WITH first AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
       FROM events GROUP BY user_id
     )
     SELECT f.cohort_week,
@@ -3096,7 +3096,7 @@ def q_cohort_retention(spark, sf_dir):
     (cohort, offset) agg."""
     ev = load(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
     )
     joined = ev.join(first, "user_id")
     offset = (
