@@ -280,6 +280,64 @@ def simhash_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    shingle: int = DEFAULT_SHINGLE,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: containment(A,B) =
+    |shingles(A) ∩ shingles(B)| / min(|A|, |B|).
+
+    Catches subset duplication that Jaccard misses — a short document
+    embedded verbatim in a long one scores containment 1.0 but Jaccard
+    |A|/|B| (tiny).  The standard quote/excerpt/boilerplate-inclusion
+    signal in corpus dedup.
+
+    Same inverted-index shape as ngram_jaccard_pairs: join key is the
+    shingle, so only documents sharing a shingle meet; `max_doc_freq`
+    drops boilerplate stop-shingles whose posting lists would go
+    quadratic at corpus scale."""
+    sh = _spread(docs).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
+    ).persist()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(broadcast(hot), "sh", "left_anti").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("common").cast("double")
+                / F.least(F.col("na"), F.col("nb")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "common", "containment")
+    )
+
+
 def connected_components(
     docs: DataFrame,
     pairs: DataFrame,

@@ -408,6 +408,100 @@ def source_dedup_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+#: PII patterns kept to the regex subset Java (Spark) and RE2 (engines
+#: like DuckDB) implement identically: character classes, bounded
+#: repetition, \b word boundaries — no lookarounds, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}",
+}
+PII_ORDER = ["email", "ipv4", "phone"]  # email first: it may contain digits/dots
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: count and redact emails, IPv4
+    addresses, and phone numbers, replacing each match with a typed token
+    ([EMAIL]/[IP]/[PHONE]).  Pure regexp built-ins — counting and
+    replacement both stay in the scan stage (no shuffle, no Python), so
+    the operator is embarrassingly parallel at 100 TB.
+
+    Redaction order is fixed (email, ip, phone) so overlapping matches
+    resolve deterministically across engines."""
+    text = F.col(text_col)
+    counts = [
+        F.regexp_count(text, F.lit(PII_PATTERNS[k])).cast("long").alias(f"n_{k}")
+        for k in PII_ORDER
+    ]
+    red = text
+    for k in PII_ORDER:
+        red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        *counts,
+        red.alias("redacted_text"),
+    )
+
+
+def training_mix_weights(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Data-mixture design table: per-source document/token counts, the
+    source's natural share of corpus tokens, and the sampling weight that
+    would re-balance the mix to uniform across sources
+    (weight = target_share / natural_share — weight > 1 means upsample,
+    i.e. repeat the source's documents across epochs).
+
+    One hash-agg shuffle on the group key; the corpus totals are a
+    single-row broadcast.  All shares/weights derive from exact integer
+    token sums, so the ratios are bit-identical across engines."""
+    stats = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    totals = stats.agg(
+        F.sum("total_tokens").alias("corpus_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    natural = F.col("total_tokens").cast("double") / F.col("corpus_tokens").cast("double")
+    target = F.lit(1.0) / F.col("n_sources").cast("double")
+    return (
+        stats.crossJoin(broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            F.round(natural, 6).alias("natural_share"),
+            F.round(target / natural, 6).alias("mix_weight"),
+        )
+    )
+
+
+#: md5-bucket thresholds out of 65536: 90% train / 5% val / 5% test.
+SPLIT_TRAIN_MAX = 58982
+SPLIT_VAL_MAX = 62259
+
+
+def split_assignment(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by md5(id) bucket
+    (90/5/5) — the reproducible split every training pipeline needs:
+    stable across runs, engines, and corpus growth (a document's split
+    never changes when other documents are added).
+
+    Returns per (lang, split) accounting.  The split expression is a pure
+    column (md5 prefix -> int bucket -> CASE), evaluated in the scan."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(bucket < SPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy(F.col("lang"), split.alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+
+
 def _stopword_hits(words: Column, lang: str) -> Column:
     vocab = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))

@@ -3138,6 +3138,195 @@ def q_event_transition_matrix(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing, mixture design, split assignment, containment dedup,
+# anomaly detection — round-2 training-pipeline additions
+# ---------------------------------------------------------------------------
+
+#: regex literals shared verbatim by the Spark and DuckDB sides (kept to
+#: the Java/RE2 common subset — see pipeline.text.PII_PATTERNS)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+_PII_PHONE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+#: deterministic PII seeding: the fixture's word-salad text has no PII, so
+#: the entry appends one email, one IPv4, and one phone derived from
+#: doc_id — the redactor must find and replace all three mid-string for
+#: the md5 of the redacted text to match the oracle.
+_PII_SEED_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@register(
+    "pii_redaction",
+    f"""
+    WITH seeded AS (SELECT doc_id, {_PII_SEED_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IPV4}', '[IPV4]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM seeded
+    """,
+)
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over a deterministically seeded corpus: counts + md5 of
+    the redacted text prove the regex engine found and replaced every
+    planted email/IP/phone identically to the oracle.  Scan-stage-only
+    (no shuffle) — the shape of a 100 TB scrub pass."""
+    docs = load(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = text.redact_pii(seeded, "text")
+    return red.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+@register(
+    "training_mix_weights",
+    """
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(total_tokens) AS corpus_tokens, COUNT(*) AS n_sources FROM stats
+    )
+    SELECT source, n_docs, total_tokens,
+           round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 6)
+             AS natural_share,
+           round((1.0 / CAST(n_sources AS DOUBLE))
+                 / (CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)), 6)
+             AS mix_weight
+    FROM stats, tot
+    """,
+)
+def q_training_mix_weights(spark, sf_dir):
+    """Mixture-design table: each source's natural token share and the
+    uniform-target sampling weight (>1 = upsample)."""
+    return text.training_mix_weights(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT lang, text,
+             CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS BIGINT) AS INT) AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < {text.SPLIT_TRAIN_MAX} THEN 'train'
+                WHEN bucket < {text.SPLIT_VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens
+    FROM b GROUP BY lang, split
+    """,
+)
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 90/5/5 split accounting per language: a document's
+    split is a pure function of md5(doc_id), stable under corpus growth."""
+    return text.split_assignment(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           round(common * 1.0 / least(x.n_sh, y.n_sh), 6) AS containment
+    FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE round(common * 1.0 / least(x.n_sh, y.n_sh), 6) >= 0.5
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment pairs (common / min-size): catches excerpt/
+    subset duplication that symmetric Jaccard under-scores."""
+    return dedup.ngram_containment_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+@register(
+    "anomaly_zscore",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+                  AS DOUBLE) AS ss
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.s / s.n)
+                 / sqrt((s.ss - (s.s * s.s) / s.n) / (s.n - 1)), 6) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.s / s.n)
+              / sqrt((s.ss - (s.s * s.s) / s.n) / (s.n - 1))) >= 2.5
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-type z-score outliers: mean/variance from exact decimal sums
+    (order-independent, hash-stable across engines), z in plain IEEE
+    double with the identical expression tree on both sides.  One tiny
+    stats agg broadcast back against the fact scan — no second shuffle."""
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum(dec * dec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - (F.col("s") * F.col("s")) / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("value") - mean) / std
+    return (
+        ev.join(broadcast(stats), "event_type")
+        .filter(F.abs(z) >= 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, QueryFn]:
