@@ -3326,6 +3326,42 @@ def q_anomaly_zscore(spark, sf_dir):
     )
 
 
+@register("approx_distinct_users_daily", None)
+def q_approx_distinct_users_daily(spark, sf_dir):
+    """HyperLogLog++ daily active users (rsd 0.02): the one-shuffle,
+    constant-memory form of `distinct_users_daily` — the shape to run at
+    100 TB where an exact distinct needs the full key multiset per group.
+    Sketch state is not bit-portable across engines, so this is a
+    rows-only entry; tests/test_approx.py bounds it against the exact
+    count (observed well within the 2% rsd)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+        )
+        .groupBy("day")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("approx_value_percentiles", None)
+def q_approx_value_percentiles(spark, sf_dir):
+    """approx_percentile (Greenwald-Khanna, accuracy 10000) per event
+    type — the bounded-memory percentile for 100 TB scans.  GK sketch
+    merge order is engine-internal, so rows-only; tests/test_approx.py
+    bounds each quantile against the exact percentile."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)").alias(
+            "approx_pcts"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
