@@ -100,20 +100,26 @@ def main() -> None:
     # best-of-3: this VM shows ±3x noisy-neighbor windows; a third run
     # tightens the floor (best-of-N is monotone, so still r1-comparable)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
     for name in HEADLINE:
-        fn = CATALOG[name].fn
-        best, n = None, 0
-        for _ in range(runs):  # best-of-N damps noisy-neighbor variance
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Per-query isolation: one broken query must never zero the round's
+        # bench record — record null and keep going, always emit the JSON.
+        try:
+            fn = CATALOG[name].fn
+            best, n = None, 0
+            for _ in range(runs):  # best-of-N damps noisy-neighbor variance
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 3)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — isolate per-query failures
+            timings[name] = None
+            print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     print(
         json.dumps(
             {
@@ -121,6 +127,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": sorted(k for k, v in timings.items() if v is None),
                 "sf": float(sf),
             }
         )

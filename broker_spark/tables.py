@@ -10,7 +10,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = [
     "region",
@@ -29,10 +29,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table.  The driver's `events.parquet` uses TIMESTAMP(NANOS),
-    which Spark rejects by default (PARQUET_TYPE_ILLEGAL); read nanos as
-    long and truncate to micros — exactly what DuckDB's reader does — so
-    both engines see identical microsecond timestamps."""
+    """Read one table, normalizing `ts` to TimestampType.
+
+    The driver has shipped three physical encodings of `events.ts` across
+    rounds; all must land as session-tz (UTC) TimestampType with identical
+    epoch-micros values to what DuckDB's naive reader sees:
+
+    - TIMESTAMP(NANOS): Spark rejects it by default (PARQUET_TYPE_ILLEGAL);
+      read nanos as long, truncate to micros (what DuckDB does).
+    - timestamp[us] without tz: Spark infers TIMESTAMP_NTZ, which
+      `unix_millis()` rejects; cast to TimestampType — the session tz is
+      UTC, so the cast is value-identical to DuckDB's naive reading.
+    - timestamp[us, tz=UTC]: already TimestampType, no-op.
+    """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,6 +51,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
