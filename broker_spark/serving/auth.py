@@ -76,6 +76,47 @@ def _stream_stub(stream_id: str, session_token: str | None) -> dict:
     return {"id": stream_id, "partitions": 1}
 
 
+class InMemoryCoreApi:
+    """A recorded, REST-shaped core API: per-(stream, token) permission
+    grants and stream registry, raising the same HttpErrors the real
+    endpoints produce (403 no grant, 404 unknown stream).  Use it to run a
+    *closed* gateway without a real core API — the default StreamFetcher
+    stubs keep the open-gateway behavior.
+
+    Models GET /streams/:id/permissions/me and GET /streams/:id
+    (src/StreamFetcher.ts:96-113,127-158).
+    """
+
+    def __init__(self):
+        self._streams: dict[str, dict] = {}
+        self._grants: dict[tuple[str, str | None], set[str]] = {}
+
+    def create_stream(self, stream_id: str, partitions: int = 1) -> None:
+        self._streams[stream_id] = {"id": stream_id, "partitions": partitions}
+
+    def grant(
+        self, stream_id: str, session_token: str | None, *operations: str
+    ) -> None:
+        self._grants.setdefault((stream_id, session_token), set()).update(operations)
+
+    def revoke(self, stream_id: str, session_token: str | None) -> None:
+        self._grants.pop((stream_id, session_token), None)
+
+    def get_permissions(self, stream_id: str, session_token: str | None) -> list[dict]:
+        if stream_id not in self._streams:
+            raise HttpError(404, "GET", f"/streams/{stream_id}/permissions/me")
+        ops = self._grants.get((stream_id, session_token), set())
+        return [{"operation": op} for op in sorted(ops)]
+
+    def get_stream(self, stream_id: str, session_token: str | None) -> dict:
+        if stream_id not in self._streams:
+            raise HttpError(404, "GET", f"/streams/{stream_id}")
+        return self._streams[stream_id]
+
+    def fetcher(self) -> "StreamFetcher":
+        return StreamFetcher(self.get_permissions, self.get_stream)
+
+
 class StreamFetcher:
     """Memoized permission checks against an injectable core API."""
 

@@ -162,6 +162,9 @@ class PublishSpool:
     max_bytes: int = BATCH_MAX_BYTES
     close_timeout_s: float = BATCH_CLOSE_TIMEOUT_S
     metrics: object | None = None  # stream_metrics.MetricsContext (optional)
+    #: optional StreamMessageValidator (src/broker.ts:135-139 wires one into
+    #: Publisher); validate() raising rejects the message pre-spool.
+    validator: object | None = None
     _rows: list = field(default_factory=list)
     _bytes: int = 0
     _lock: threading.Lock = field(default_factory=threading.Lock)
@@ -171,6 +174,24 @@ class PublishSpool:
         """Validate + enqueue; returns the assigned partition."""
         validate_message(req.timestamp, req.content, now_ms)
         partition = partition_for_key(self.partition_count, req.partition_key)
+        if self.validator is not None:
+            # Publisher.ts:43 — validate after the future-ts guard, before
+            # propagation/storage; ValidationError propagates to the caller.
+            from broker_spark.serving.validator import MessageToValidate
+
+            self.validator.validate(
+                MessageToValidate(
+                    stream_id=req.stream_id,
+                    partition=partition,
+                    ts_ms=req.timestamp,
+                    sequence_no=req.sequence_number,
+                    publisher_id=req.publisher_id,
+                    msg_chain_id=req.msg_chain_id,
+                    content=req.content,
+                    signature_type=req.signature_type,
+                    signature=req.signature,
+                )
+            )
         if self.metrics is not None:  # VolumeLogger eventsIn / kbIn counters
             self.metrics.record("publisher.messages", 1)
             self.metrics.record("publisher.bytes", len(req.content))

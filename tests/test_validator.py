@@ -1,0 +1,175 @@
+"""Signature validation on the publish path (src/Publisher.ts:34-51,
+validator wiring src/broker.ts:135-139): bad signature rejected, good
+signature accepted into the spool, unsigned policy follows
+requireSignedData, and the caching wrapper memoizes core-API lookups."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from broker_spark.serving.auth import InMemoryCoreApi, HttpError
+from broker_spark.serving.publish import PublishRequest, PublishSpool
+from broker_spark.serving.validator import (
+    SIGNATURE_TYPE_HMAC,
+    CachingStreamMessageValidator,
+    MessageToValidate,
+    ValidationError,
+    hmac_sign,
+    hmac_validator,
+    signature_payload,
+)
+from broker_spark.storage.store import Storage
+
+SECRETS = {"0xpub": b"s3cret", "0xother": b"other"}
+
+
+def _signed(publisher="0xpub", secret=b"s3cret", tamper=False, **over):
+    fields = dict(
+        stream_id="s1",
+        partition=0,
+        ts_ms=1000,
+        sequence_no=0,
+        publisher_id=publisher,
+        msg_chain_id="c1",
+        content='{"v":1}',
+    )
+    fields.update(over)
+    sig = hmac_sign(
+        secret,
+        signature_payload(
+            fields["stream_id"],
+            fields["partition"],
+            fields["ts_ms"],
+            fields["sequence_no"],
+            fields["publisher_id"],
+            fields["msg_chain_id"],
+            fields["content"],
+        ),
+    )
+    if tamper:
+        fields["content"] = '{"v":2}'  # signature no longer covers content
+    return MessageToValidate(
+        signature_type=SIGNATURE_TYPE_HMAC, signature=sig, **fields
+    )
+
+
+class TestPolicy:
+    def test_good_signature_accepted(self):
+        hmac_validator(SECRETS).validate(_signed())
+
+    def test_bad_signature_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            hmac_validator(SECRETS).validate(_signed(secret=b"wrong"))
+
+    def test_tampered_content_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            hmac_validator(SECRETS).validate(_signed(tamper=True))
+
+    def test_unknown_publisher_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            hmac_validator(SECRETS).validate(_signed(publisher="0xnobody"))
+
+    def test_unsigned_rejected_when_stream_requires_signatures(self):
+        v = hmac_validator(SECRETS)  # default stream info requires signing
+        msg = MessageToValidate("s1", 0, 1000, 0, "0xpub", "c1", "{}")
+        with pytest.raises(ValidationError, match="requires signed data"):
+            v.validate(msg)
+
+    def test_unsigned_allowed_when_stream_does_not_require(self):
+        v = hmac_validator(
+            SECRETS, get_stream=lambda sid: {"id": sid, "requireSignedData": False}
+        )
+        v.validate(MessageToValidate("s1", 0, 1000, 0, "0xpub", "c1", "{}"))
+
+    def test_valid_signature_but_not_a_publisher(self):
+        v = hmac_validator(SECRETS, is_publisher=lambda pub, sid: False)
+        with pytest.raises(ValidationError, match="is not a publisher"):
+            v.validate(_signed())
+
+
+class TestCaching:
+    def test_stream_info_memoized(self):
+        calls = {"n": 0}
+
+        def get_stream(sid):
+            calls["n"] += 1
+            return {"id": sid, "requireSignedData": False}
+
+        v = CachingStreamMessageValidator(
+            get_stream, lambda p, s: True, lambda p, b, s: True
+        )
+        msg = MessageToValidate("s1", 0, 1000, 0, "0xpub", "c1", "{}")
+        for _ in range(5):
+            v.validate(msg)
+        assert calls["n"] == 1
+        v.clear_caches()
+        v.validate(msg)
+        assert calls["n"] == 2
+
+
+class TestSpoolIntegration:
+    @pytest.fixture(scope="class")
+    def spool(self, spark, tmp_path_factory):
+        st = Storage(spark, str(tmp_path_factory.mktemp("val") / "log"))
+        sp = PublishSpool(st, validator=hmac_validator(SECRETS))
+        yield sp, st
+        sp.close()
+
+    def _req(self, signed=True, secret=b"s3cret"):
+        content = '{"v":1}'
+        sig = (
+            hmac_sign(
+                secret,
+                signature_payload("s1", 0, 1000, 0, "0xpub", "c1", content),
+            )
+            if signed
+            else None
+        )
+        return PublishRequest(
+            stream_id="s1",
+            content=content,
+            timestamp=1000,
+            publisher_id="0xpub",
+            msg_chain_id="c1",
+            signature_type=SIGNATURE_TYPE_HMAC if signed else 0,
+            signature=sig,
+        )
+
+    def test_spool_accepts_good_signature(self, spool):
+        sp, st = spool
+        sp.publish(self._req(), now_ms=1000)
+        sp.flush()
+        rows = st.request_last("s1", 0, 10).collect()
+        assert len(rows) == 1 and rows[0]["content"] == '{"v":1}'
+
+    def test_spool_rejects_bad_signature(self, spool):
+        sp, _ = spool
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            sp.publish(self._req(secret=b"wrong"), now_ms=1000)
+
+    def test_spool_rejects_unsigned_on_required_stream(self, spool):
+        sp, _ = spool
+        with pytest.raises(ValidationError, match="requires signed data"):
+            sp.publish(self._req(signed=False), now_ms=1000)
+
+
+class TestInMemoryCoreApi:
+    def test_recorded_grants_and_404(self):
+        api = InMemoryCoreApi()
+        api.create_stream("s1")
+        api.grant("s1", "tok", "stream_subscribe")
+        f = api.fetcher()
+        assert f.authenticate("s1", "tok", "stream_subscribe")["id"] == "s1"
+        with pytest.raises(HttpError) as e:
+            f.authenticate("s1", "tok", "stream_publish")
+        assert e.value.code == 403
+        with pytest.raises(HttpError) as e:
+            f.authenticate("nope", "tok", "stream_subscribe")
+        assert e.value.code == 404
+        api.revoke("s1", "tok")
+        f2 = api.fetcher()  # fresh fetcher: no memoized grant
+        with pytest.raises(HttpError) as e:
+            f2.authenticate("s1", "tok", "stream_subscribe")
+        assert e.value.code == 403
