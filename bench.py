@@ -75,6 +75,10 @@ HEADLINE = [
     "funnel_counts",
     "cohort_retention",
     "event_transition_matrix",
+    "bloom_decontamination",
+    "perplexity_buckets",
+    "robust_stats_mad",
+    "topk_bigrams_per_lang",
 ]
 
 

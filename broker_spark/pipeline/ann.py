@@ -358,6 +358,11 @@ def kmeans_train(
     e = embeddings.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
     )
+    # 3+ sequential jobs (count, init, per-iter stats) re-scan this
+    # projection; persist it so each job reads the in-memory columnar copy
+    # instead of re-listing + re-decoding parquet.  Size is rows x dim
+    # doubles — the same data any k-means trainer must hold hot.
+    e = e.persist()
     n = e.count()
     stride = max(n // n_clusters, 1)
     w = Window.orderBy("_id")
@@ -387,6 +392,7 @@ def kmeans_train(
         centroids = [
             (j, [dims[i] for i in sorted(dims)]) for j, dims in sorted(by_j.items())
         ]
+    e.unpersist()
     return centroids
 
 
@@ -488,17 +494,25 @@ def multiprobe_trained_ivf_topk(
 
     centroids = kmeans_train(embeddings, n_clusters, iters, id_col, vec_col)
     v = _as_double(F.col(vec_col))
-    probes = _probe_clusters_udf(centroids, nprobe)(v)
-    queries = embeddings.select(
+    # ONE probe-UDF pass: probes[0] is the assignment (stable argsort), so
+    # the query side (all nprobe probes) and the candidate side (home list)
+    # both derive from the same scanned+probed projection; persisting it
+    # halves the pandas-UDF scans vs probing each branch separately.
+    probed = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(probes).alias("cluster"),
+        _probe_clusters_udf(centroids, nprobe)(v).alias("_probes"),
+    ).persist()
+    queries = probed.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode("_probes").alias("cluster"),
         F.lit(1).alias("is_query"),
     )
-    cands = embeddings.select(
+    cands = probed.select(
         F.col(id_col),
         F.col(vec_col),
-        F.element_at(_probe_clusters_udf(centroids, 1)(v), 1).alias("cluster"),
+        F.element_at("_probes", 1).alias("cluster"),
         F.lit(0).alias("is_query"),
     )
     both = queries.unionByName(cands)

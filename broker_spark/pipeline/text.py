@@ -570,3 +570,111 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(canon).alias("fingerprint"),
         F.size(F.array_distinct(words)).alias("n_distinct_words"),
     )
+
+
+def bloom_decontamination(
+    docs: DataFrame,
+    threshold: int = 3277,
+    shingle: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Decontamination with a Bloom prefilter — the 100 TB shape of
+    `decontamination_overlap`: instead of joining every corpus shingle
+    against the benchmark shingle set, a ~128 KB bit array broadcast to
+    every task drops (1 - fpp) of the clean shingles before any shuffle,
+    and only the survivors hit the exact confirm join.
+
+    Build: benchmark shingles hash JVM-side (xxhash64 twice, Kirsch-
+    Mitzenmacher double hashing makes k positions from two hashes); the
+    driver ORs them into a numpy bit array (collect is bounded by the
+    eval-set size — the same boundedness the broadcast join relies on)
+    and broadcasts it.  Probe: a vectorized pandas UDF tests k bits per
+    corpus shingle from the two precomputed hash columns — no string
+    hashing in Python.  The exact semi-join confirm removes the bloom's
+    false positives, so the result is EXACT (bloom only prunes) and the
+    DuckDB oracle is the plain overlap join.
+
+    Returns one row per contaminated corpus doc:
+    (doc_id, n_contaminated_shingles)."""
+    import numpy as np
+    import pandas as pd
+
+    from broker_spark.pipeline.dedup import word_shingles
+
+    spark = docs.sparkSession
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    base = docs.withColumn("bucket", bucket)
+    sh = F.array_distinct(word_shingles(F.col("text"), shingle))
+    bench_sh = (
+        base.filter(F.col("bucket") < threshold)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    hrows = bench_sh.select(
+        F.xxhash64("sh").alias("h1"), F.xxhash64("sh", F.lit(1)).alias("h2")
+    ).collect()
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if hrows:
+        h1 = np.array([r["h1"] for r in hrows], dtype=np.int64).astype(np.uint64)
+        h2 = np.array([r["h2"] for r in hrows], dtype=np.int64).astype(np.uint64)
+        for i in range(k_hashes):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(
+                bits, (pos >> np.uint64(3)).astype(np.int64),
+                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8),
+            )
+    bc = spark.sparkContext.broadcast(bits)
+    m = np.uint64(m_bits)
+    k = k_hashes
+
+    def _probe_bits(h1s, h2s):
+        b = bc.value
+        a1 = h1s.to_numpy().astype(np.uint64)
+        a2 = h2s.to_numpy().astype(np.uint64)
+        ok = np.ones(len(a1), dtype=bool)
+        for i in range(k):
+            pos = (a1 + np.uint64(i) * a2) % m
+            byte = b[(pos >> np.uint64(3)).astype(np.int64)]
+            ok &= (byte & (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8)) != 0
+        return pd.Series(ok)
+
+    _maybe_contaminated = F.pandas_udf(_probe_bits, "boolean")
+
+    corpus_sh = (
+        base.filter(F.col("bucket") >= threshold)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .withColumn("h1", F.xxhash64("sh"))
+        .withColumn("h2", F.xxhash64("sh", F.lit(1)))
+    )
+    survivors = corpus_sh.filter(_maybe_contaminated("h1", "h2"))
+    confirmed = survivors.join(broadcast(bench_sh), "sh", "left_semi")
+    return confirmed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminated_shingles")
+    )
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """CCNet-style perplexity bucketing: rank documents per language by
+    unigram-LM mean NLL, cut into `n_buckets` ntiles (head = most probable
+    text, tail = junk), and emit per-(lang, bucket) accounting — the table
+    a head/middle/tail data-mixture policy reads.
+
+    Ordering ties break by doc_id so both engines ntile identically.
+    Shape: the LM scoring's two shuffles, then one window over the lang
+    key and one hash-agg — no new scale hazards."""
+    scored = unigram_logprob_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_nll").asc(), F.col("doc_id").asc()
+    )
+    b = scored.withColumn("bucket", F.ntile(n_buckets).over(w))
+    return b.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("mean_nll"), 6).alias("avg_nll"),
+        F.round(F.min("mean_nll"), 6).alias("min_nll"),
+        F.round(F.max("mean_nll"), 6).alias("max_nll"),
+    )

@@ -3362,6 +3362,176 @@ def q_approx_value_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "bloom_decontamination",
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS bucket
+      FROM documents
+    ),
+    w AS (SELECT doc_id, bucket, {_WORDS} AS l FROM b),
+    sh AS (
+      SELECT doc_id, bucket,
+             unnest(list_distinct(
+               [array_to_string(l[i:i+2], ' ') for i in range(1, len(l) - 1)]
+             )) AS sh
+      FROM w WHERE len(l) >= 3
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE bucket < 3277),
+    corpus AS (SELECT doc_id, sh FROM sh WHERE bucket >= 3277)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_shingles
+    FROM corpus JOIN bench USING (sh) GROUP BY doc_id
+    """,
+)
+def q_bloom_decontamination(spark, sf_dir):
+    """Bloom-prefiltered decontamination: a ~128 KB broadcast bit array
+    (xxhash64 JVM-side, Kirsch-Mitzenmacher k positions, vectorized numpy
+    probe) drops ~all clean shingles before the shuffle; the exact confirm
+    join removes false positives, so the result equals the plain overlap
+    join — which is the oracle.  The shape that decontaminates a 100 TB
+    corpus against a fixed eval set with one scan and a near-empty
+    shuffle."""
+    return text.bloom_decontamination(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "perplexity_buckets",
+    f"""
+    WITH terms AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY term),
+    totals AS (SELECT COUNT(*) AS n_total, COUNT(DISTINCT term) AS vocab FROM terms),
+    scored AS (
+      SELECT doc_id,
+             round(AVG(-ln((tf.tf + 1) * 1.0 / (totals.n_total + totals.vocab))), 6)
+               AS mean_nll
+      FROM terms JOIN tf USING (term), totals
+      GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, s.mean_nll,
+             CAST(ntile(10) OVER (PARTITION BY d.lang
+                                  ORDER BY s.mean_nll, s.doc_id) AS INT) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(mean_nll), 6) AS avg_nll,
+           round(MIN(mean_nll), 6) AS min_nll,
+           round(MAX(mean_nll), 6) AS max_nll
+    FROM bucketed GROUP BY lang, bucket
+    """,
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity deciles per language under
+    the corpus-trained unigram LM — the accounting table a
+    perplexity-based mixture policy reads."""
+    return text.perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "robust_stats_mad",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           round(any_value(d.med), 6) AS median_value,
+           round(any_value(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q_robust_stats_mad(spark, sf_dir):
+    """Robust per-type location/scale: exact median + MAD (median absolute
+    deviation) and the robust-z outlier count (|x - med| > 3 * 1.4826 *
+    MAD) — the outlier detector that, unlike `anomaly_zscore`, is not
+    itself dragged by the outliers.  Shape: two tiny per-type stats aggs
+    broadcast back against the fact scan; medians are single-key-group
+    percentiles, the constant-size state per group that survives 100 TB
+    (swap percentile -> approx_percentile to make the state logarithmic)."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.any_value("med"), 6).alias("median_value"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * 1.4826 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "topk_bigrams_per_lang",
+    f"""
+    WITH w AS (SELECT lang, {_WORDS} AS l FROM documents),
+    bg AS (
+      SELECT lang,
+             unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))])
+               AS bigram
+      FROM w WHERE len(l) >= 2
+    ),
+    counted AS (
+      SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n
+      FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rank FROM (
+      SELECT lang, bigram, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram) AS INT) AS rank
+      FROM counted
+    ) WHERE rank <= 10
+    """,
+)
+def q_topk_bigrams_per_lang(spark, sf_dir):
+    """Top-10 word bigrams per language: the n-gram frequency table for
+    boilerplate detection / stopword mining.  Two-level hash-agg on
+    (lang, bigram) with map-side partials, then a per-lang top-k window —
+    the bigram explosion never leaves the scan stage unaggregated."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -3372,6 +3542,11 @@ def q_approx_value_percentiles(spark, sf_dir):
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
+    # -- NEW in round 3
+    "bloom_decontamination",
+    "perplexity_buckets",
+    "robust_stats_mad",
+    "topk_bigrams_per_lang",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
