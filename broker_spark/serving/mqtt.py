@@ -15,9 +15,18 @@ Mirrors src/mqtt/MqttServer.ts:
 - SUBSCRIBE registers the connection on partition 0's shelf but receives
   every broadcast of the stream regardless of the message's partition,
   exactly like the reference's `streams.get(streamId, 0)` lookup in
-  broadcastMessage (MqttServer.ts:216-247, 281-302); delivery is a qos-0
+  broadcastMessage (MqttServer.ts:216-247, 281-302); delivery is a
   PUBLISH whose payload is the message content JSON.
 - PINGREQ -> PINGRESP liveness.
+
+Beyond the reference (which is qos-0, exact-topic only), standard MQTT
+3.1.1 semantics the adapter also implements:
+- wildcard topic filters `+` / `#` (§4.7), matched at broadcast time;
+- retained messages (§3.3.1.3): retain-flagged publishes store the
+  topic's last-known-good, delivered (retain=1) on matching subscribes,
+  zero-byte retained payload clears;
+- qos 1 subscriptions: granted qos = min(requested, 1), deliveries carry
+  packet ids and are tracked until the subscriber PUBACKs (at-least-once).
 
 The packet codec is a self-contained MQTT 3.1.1 subset (CONNECT/CONNACK/
 PUBLISH/PUBACK/SUBSCRIBE/SUBACK/UNSUBSCRIBE/UNSUBACK/PINGREQ/PINGRESP/
@@ -148,11 +157,19 @@ def parse_connect(body: bytes) -> dict:
     }
 
 
-def encode_publish(topic: str, payload: bytes, qos: int = 0, packet_id: int = 1) -> bytes:
+def encode_publish(
+    topic: str,
+    payload: bytes,
+    qos: int = 0,
+    packet_id: int = 1,
+    retain: bool = False,
+    dup: bool = False,
+) -> bytes:
     body = encode_utf8(topic)
     if qos:
         body += struct.pack(">H", packet_id)
-    return encode_packet(PUBLISH, qos << 1, body + payload)
+    flags = (int(dup) << 3) | (qos << 1) | int(retain)
+    return encode_packet(PUBLISH, flags, body + payload)
 
 
 def parse_publish(flags: int, body: bytes) -> dict:
@@ -162,7 +179,14 @@ def parse_publish(flags: int, body: bytes) -> dict:
     if qos:
         (packet_id,) = struct.unpack_from(">H", body, i)
         i += 2
-    return {"topic": topic, "qos": qos, "packet_id": packet_id, "payload": body[i:]}
+    return {
+        "topic": topic,
+        "qos": qos,
+        "packet_id": packet_id,
+        "payload": body[i:],
+        "retain": bool(flags & 0x01),
+        "dup": bool((flags >> 3) & 0x01),
+    }
 
 
 def encode_subscribe(packet_id: int, topics: list[str], qos: int = 0) -> bytes:
@@ -172,15 +196,34 @@ def encode_subscribe(packet_id: int, topics: list[str], qos: int = 0) -> bytes:
     return encode_packet(SUBSCRIBE, 0x02, body)
 
 
-def parse_topic_list(body: bytes, with_qos: bool) -> tuple[int, list[str]]:
+def parse_topic_list(body: bytes, with_qos: bool) -> tuple[int, list[str], list[int]]:
+    """(packet_id, topic filters, requested qos per filter — empty for
+    UNSUBSCRIBE packets)."""
     (packet_id,) = struct.unpack_from(">H", body, 0)
-    i, topics = 2, []
+    i, topics, qoses = 2, [], []
     while i < len(body):
         t, i = decode_utf8(body, i)
         if with_qos:
+            qoses.append(body[i])
             i += 1
         topics.append(t)
-    return packet_id, topics
+    return packet_id, topics, qoses
+
+
+def topic_matches(filt: str, topic: str) -> bool:
+    """MQTT 3.1.1 §4.7 topic-filter matching: `+` matches exactly one
+    level, `#` (only as the last level) matches the remaining levels
+    including the parent ("sport/#" matches "sport")."""
+    fparts = filt.split("/")
+    tparts = topic.split("/")
+    for i, fp in enumerate(fparts):
+        if fp == "#":
+            return i == len(fparts) - 1
+        if i >= len(tparts):
+            return False
+        if fp != "+" and fp != tparts[i]:
+            return False
+    return len(fparts) == len(tparts)
 
 
 def encode_unsubscribe(packet_id: int, topics: list[str]) -> bytes:
@@ -205,6 +248,13 @@ class MqttHandler(socketserver.StreamRequestHandler):
         self.client_id = ""
         self.token: str | None = None
         self.connected = False
+        self._next_packet_id = 0
+        self.inflight: set[int] = set()  # qos-1 deliveries awaiting PUBACK
+
+    def next_packet_id(self) -> int:
+        with self._write_lock:
+            self._next_packet_id = (self._next_packet_id % 0xFFFF) + 1
+            return self._next_packet_id
 
     def _send(self, packet: bytes) -> None:
         with self._write_lock:
@@ -231,8 +281,11 @@ class MqttHandler(socketserver.StreamRequestHandler):
                 self._on_publish(broker, parse_publish(flags, body))
             elif ptype == SUBSCRIBE:
                 self._on_subscribe(broker, *parse_topic_list(body, with_qos=True))
+            elif ptype == PUBACK:
+                (acked,) = struct.unpack_from(">H", body, 0)
+                self.inflight.discard(acked)
             elif ptype == UNSUBSCRIBE:
-                pid, topics = parse_topic_list(body, with_qos=False)
+                pid, topics, _ = parse_topic_list(body, with_qos=False)
                 for t in topics:
                     broker.unsubscribe(self, t)
                 self._send(encode_packet(UNSUBACK, 0, struct.pack(">H", pid)))
@@ -281,23 +334,45 @@ class MqttHandler(socketserver.StreamRequestHandler):
             self._send(encode_connack(RC_NOT_AUTHORIZED))
             return
         if packet["qos"]:
+            # at-least-once: every (re)delivery PUBACKs, duplicates included
             self._send(encode_packet(PUBACK, 0, struct.pack(">H", packet["packet_id"])))
+        if packet["retain"]:
+            # MQTT 3.1.1 §3.3.1.3: retain stores the message as the topic's
+            # last-known-good; a zero-byte retained payload clears it
+            broker.set_retained(topic, packet["payload"])
         # loopback fan-out: the reference's network node echoes the message
         # back through broadcastMessage (MqttServer.ts:67,281-302)
         broker.broadcast(topic, partition, content)
 
     # MqttServer.ts:216-247 — always partition 0's shelf
-    def _on_subscribe(self, broker: MqttBroker, packet_id: int, topics: list[str]) -> None:
+    def _on_subscribe(
+        self,
+        broker: MqttBroker,
+        packet_id: int,
+        topics: list[str],
+        qoses: list[int],
+    ) -> None:
         granted = []
-        for topic in topics:
+        for topic, req_qos in zip(topics, qoses or [0] * len(topics)):
             if not broker.authenticate(topic, self.token, "stream_subscribe"):
                 self._send(encode_connack(RC_NOT_AUTHORIZED))
                 return
-            broker.subscribe(self, topic)
-            granted.append(0)  # deliveries are qos 0
+            qos = min(req_qos, 1)  # qos 2 not offered
+            broker.subscribe(self, topic, qos)
+            granted.append(qos)
         self._send(
             encode_packet(SUBACK, 0, struct.pack(">H", packet_id) + bytes(granted))
         )
+        # §3.3.1.3: retained messages matching each new filter are delivered
+        # with the retain flag set, at the granted qos
+        for topic, qos in zip(topics, granted):
+            for rtopic, payload in broker.matching_retained(topic):
+                pid = self.next_packet_id() if qos else 1
+                if qos:
+                    self.inflight.add(pid)
+                self._send(
+                    encode_publish(rtopic, payload, qos=qos, packet_id=pid, retain=True)
+                )
 
 
 class MqttBroker:
@@ -308,7 +383,16 @@ class MqttBroker:
         self.spool = spool
         self._lock = threading.Lock()
         self._sequence = 0  # `let sequenceNumber = 0` — MqttServer.ts:19
+        #: exact-topic shelves (the reference's shape, O(1) fan-out lookup)
         self._shelves: dict[str, set] = defaultdict(set)
+        #: wildcard filters: conn -> {filter: granted_qos}; scanned per
+        #: publish — wildcard subscriber counts are small (a trie index is
+        #: the swap-in if they ever are not)
+        self._wildcards: dict[MqttHandler, dict[str, int]] = defaultdict(dict)
+        #: granted qos per (conn, exact topic)
+        self._qos: dict[tuple, int] = {}
+        #: retained last-known-good payload per topic (§3.3.1.3)
+        self._retained: dict[str, bytes] = {}
 
     # -- hooks (StreamFetcher analogs; default allow) -----------------------
     def get_token(self, password: str) -> str:
@@ -325,31 +409,67 @@ class MqttBroker:
             self._sequence += 1
             return self._sequence
 
-    def subscribe(self, conn: MqttHandler, stream_id: str) -> None:
+    def subscribe(self, conn: MqttHandler, filt: str, qos: int = 0) -> None:
         with self._lock:
-            self._shelves[stream_id].add(conn)
+            if "+" in filt or "#" in filt:
+                self._wildcards[conn][filt] = qos
+            else:
+                self._shelves[filt].add(conn)
+                self._qos[(conn, filt)] = qos
 
-    def unsubscribe(self, conn: MqttHandler, stream_id: str) -> None:
+    def unsubscribe(self, conn: MqttHandler, filt: str) -> None:
         with self._lock:
-            self._shelves[stream_id].discard(conn)
+            self._shelves[filt].discard(conn)
+            self._qos.pop((conn, filt), None)
+            self._wildcards.get(conn, {}).pop(filt, None)
 
     def _drop_connection(self, conn: MqttHandler) -> None:
         with self._lock:
             for shelf in self._shelves.values():
                 shelf.discard(conn)
+            self._wildcards.pop(conn, None)
+            self._qos = {k: v for k, v in self._qos.items() if k[0] is not conn}
+
+    def set_retained(self, topic: str, payload: bytes) -> None:
+        with self._lock:
+            if payload:
+                self._retained[topic] = payload
+            else:
+                self._retained.pop(topic, None)
+
+    def matching_retained(self, filt: str) -> list[tuple[str, bytes]]:
+        with self._lock:
+            return [
+                (t, p)
+                for t, p in sorted(self._retained.items())
+                if topic_matches(filt, t)
+            ]
 
     def broadcast(self, stream_id: str, partition: int, content: str) -> int:
         """Deliver to every subscriber of the stream (any partition —
         the reference looks up `streams.get(streamId, 0)` regardless of the
         message's partition, MqttServer.ts:281-302).  Payload is the content
-        JSON; topic is the stream id (= name here)."""
+        JSON; topic is the stream id (= name here).  A connection matching
+        through several filters gets ONE delivery at the max granted qos."""
         with self._lock:
-            targets = list(self._shelves.get(stream_id, ()))
-        pkt = encode_publish(stream_id, content.encode("utf-8"))
+            qos_by_conn: dict[MqttHandler, int] = {}
+            for conn in self._shelves.get(stream_id, ()):
+                q = self._qos.get((conn, stream_id), 0)
+                qos_by_conn[conn] = max(qos_by_conn.get(conn, 0), q)
+            for conn, filters in self._wildcards.items():
+                for filt, q in filters.items():
+                    if topic_matches(filt, stream_id):
+                        qos_by_conn[conn] = max(qos_by_conn.get(conn, 0), q)
+        payload = content.encode("utf-8")
         sent = 0
-        for conn in targets:
+        for conn, qos in qos_by_conn.items():
             try:
-                conn._send(pkt)
+                if qos:
+                    pid = conn.next_packet_id()
+                    conn.inflight.add(pid)
+                    conn._send(encode_publish(stream_id, payload, qos=1, packet_id=pid))
+                else:
+                    conn._send(encode_publish(stream_id, payload))
                 sent += 1
             except (ConnectionError, OSError):
                 self._drop_connection(conn)

@@ -154,3 +154,114 @@ def test_unauthorized_publish_gets_not_authorized(server):
         c.close()
     finally:
         srv.broker.__class__ = mqtt.MqttBroker
+
+
+class TestTopicMatching:
+    def test_exact(self):
+        assert mqtt.topic_matches("a/b", "a/b")
+        assert not mqtt.topic_matches("a/b", "a/c")
+
+    def test_plus_one_level(self):
+        assert mqtt.topic_matches("a/+/c", "a/b/c")
+        assert not mqtt.topic_matches("a/+/c", "a/b/d")
+        assert not mqtt.topic_matches("a/+", "a/b/c")
+        assert mqtt.topic_matches("+", "a")
+        assert not mqtt.topic_matches("+", "a/b")
+
+    def test_hash_remaining_levels(self):
+        assert mqtt.topic_matches("a/#", "a/b/c")
+        assert mqtt.topic_matches("a/#", "a")  # parent level (spec §4.7.1.2)
+        assert mqtt.topic_matches("#", "a/b")
+        assert not mqtt.topic_matches("a/#/c", "a/b/c")  # '#' must be last
+
+
+def test_wildcard_subscription_receives_matching_streams(server):
+    srv, _, _ = server
+    port = srv.server_address[1]
+    sub = MiniClient(port)
+    assert sub.connect("sub", "key") == mqtt.RC_ACCEPTED
+    sub.send(mqtt.encode_subscribe(5, ["sensors/+/temp"]))
+    ptype, _, body = sub.recv()
+    assert ptype == mqtt.SUBACK
+
+    pub = MiniClient(port)
+    assert pub.connect("pub", "key") == mqtt.RC_ACCEPTED
+    pub.send(mqtt.encode_publish("sensors/a/temp", b'{"t": 20}'))
+    pub.send(mqtt.encode_publish("sensors/a/hum", b'{"h": 50}'))
+    pub.send(mqtt.encode_publish("sensors/b/temp", b'{"t": 21}'))
+
+    got = []
+    for _ in range(2):
+        ptype, flags, body = sub.recv()
+        assert ptype == mqtt.PUBLISH
+        got.append(mqtt.parse_publish(flags, body)["topic"])
+    assert got == ["sensors/a/temp", "sensors/b/temp"]
+    sub.close()
+    pub.close()
+
+
+def test_retained_message_delivered_on_subscribe(server):
+    srv, _, _ = server
+    port = srv.server_address[1]
+    pub = MiniClient(port)
+    assert pub.connect("pub", "key") == mqtt.RC_ACCEPTED
+    pub.send(mqtt.encode_publish("status/x", b'{"up": true}', retain=True))
+
+    # late subscriber still gets the retained last-known-good, retain=1
+    sub = MiniClient(port)
+    assert sub.connect("sub", "key") == mqtt.RC_ACCEPTED
+    sub.send(mqtt.encode_subscribe(9, ["status/#"]))
+    ptype, _, _ = sub.recv()  # SUBACK
+    assert ptype == mqtt.SUBACK
+    ptype, flags, body = sub.recv()
+    assert ptype == mqtt.PUBLISH
+    msg = mqtt.parse_publish(flags, body)
+    assert msg["topic"] == "status/x" and msg["retain"]
+    assert json.loads(msg["payload"]) == {"up": True}
+    sub.close()
+
+    # zero-byte retained payload clears it
+    pub.send(mqtt.encode_publish("status/x", b"", retain=True))
+    sub2 = MiniClient(port)
+    assert sub2.connect("sub2", "key") == mqtt.RC_ACCEPTED
+    sub2.send(mqtt.encode_subscribe(10, ["status/#"]))
+    ptype, _, _ = sub2.recv()
+    assert ptype == mqtt.SUBACK
+    sub2.sock.settimeout(0.5)
+    with pytest.raises(TimeoutError):
+        sub2.recv()
+    sub2.close()
+    pub.close()
+
+
+def test_qos1_delivery_tracked_until_puback(server):
+    srv, _, _ = server
+    port = srv.server_address[1]
+    sub = MiniClient(port)
+    assert sub.connect("sub", "key") == mqtt.RC_ACCEPTED
+    sub.send(mqtt.encode_subscribe(3, ["q1-s"], qos=1))
+    ptype, _, body = sub.recv()
+    assert ptype == mqtt.SUBACK and body[2:] == b"\x01"  # granted qos 1
+
+    pub = MiniClient(port)
+    assert pub.connect("pub", "key") == mqtt.RC_ACCEPTED
+    pub.send(mqtt.encode_publish("q1-s", b'{"n": 1}'))
+    ptype, flags, body = sub.recv()
+    assert ptype == mqtt.PUBLISH
+    msg = mqtt.parse_publish(flags, body)
+    assert msg["qos"] == 1 and msg["packet_id"] is not None
+
+    # the delivery is in flight until we PUBACK it
+    broker = srv.broker
+    conn = next(iter(broker._shelves["q1-s"]))
+    assert msg["packet_id"] in conn.inflight
+    sub.send(mqtt.encode_packet(mqtt.PUBACK, 0, struct.pack(">H", msg["packet_id"])))
+    import time as _t
+
+    for _ in range(100):
+        if msg["packet_id"] not in conn.inflight:
+            break
+        _t.sleep(0.02)
+    assert msg["packet_id"] not in conn.inflight
+    sub.close()
+    pub.close()
