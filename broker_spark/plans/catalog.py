@@ -3524,7 +3524,12 @@ def q_ann_ivf_pq_rerank_topk(spark, sf_dir):
 @register(
     "source_overlap_matrix",
     """
-    WITH h AS (SELECT DISTINCT source, md5(text) AS th FROM documents)
+    WITH h AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                 ' ')) AS th
+      FROM documents
+    )
     SELECT a.source AS source_a, b.source AS source_b,
            CAST(COUNT(*) AS BIGINT) AS shared_texts
     FROM h a JOIN h b ON a.th = b.th AND a.source < b.source
@@ -3532,15 +3537,20 @@ def q_ann_ivf_pq_rerank_topk(spark, sf_dir):
     """,
 )
 def q_source_overlap_matrix(spark, sf_dir):
-    """Cross-source contamination matrix: how many distinct texts each
-    pair of sources shares verbatim — the table that decides which crawl
-    to drop when sources mirror each other.  Self-join keyed on the text
-    hash (never the text), distinct-ed per source first so the join input
-    is one row per (source, hash); at 100 TB the hash key both prunes the
-    shuffle and bounds skew (a hash shared by all S sources contributes
-    S^2 rows, not doc-count^2)."""
+    """Cross-source contamination matrix: how many canonical documents
+    (bag-of-words fingerprint — same word set, any order, catches
+    templated re-crawls that byte-hashes miss) each pair of sources
+    shares — the table that decides which crawl to drop when sources
+    mirror each other.  Self-join keyed on the fingerprint (never the
+    text), distinct-ed per source first so the join input is one row per
+    (source, hash); at 100 TB the hash key both prunes the shuffle and
+    bounds skew (a hash shared by all S sources contributes S^2 rows,
+    not doc-count^2)."""
     docs = load(spark, sf_dir, "documents")
-    h = docs.select("source", F.md5("text").alias("th")).distinct()
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    h = docs.select("source", F.md5(canon).alias("th")).distinct()
     a, b = h.alias("a"), h.alias("b")
     return (
         a.join(
