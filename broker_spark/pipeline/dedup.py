@@ -373,16 +373,20 @@ def connected_components(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     paired_ids = edges.select(F.col("src").alias(id_col)).distinct()
-    labels = paired_ids.select(F.col(id_col), F.col(id_col).alias("component")).persist()
-    prev = labels
+    labels = paired_ids.select(F.col(id_col), F.col(id_col).alias("component"))
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels[id_col])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        # carry old + new through ONE persisted frame: the change count and
-        # the next labels both read it without a second join
+        # carry old + new through ONE materialized frame: the change count
+        # and the next labels both read it without a second join.
+        # localCheckpoint (not persist): `labels` appears twice per step,
+        # so the logical plan doubles every iteration — on deep components
+        # planning itself OOMs before the data is ever large.  Truncating
+        # the lineage each round keeps the plan constant-size (use
+        # checkpoint(dir) on a cluster for executor-loss resilience).
         stepped = (
             labels.join(neighbor_min, labels[id_col] == neighbor_min["src"], "left")
             .select(
@@ -392,11 +396,9 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("component") != F.col("_old")).count()
-        prev.unpersist()
-        prev = stepped
         labels = stepped.select(id_col, "component")
         if changed == 0:
             break
@@ -473,3 +475,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
     )
+
+
+def connected_components_star(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — the O(log n)-round algorithm that replaces
+    `connected_components`' O(cluster diameter) label propagation when
+    components can be deep (chained near-dup families at corpus scale).
+
+    Per round (each one edge-key shuffle):
+    - large-star: every node connects its LARGER neighbors to its
+      minimum neighbor (or itself), halving tall trees;
+    - small-star: every node connects its smaller-or-equal neighbors to
+      the minimum, forming stars.
+    Terminates when the edge multiset stops changing; the surviving edges
+    are (node -> component minimum).  Result is identical to
+    `connected_components` (min reachable id per node) — property-tested
+    against it and oracle-checked by the same recursive CTE.
+
+    Same singleton policy: only paired nodes iterate; singletons union in
+    afterwards as their own components."""
+    ids = docs.select(id_col).distinct()
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    paired_ids = edges.select(F.col("u").alias(id_col)).distinct().persist()
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}; connect the selected side of N(u) to m
+        nbr_min = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = e.join(nbr_min, "u")
+        side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        out = (
+            joined.filter(side)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # keep edges symmetric for the next round's neighborhoods
+        return out.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            out.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        ).distinct()
+
+    # each round references the previous round's output twice per star
+    # phase (groupBy + join); without truncation the logical plan doubles
+    # every round and planning itself OOMs — localCheckpoint materializes
+    # the round and cuts the lineage (use checkpoint(dir) on a cluster
+    # for executor-loss resilience)
+    for _ in range(max_iter):
+        stepped = star(star(edges, large=True), large=False).localCheckpoint(
+            eager=True
+        )
+        # fixpoint test: same edge set (both sides are distinct sets, so
+        # count equality + empty difference decide exactly)
+        same = (
+            stepped.count() == edges.count()
+            and stepped.exceptAll(edges).isEmpty()
+        )
+        edges = stepped
+        if same:
+            break
+    # star edges point node -> component min; min per node is the label
+    labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
+        F.col("u").alias(id_col),
+        F.least(F.col("_m"), F.col(id_col)).alias("component"),
+    )
+    # nodes that ARE the component minimum have no outgoing smaller edge
+    # after contraction only if isolated as centers; cover them from ids
+    centers = paired_ids.join(labels, id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    singletons = ids.join(paired_ids, id_col, "left_anti").select(
+        F.col(id_col), F.col(id_col).alias("component")
+    )
+    return labels.unionByName(centers).unionByName(singletons)

@@ -1031,6 +1031,20 @@ def q_dedup_components(spark, sf_dir):
 
 
 @register(
+    "dedup_components_star",
+    _CC_SQL_PREFIX + "SELECT doc_id, component FROM comp",
+)
+def q_dedup_components_star(spark, sf_dir):
+    """Connected components by large-star/small-star contraction — the
+    O(log n)-round alternative to `dedup_components`' O(diameter) label
+    propagation, for corpora whose near-dup families chain deep.  Same
+    result (min reachable id), same recursive-CTE oracle; property-tested
+    equal to the propagation version on random graphs."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.connected_components_star(docs, dedup.minhash_lsh_pairs(docs))
+
+
+@register(
     "dedup_cluster_keepers",
     _CC_SQL_PREFIX
     + """
@@ -3634,6 +3648,7 @@ _AUDIT_PRIORITY = [
     "pq_quantization_error",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_rerank_topk",
+    "dedup_components_star",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",

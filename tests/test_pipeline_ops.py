@@ -428,3 +428,36 @@ class TestRepetitionAndPacking:
 
         rows = {r.stage: r.users for r in CATALOG["funnel_counts"].fn(spark, SF_SMALL).collect()}
         assert rows["view"] >= rows["click_after_view"] >= rows["purchase_after_click"]
+
+
+class TestStarContractionProperty:
+    def test_star_equals_propagation_on_random_graphs(self, spark):
+        """large-star/small-star contraction == min-label propagation ==
+        union-find, on random graphs including deep chains (where the
+        O(log n) contraction needs several rounds)."""
+        import random
+
+        from broker_spark.pipeline.dedup import (
+            connected_components,
+            connected_components_star,
+        )
+
+        rng = random.Random(13)
+        for trial in range(2):
+            n = 30
+            edges = sorted(
+                {tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(4, 20))}
+            )
+            chain_base = rng.randrange(n - 8)
+            edges += [(chain_base + i, chain_base + i + 1) for i in range(7)]
+            docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+            prop = {
+                r["doc_id"]: r["component"]
+                for r in connected_components(docs, pairs).collect()
+            }
+            star = {
+                r["doc_id"]: r["component"]
+                for r in connected_components_star(docs, pairs).collect()
+            }
+            assert star == prop, f"trial {trial}"
