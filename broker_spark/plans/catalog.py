@@ -3606,18 +3606,20 @@ def q_topk_bigrams_per_lang(spark, sf_dir):
     (lang, bigram) with map-side partials, then a per-lang top-k window —
     the bigram explosion never leaves the scan stage unaggregated."""
     docs = load(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # project the split ONCE: inlining it into the transform lambda makes
+    # codegen re-split the text per bigram element (no CSE inside lambda
+    # bodies) — measured ~3x on this entry
+    w = F.col("w")
     bigrams = F.when(
-        F.size(words) >= 2,
+        F.size(w) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(words) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
-            ),
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     counted = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", F.split(F.col("text"), " ").alias("w"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
