@@ -19,14 +19,24 @@ DEFAULT_SHINGLE = 3
 
 def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """Word k-gram shingles: `concat_ws(' ', words[i..i+k-1])` for each
-    window start.  Empty array when the doc has fewer than k words."""
-    words = F.split(text, " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
-    return F.when(
-        n >= k,
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    window start.  Empty array when the doc has fewer than k words.
+
+    The split is bound ONCE per row through an outer lambda variable:
+    codegen does no CSE inside lambda bodies, so referencing `split(text)`
+    directly from the inner transform re-tokenizes the text per shingle —
+    measured ~2x on the shingle-exploding operators."""
+
+    def _shingles(words: Column) -> Column:
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+        return F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(F.split(text, " ")), _shingles), 1
+    )
 
 
 def minhash_signature(
