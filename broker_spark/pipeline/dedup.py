@@ -219,10 +219,16 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     subtraction.  Distributes cleanly: the shuffle carries one 60-counter
     row per doc, not the words.
     """
-    words = _spread(docs).select(
-        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w")
+    # hash projected ONCE per word row: leaving `word_hash60(w)` inline in
+    # the 60 sum expressions relies on codegen subexpression elimination
+    # inside the aggregate, which does not fire across partial-agg update
+    # expressions — 60 md5s per word instead of 1
+    words = (
+        _spread(docs)
+        .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .select("doc_id", word_hash60(F.col("w")).alias("_h"))
     )
-    h = word_hash60(F.col("w"))
+    h = F.col("_h")
     counters = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         *[

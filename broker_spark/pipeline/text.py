@@ -262,16 +262,21 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("max_tf"),
     )
-    n = F.size(words)
-    bigram_arr = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(words, i), F.element_at(words, i + 1)
+    # bind the split once (outer lambda variable): no CSE inside lambda
+    # bodies, so referencing `words` directly re-splits per bigram
+    def _bigram_arr(w: Column) -> Column:
+        n = F.size(w)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigram_arr = F.element_at(F.transform(F.array(words), _bigram_arr), 1)
     bigrams = docs.select("doc_id", F.explode(bigram_arr).alias("bg"))
     bgc = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bs = bgc.groupBy("doc_id").agg(
@@ -547,11 +552,18 @@ def winnow_fingerprints(
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(starts, lambda i: text.substr(i, F.lit(k)))
     hashes = F.transform(grams, lambda g: F.substring(F.md5(g), 1, 8))
-    win_starts = F.when(
-        F.size(hashes) >= window,
-        F.sequence(F.lit(1), F.size(hashes) - window + 1),
-    ).otherwise(F.array().cast("array<int>"))
-    minima = F.transform(win_starts, lambda i: F.array_min(F.slice(hashes, i, window)))
+
+    # bind the hash array once: referencing `hashes` inside the window
+    # lambda would recompute every gram's md5 per window position —
+    # O(windows x grams) hashing instead of O(grams)
+    def _minima(hs: Column) -> Column:
+        win_starts = F.when(
+            F.size(hs) >= window,
+            F.sequence(F.lit(1), F.size(hs) - window + 1),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(win_starts, lambda i: F.array_min(F.slice(hs, i, window)))
+
+    minima = F.element_at(F.transform(F.array(hashes), _minima), 1)
     return docs.select(
         "doc_id",
         F.array_sort(F.array_distinct(minima)).alias("fingerprints"),
