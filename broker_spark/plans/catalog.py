@@ -3495,6 +3495,131 @@ def q_robust_stats_mad(spark, sf_dir):
     )
 
 
+@register(
+    "quality_percentile_filter",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+             round(least(n_tokens / 100.0, 1.0) * 0.5
+                   + (1.0 - least(n_punct * 1.0 / greatest(n_len, 1), 1.0)) * 0.5,
+                   6) AS quality_score
+      FROM t
+    ),
+    cut AS (
+      SELECT lang, quantile_cont(quality_score, 0.1) AS p10 FROM scored GROUP BY lang
+    )
+    SELECT s.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           round(any_value(c.p10), 6) AS p10_cutoff,
+           round(AVG(s.quality_score), 6) AS avg_kept_quality
+    FROM scored s JOIN cut c USING (lang)
+    WHERE s.quality_score > c.p10
+    GROUP BY s.lang
+    """,
+)
+def q_quality_percentile_filter(spark, sf_dir):
+    """Percentile-threshold quality filtering: per-language p10 cutoff of
+    the quality score, keep strictly-above docs, report the kept-set
+    accounting — the adaptive 'drop the worst decile per language'
+    policy (a fixed global threshold over/under-filters small
+    languages).  One tiny per-lang quantile agg broadcast back against
+    the scored scan; at 100 TB swap percentile -> approx_percentile for
+    logarithmic state."""
+    feats = text.quality_features(load(spark, sf_dir, "documents"))
+    scored = feats.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
+    cut = scored.groupBy("lang").agg(
+        F.expr("percentile(quality_score, 0.1)").alias("p10")
+    )
+    return (
+        scored.join(broadcast(cut), "lang")
+        .filter(F.col("quality_score") > F.col("p10"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(F.any_value("p10"), 6).alias("p10_cutoff"),
+            F.round(F.avg("quality_score"), 6).alias("avg_kept_quality"),
+        )
+    )
+
+
+@register(
+    "user_session_features",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events,
+             epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      FROM s GROUP BY user_id, session_no
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           round(AVG(duration_ms), 6) AS avg_session_ms,
+           round(SUM(session_value), 6) AS total_value
+    FROM sess GROUP BY user_id
+    """,
+)
+def q_user_session_features(spark, sf_dir):
+    """Per-user behavioral features from gap sessionization (session
+    count, size, duration, decimal-exact value totals) — the feature-
+    engineering table a churn/engagement model trains on.  Both window
+    passes and both aggs ride ONE shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1_800_000), 1).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "session_no"
+        ),
+    )
+    sess = s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+            "duration_ms"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "session_value"
+        ),
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+        F.round(F.avg("duration_ms"), 6).alias("avg_session_ms"),
+        F.round(F.sum("session_value"), 6).alias("total_value"),
+    )
+
+
 @register("pq_quantization_error", None)
 def q_pq_quantization_error(spark, sf_dir):
     """Per-label PQ compression accounting: 64 float32 dims -> 8 one-byte
@@ -3651,6 +3776,8 @@ _AUDIT_PRIORITY = [
     "ann_ivf_pq_topk",
     "ann_ivf_pq_rerank_topk",
     "dedup_components_star",
+    "quality_percentile_filter",
+    "user_session_features",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
