@@ -79,6 +79,13 @@ HEADLINE = [
     "perplexity_buckets",
     "robust_stats_mad",
     "topk_bigrams_per_lang",
+    "source_overlap_matrix",
+    "quality_percentile_filter",
+    "user_session_features",
+    "pq_quantization_error",
+    "ann_ivf_pq_topk",
+    "substring_dup_pairs",
+    "gopher_filter_flags",
 ]
 
 

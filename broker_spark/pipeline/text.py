@@ -690,3 +690,80 @@ def perplexity_buckets(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.round(F.min("mean_nll"), 6).alias("min_nll"),
         F.round(F.max("mean_nll"), 6).alias("max_nll"),
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 5,
+    max_fp_freq: int | None = 20,
+) -> DataFrame:
+    """Cross-document substring duplication via the winnowing inverted
+    index — the tractable Spark shape of exact-substring dedup ("docs
+    sharing long verbatim character runs"), complementing the word-level
+    MinHash/Jaccard family.
+
+    Winnowing guarantees any shared substring of length >= k + window - 1
+    chars shares at least one fingerprint; requiring `min_shared`
+    fingerprints selects structural overlap over single coincidental
+    grams.  `max_fp_freq` drops fingerprints present in more than that
+    many documents (boilerplate guard — hot posting lists go quadratic in
+    the self-join, same rationale as the guarded MinHash/Jaccard
+    entries).  One explode + one fingerprint-keyed self-join; no
+    text-by-text comparison ever happens."""
+    fps = winnow_fingerprints(docs, k, window).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(broadcast(hot), "fp", "left_anti")
+    fps = fps.persist()  # both self-join sides
+    pairs = (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+    return pairs
+
+
+def gopher_filter_flags(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 20_000,
+    max_dup_word_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.18,
+) -> DataFrame:
+    """The filter DECISION table: Gopher-style repetition/length rules
+    evaluated into per-document boolean flags plus the final keep bit —
+    what a pipeline materializes so every drop is attributable to a rule
+    (and thresholds can be re-tuned without re-scanning the corpus).
+    Rides repetition_stats' two-level agg; the flag evaluation is free
+    column arithmetic."""
+    stats = repetition_stats(docs)
+    too_short = F.col("n_tokens") < min_tokens
+    too_long = F.col("n_tokens") > max_tokens
+    dup_words = F.col("dup_word_frac") > max_dup_word_frac
+    top_bigram = F.col("top_bigram_frac") > max_top_bigram_frac
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        "top_bigram_frac",
+        too_short.alias("flag_too_short"),
+        too_long.alias("flag_too_long"),
+        dup_words.alias("flag_dup_words"),
+        top_bigram.alias("flag_top_bigram"),
+        (~(too_short | too_long | dup_words | top_bigram)).alias("keep"),
+    )

@@ -3620,6 +3620,90 @@ def q_user_session_features(spark, sf_dir):
     )
 
 
+@register(
+    "substring_dup_pairs",
+    """
+    WITH g AS (
+      SELECT doc_id,
+        CASE WHEN length(text) >= 8 THEN
+          [substring(md5(substring(text, i, 8)), 1, 8)
+           for i in range(1, length(text) - 8 + 2)]
+        ELSE [] END AS hashes
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+        CASE WHEN len(hashes) >= 4 THEN
+          [list_aggregate(hashes[i : i + 3], 'min')
+           for i in range(1, len(hashes) - 4 + 2)]
+        ELSE [] END AS minima
+      FROM g
+    ),
+    fp AS (SELECT doc_id, unnest(list_distinct(minima)) AS f FROM w),
+    freq AS (SELECT f, COUNT(*) AS df FROM fp GROUP BY f),
+    kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN freq USING (f)
+             WHERE freq.df <= 20)
+    SELECT doc_a, doc_b, shared_fingerprints FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+      FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ) WHERE shared_fingerprints >= 5
+    """,
+)
+def q_substring_dup_pairs(spark, sf_dir):
+    """Exact-substring duplication pairs via the winnowing inverted index
+    (>=5 shared fingerprints, boilerplate fingerprints with df>20
+    dropped) — the character-level dedup mode that catches verbatim
+    passage reuse word-level MinHash misses."""
+    return text.substring_dup_pairs(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "gopher_filter_flags",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    uni AS (SELECT doc_id, unnest(l) AS term FROM w),
+    unic AS (SELECT doc_id, term, COUNT(*) AS c FROM uni GROUP BY doc_id, term),
+    us AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS max_tf
+      FROM unic GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS b
+      FROM w WHERE len(l) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_bg
+      FROM bgc GROUP BY doc_id
+    ),
+    r AS (
+      SELECT us.doc_id, n_tokens,
+             round(1.0 - n_distinct * 1.0 / n_tokens, 6) AS dup_word_frac,
+             round(coalesce(max_bg * 1.0 / n_bigrams, 0.0), 6) AS top_bigram_frac
+      FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+    )
+    SELECT doc_id, n_tokens, dup_word_frac, top_bigram_frac,
+           n_tokens < 20 AS flag_too_short,
+           n_tokens > 20000 AS flag_too_long,
+           dup_word_frac > 0.30 AS flag_dup_words,
+           top_bigram_frac > 0.18 AS flag_top_bigram,
+           NOT (n_tokens < 20 OR n_tokens > 20000
+                OR dup_word_frac > 0.30 OR top_bigram_frac > 0.18) AS keep
+    FROM r
+    """,
+)
+def q_gopher_filter_flags(spark, sf_dir):
+    """The filter decision table: Gopher-style length/repetition rules as
+    per-document boolean flags plus the final keep bit, so every drop is
+    attributable to a rule and thresholds re-tune without re-scanning."""
+    return text.gopher_filter_flags(load(spark, sf_dir, "documents"))
+
+
 @register("pq_quantization_error", None)
 def q_pq_quantization_error(spark, sf_dir):
     """Per-label PQ compression accounting: 64 float32 dims -> 8 one-byte
@@ -3778,6 +3862,8 @@ _AUDIT_PRIORITY = [
     "dedup_components_star",
     "quality_percentile_filter",
     "user_session_features",
+    "substring_dup_pairs",
+    "gopher_filter_flags",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
