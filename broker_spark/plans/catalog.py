@@ -3704,6 +3704,90 @@ def q_gopher_filter_flags(spark, sf_dir):
     return text.gopher_filter_flags(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "event_value_ranks",
+    """
+    SELECT event_id, event_type, value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(ntile(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def q_event_value_ranks(spark, sf_dir):
+    """Distributional rank features per event type (percent_rank /
+    cume_dist / quartile) — the normalized-score columns a feature store
+    materializes.  One shuffle on the type key serves all three window
+    functions; ties break on event_id so both engines rank identically."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+@register(
+    "dedup_kept_by_quality",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                 ' ')) AS th,
+             round(least(n_tokens / 100.0, 1.0) * 0.5
+                   + (1.0 - least(n_punct * 1.0 / greatest(n_len, 1), 1.0)) * 0.5,
+                   6) AS quality_score
+      FROM t
+    )
+    SELECT th AS group_hash, doc_id AS kept_doc_id, quality_score,
+           n_members FROM (
+      SELECT th, doc_id, quality_score,
+             CAST(COUNT(*) OVER (PARTITION BY th) AS BIGINT) AS n_members,
+             row_number() OVER (PARTITION BY th
+                                ORDER BY quality_score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn = 1 AND n_members > 1
+    """,
+)
+def q_dedup_kept_by_quality(spark, sf_dir):
+    """Which copy to keep: per canonical-fingerprint duplicate group,
+    keep the HIGHEST-QUALITY member (ties to smallest id) — the realistic
+    keeper policy vs min-id.  Max-by via one window over the group hash;
+    only true duplicate groups (n>1) emit."""
+    docs = load(spark, sf_dir, "documents")
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    scored = text.quality_features(docs).join(
+        docs.select("doc_id", F.md5(canon).alias("th")), "doc_id"
+    )
+    w = Window.partitionBy("th")
+    wr = w.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (
+        scored.select(
+            F.col("th").alias("group_hash"),
+            F.col("doc_id").alias("kept_doc_id"),
+            "quality_score",
+            F.count(F.lit(1)).over(w).cast("long").alias("n_members"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .drop("rn")
+    )
+
+
 @register("pq_quantization_error", None)
 def q_pq_quantization_error(spark, sf_dir):
     """Per-label PQ compression accounting: 64 float32 dims -> 8 one-byte
@@ -3864,6 +3948,8 @@ _AUDIT_PRIORITY = [
     "user_session_features",
     "substring_dup_pairs",
     "gopher_filter_flags",
+    "event_value_ranks",
+    "dedup_kept_by_quality",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
