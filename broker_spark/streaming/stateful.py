@@ -89,3 +89,80 @@ def streaming_ewma(keyed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming incremental LSH dedup ----------------------------------------
+
+_DEDUP_OUTPUT = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("band_id", LongType(), False),
+        StructField("band_key", StringType(), False),
+        StructField("dup_of", LongType(), False),
+    ]
+)
+
+#: state per (band_id, band_key) bucket: first-seen doc + bucket size
+_DEDUP_STATE = StructType(
+    [StructField("first_doc_id", LongType(), True), StructField("n_seen", LongType(), True)]
+)
+
+
+def _band_dedup_func(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per LSH bucket: the first document ever seen claims the bucket;
+    every later arrival is emitted as a candidate duplicate of it.
+    State is two longs per bucket regardless of stream length."""
+    first, n = state.get if state.exists else (None, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    out_doc, out_dup = [], []
+    for d in rows["doc_id"].astype("int64"):
+        d = int(d)
+        if first is None:
+            first = d
+        elif d != first:
+            out_doc.append(d)
+            out_dup.append(first)
+        n += 1
+    state.update((first, n))
+    yield pd.DataFrame(
+        {
+            "doc_id": out_doc,
+            "band_id": [int(key[0])] * len(out_doc),
+            "band_key": [key[1]] * len(out_doc),
+            "dup_of": out_dup,
+        }
+    )
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Streaming incremental near-dup detection: MinHash band keys are
+    pure column expressions in the scan stage, then ONE stateful shuffle
+    on the (band_id, band_key) bucket where applyInPandasWithState keeps
+    the first-seen doc per bucket — the streaming counterpart of
+    `dedup.minhash_lsh_pairs_between` with the corpus index living in the
+    checkpointed state store instead of a table.  Each arriving document
+    that lands in a claimed bucket emits (doc_id, dup_of first_doc_id);
+    downstream either drops immediately (aggressive) or verifies exact
+    Jaccard against the named partner (precise).
+
+    `docs` is a streaming DataFrame with (doc_id long, text string)."""
+    from broker_spark.pipeline.dedup import _banded, minhash_signature
+    from pyspark.sql import functions as F
+
+    sig = docs.select("doc_id", *minhash_signature(F.col("text"), num_hashes))
+    banded = _banded(sig, num_hashes, rows_per_band).withColumn(
+        "band_id", F.col("band_id").cast("long")
+    )
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        _band_dedup_func,
+        outputStructType=_DEDUP_OUTPUT,
+        stateStructType=_DEDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -151,3 +151,53 @@ class TestResendThenRealtime:
         live.push(_msg(1000, 0, pub="b"))  # same (ts, seq), later publisher
         out = list(resend_then_realtime(iter(hist), live))
         assert [m["publisher_id"] for m in out] == ["a", "b"]
+
+
+class TestStreamingLshDedup:
+    def test_candidates_across_microbatches(self, spark, tmp_path):
+        """The state store is the corpus index: a near-identical document
+        arriving in a LATER micro-batch must still be flagged against the
+        first-seen partner; batch-2 reruns must not re-flag batch-1 docs."""
+        src = tmp_path / "docs-src"
+        sink = str(tmp_path / "docs-sink")
+        ckpt = str(tmp_path / "docs-ckpt")
+        src.mkdir()
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " extra"   # shares shingles -> same band keys
+        other = "completely different words entirely unrelated to anything here now"
+
+        def run_batch():
+            source = (
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(str(src))
+            )
+            q = (
+                stateful.streaming_lsh_candidates(source)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return {
+                (r["doc_id"], r["dup_of"])
+                for r in spark.read.parquet(sink).collect()
+            }
+
+        spark.createDataFrame(
+            [(1, base), (2, other)], "doc_id long, text string"
+        ).write.mode("append").parquet(str(src))
+        first = run_batch()
+        assert first == set()  # two distinct docs claim their buckets
+
+        spark.createDataFrame(
+            [(3, near)], "doc_id long, text string"
+        ).write.mode("append").parquet(str(src))
+        second = run_batch()
+        # doc 3 flagged against first-seen doc 1 (state carried over);
+        # no re-flagging of batch-1 docs
+        assert (3, 1) in second
+        assert all(d == 3 for d, _ in second - first | second)
