@@ -3788,6 +3788,64 @@ def q_dedup_kept_by_quality(spark, sf_dir):
     )
 
 
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({_WORDS}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    p AS (
+      SELECT word, freq,
+             unnest([substring(word, i, 2) for i in range(1, length(word))]) AS pair
+      FROM wf WHERE length(word) >= 2
+    ),
+    pc AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair
+    )
+    SELECT pair, n, rank FROM (
+      SELECT pair, n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank
+      FROM pc
+    ) WHERE rank <= 20
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The BPE-training inner loop at corpus scale: corpus-weighted
+    adjacent character-pair frequencies, computed over the DISTINCT-WORD
+    frequency table — the table a byte-pair-encoding trainer iterates
+    merges on.  The crucial scale property: after the first word-count
+    shuffle, every subsequent BPE iteration touches only the distinct
+    vocabulary (tiny vs the corpus), which is why BPE training is
+    feasible on 100 TB of text.  Top-20 shown; ties rank by pair."""
+    docs = load(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    word = F.col("word")
+    pairs = F.when(
+        F.length(word) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word) - 1),
+            lambda i: word.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pc = (
+        wf.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (
+        pc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n", "rank")
+    )
+
+
 @register("pq_quantization_error", None)
 def q_pq_quantization_error(spark, sf_dir):
     """Per-label PQ compression accounting: 64 float32 dims -> 8 one-byte
@@ -3950,6 +4008,7 @@ _AUDIT_PRIORITY = [
     "gopher_filter_flags",
     "event_value_ranks",
     "dedup_kept_by_quality",
+    "bpe_pair_counts",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
