@@ -3846,6 +3846,99 @@ def q_bpe_pair_counts(spark, sf_dir):
     )
 
 
+@register(
+    "training_manifest",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    uni AS (SELECT doc_id, unnest(l) AS term FROM w),
+    unic AS (SELECT doc_id, term, COUNT(*) AS c FROM uni GROUP BY doc_id, term),
+    us AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM unic GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, unnest([l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS b
+      FROM w WHERE len(l) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    bs AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS max_bg
+      FROM bgc GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT us.doc_id FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+      WHERE n_tokens >= 20 AND n_tokens <= 20000
+        AND round(1.0 - n_distinct * 1.0 / n_tokens, 6) <= 0.30
+        AND round(coalesce(max_bg * 1.0 / n_bigrams, 0.0), 6) <= 0.18
+    ),
+    t AS (
+      SELECT d.doc_id, d.lang, d.text,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+             CAST(length(d.text) AS INT) AS n_len,
+             CAST(length(regexp_replace(d.text, '[a-zA-Z0-9 ]', '', 'g')) AS INT)
+               AS n_punct
+      FROM documents d JOIN kept USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                                 ' ')) AS th,
+             round(least(n_tokens / 100.0, 1.0) * 0.5
+                   + (1.0 - least(n_punct * 1.0 / greatest(n_len, 1), 1.0)) * 0.5,
+                   6) AS q
+      FROM t
+    ),
+    keeper AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY th ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           CASE WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 4)) AS BIGINT) AS INT)
+                     < {text.SPLIT_TRAIN_MAX} THEN 'train'
+                WHEN CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                      1, 4)) AS BIGINT) AS INT)
+                     < {text.SPLIT_VAL_MAX} THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+             AS total_tokens
+    FROM keeper GROUP BY lang, split
+    """,
+)
+def q_training_manifest(spark, sf_dir):
+    """THE composed pipeline, end to end: Gopher filter rules -> quality-
+    priority dedup (best doc per canonical fingerprint among survivors)
+    -> deterministic md5 train/val/test split -> per-(lang, split)
+    manifest accounting.  Demonstrates that every stage composes as a
+    single lazy plan: Catalyst fuses the filter into the scans, the only
+    shuffles are the two doc-keyed aggs, the fingerprint window, and the
+    final group-by — no materialization between stages."""
+    docs = load(spark, sf_dir, "documents")
+    kept_ids = text.gopher_filter_flags(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    canon = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
+    )
+    scored = text.quality_features(kept).join(
+        kept.select("doc_id", "lang", "text", F.md5(canon).alias("th")), "doc_id"
+    )
+    wr = Window.partitionBy("th").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    keeper = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "text")
+    )
+    return text.split_assignment(keeper)
+
+
 @register("pq_quantization_error", None)
 def q_pq_quantization_error(spark, sf_dir):
     """Per-label PQ compression accounting: 64 float32 dims -> 8 one-byte
@@ -4009,6 +4102,7 @@ _AUDIT_PRIORITY = [
     "event_value_ranks",
     "dedup_kept_by_quality",
     "bpe_pair_counts",
+    "training_manifest",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
