@@ -86,6 +86,10 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     "substring_dup_pairs",
     "gopher_filter_flags",
+    "event_value_ranks",
+    "dedup_kept_by_quality",
+    "bpe_pair_counts",
+    "training_manifest",
 ]
 
 

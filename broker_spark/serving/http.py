@@ -198,6 +198,15 @@ class DataQueryHandler(BaseHTTPRequestHandler):
         except PublishError as e:
             self._error(str(e))
             return
+        except Exception as e:
+            # validator rejections (signature/policy) are client errors,
+            # like the reference's FailedToPublishError -> 400 path
+            from broker_spark.serving.validator import ValidationError
+
+            if isinstance(e, ValidationError):
+                self._error(str(e))
+                return
+            raise
         self._send_json(200, {})
 
     # -- data queries -------------------------------------------------------

@@ -173,3 +173,34 @@ class TestInMemoryCoreApi:
         with pytest.raises(HttpError) as e:
             f2.authenticate("s1", "tok", "stream_subscribe")
         assert e.value.code == 403
+
+
+class TestGatewayValidation:
+    def test_bad_signature_maps_to_400(self, spark, tmp_path):
+        """A validator rejection on POST surfaces as the 400 error text,
+        not a 500 (reference: FailedToPublishError -> client error)."""
+        import urllib.error
+        import urllib.request
+
+        from broker_spark.serving import http as serving_http
+
+        st = Storage(spark, str(tmp_path / "gwlog"))
+        spool = PublishSpool(st, validator=hmac_validator(SECRETS))
+        server = serving_http.serve(st, spool=spool)
+        host, port = server.server_address
+        try:
+            req = urllib.request.Request(
+                f"http://{host}:{port}/streams/s1/data?ts=1000"
+                "&address=0xpub&msgChainId=c1&signatureType=2&signature=beef",
+                data=b'{"v":1}',
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req, timeout=120)
+                raise AssertionError("expected HTTP error")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "Signature validation failed" in e.read().decode()
+        finally:
+            spool.close()
+            server.shutdown()
