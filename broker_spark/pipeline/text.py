@@ -767,3 +767,42 @@ def gopher_filter_flags(
         top_bigram.alias("flag_top_bigram"),
         (~(too_short | too_long | dup_words | top_bigram)).alias("keep"),
     )
+
+
+def pack_sequences_sharded(
+    docs: DataFrame, budget: int = 256, n_shards: int = 8
+) -> DataFrame:
+    """`pack_sequences` with the partition key widened for 100 TB: packing
+    runs within (lang, shard) where shard = md5(doc_id) prefix mod
+    n_shards, so each language spreads across `n_shards` parallel window
+    tasks instead of serializing onto one.  Pack ids are globally unique
+    via (lang, shard, local pack) and the assignment stays deterministic
+    and growth-stable within a shard.  The trade: packs never span
+    shards, so up to one partially-filled pack per (lang, shard) instead
+    of per lang — the waste bound is n_shards x budget tokens per
+    language, negligible against shard sizes."""
+    n_tokens = token_count(F.col("text")).cast("long")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % n_shards
+    ).cast("int")
+    sel = docs.select(
+        "doc_id", "lang", shard.alias("shard"), n_tokens.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    sel = sel.withColumn("cum_before", cum_before)
+    pack = F.floor(F.col("cum_before") / budget).cast("long")
+    return sel.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        pack.alias("pack_id"),
+        (F.col("cum_before") - pack * budget).cast("long").alias("pack_offset"),
+    )

@@ -2921,6 +2921,40 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "pack_sequences_sharded",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 4)) AS BIGINT) % 8 AS INT) AS INT) AS shard,
+             CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, shard, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tokens AS BIGINT) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(floor(cum_before / 256.0) AS BIGINT) AS pack_id,
+           CAST(cum_before - CAST(floor(cum_before / 256.0) AS BIGINT) * 256
+                AS BIGINT) AS pack_offset
+    FROM c
+    """,
+)
+def q_pack_sequences_sharded(spark, sf_dir):
+    """Sequence packing with the 100 TB partition key: pack within
+    (lang, md5-shard) so each language spreads over 8 parallel window
+    tasks instead of serializing onto one — the widened-key variant the
+    plain `pack_sequences` docstring promises, now implemented and
+    oracle-checked.  Waste bound: one partial pack per (lang, shard)."""
+    return text.pack_sequences_sharded(load(spark, sf_dir, "documents"))
+
+
+@register(
     "decontamination_overlap",
     f"""
     WITH b AS (
@@ -4103,6 +4137,7 @@ _AUDIT_PRIORITY = [
     "dedup_kept_by_quality",
     "bpe_pair_counts",
     "training_manifest",
+    "pack_sequences_sharded",
     # -- repaired this round (TIMESTAMP_NTZ incident): driver must re-verify
     "bucket_index",
     "retention_selection",
