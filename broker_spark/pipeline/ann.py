@@ -338,6 +338,7 @@ def kmeans_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepared=None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd's k-means for the trained-IVF coarse quantizer.
 
@@ -355,15 +356,19 @@ def kmeans_train(
     over the corpus) stays fully distributed, matching how pyspark.ml's
     KMeans reduces per-iteration stats to the driver.
     """
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    )
-    # 3+ sequential jobs (count, init, per-iter stats) re-scan this
-    # projection; persist it so each job reads the in-memory columnar copy
-    # instead of re-listing + re-decoding parquet.  Size is rows x dim
-    # doubles — the same data any k-means trainer must hold hot.
-    e = e.persist()
-    n = e.count()
+    # 3+ sequential jobs (count, init, per-iter stats) re-scan the (_id,
+    # _v) projection; persist it so each job reads the in-memory columnar
+    # copy instead of re-listing + re-decoding parquet.  `prepared` lets a
+    # caller training several quantizers (coarse + PQ) share ONE persisted
+    # copy and count — (e, n), caller owns the unpersist.
+    own = prepared is None
+    if own:
+        e = embeddings.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        ).persist()
+        n = e.count()
+    else:
+        e, n = prepared
     stride = max(n // n_clusters, 1)
     w = Window.orderBy("_id")
     init = (
@@ -392,7 +397,8 @@ def kmeans_train(
         centroids = [
             (j, [dims[i] for i in sorted(dims)]) for j, dims in sorted(by_j.items())
         ]
-    e.unpersist()
+    if own:
+        e.unpersist()
     return centroids
 
 
@@ -649,6 +655,7 @@ def pq_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    prepared=None,
 ) -> list:
     """Deterministic product-quantization codebooks: the vector space is
     split into `m_sub` contiguous subspaces and each gets its own
@@ -665,10 +672,14 @@ def pq_train(
     Returns codebooks[m][c] = list of d_sub floats."""
     import numpy as np
 
-    e = embeddings.select(
-        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
-    ).persist()
-    n = e.count()
+    own = prepared is None
+    if own:
+        e = embeddings.select(
+            F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+        ).persist()
+        n = e.count()
+    else:
+        e, n = prepared
     dim = len(e.select("_v").head()["_v"])
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
@@ -703,7 +714,8 @@ def pq_train(
             by_mc.setdefault((r["m"], r["c"]), {})[r["i"]] = r["mv"]
         for (m, c), dims in by_mc.items():
             codebooks[m][c] = [dims[i] for i in sorted(dims)]
-    e.unpersist()
+    if own:
+        e.unpersist()
     return codebooks
 
 
@@ -786,8 +798,16 @@ def ivf_pq_topk(
     import numpy as np
     import pandas as pd
 
-    coarse = kmeans_train(embeddings, n_clusters, 2, id_col, vec_col)
-    codebooks = pq_train(embeddings, m_sub, k_cent, 2, id_col, vec_col)
+    # both quantizers train from the same persisted projection: one scan,
+    # one count, shared in-memory copy (kmeans + PQ would otherwise each
+    # pay their own)
+    e = embeddings.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_v")
+    ).persist()
+    prepared = (e, e.count())
+    coarse = kmeans_train(embeddings, n_clusters, 2, id_col, vec_col, prepared)
+    codebooks = pq_train(embeddings, m_sub, k_cent, 2, id_col, vec_col, prepared)
+    e.unpersist()
     cb = _pq_codebooks_array(codebooks)
     m_count, k_count, d_sub = cb.shape
 

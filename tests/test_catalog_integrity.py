@@ -42,3 +42,12 @@ def test_new_entries_inside_driver_window():
     head = list(queries())[:50]
     for name in _AUDIT_PRIORITY[:50]:
         assert name in head, name
+
+
+def test_bench_headline_names_exist():
+    """A stale HEADLINE name records a silent null in the bench JSON;
+    catch it at test time instead."""
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, missing
