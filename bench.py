@@ -90,6 +90,7 @@ HEADLINE = [
     "dedup_kept_by_quality",
     "bpe_pair_counts",
     "training_manifest",
+    "pack_sequences_sharded",
 ]
 
 

@@ -37,6 +37,9 @@ def test_pair_generators_never_cartesian(spark):
         "dedup_ngram_jaccard",
         "embedding_near_dup",
         "ann_ivf_topk",
+        "substring_dup_pairs",
+        "source_overlap_matrix",
+        "bloom_decontamination",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
