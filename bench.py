@@ -1,10 +1,22 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Each query runs once warm-up-free except a single trivial action to
-amortize session startup; timing covers plan + execute + collect-to-count.
+Output contract (the driver keeps only the LAST ~2000 chars of stdout and
+parses the FINAL JSON line, so ordering matters):
+
+1. a detailed JSON line with the per-query best-of-N map and per-query
+   run spreads (min/median/max) — for humans and for BENCH_DETAIL.json,
+   which is also written to the repo root;
+2. a compact FINAL JSON line guaranteed well under 500 bytes:
+   {"metric", "value", "unit", "n_queries", "n_failed", "failed", "sf"}.
+
+If any query failed, "value" is null in BOTH lines — a partial total must
+never be mistaken for a full-run total (it would look *faster* exactly when
+things break). The sum of the successful queries is still available as
+"total_ok" in the detail record.
+
+Timing covers plan + execute + collect-to-count, after JVM / Python-worker /
+file-listing warm-up (session infrastructure, not query work).
 """
 
 from __future__ import annotations
@@ -117,33 +129,66 @@ def main() -> None:
     # tightens the floor (best-of-N is monotone, so still r1-comparable)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float | None] = {}
+    spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Per-query isolation: one broken query must never zero the round's
         # bench record — record null and keep going, always emit the JSON.
         try:
             fn = CATALOG[name].fn
-            best, n = None, 0
+            samples: list[float] = []
+            n = 0
             for _ in range(runs):  # best-of-N damps noisy-neighbor variance
                 t0 = time.perf_counter()
                 df = fn(spark, sf_dir)
                 n = df.count()
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
-            timings[name] = round(best, 3)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            timings[name] = round(samples[0], 3)
+            spreads[name] = [round(s, 3) for s in samples]
+            print(
+                f"# {name}: {timings[name]:.3f}s ({n} rows) "
+                f"runs={spreads[name]}",
+                file=sys.stderr,
+            )
         except Exception as exc:  # noqa: BLE001 — isolate per-query failures
             timings[name] = None
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    failed = sorted(k for k, v in timings.items() if v is None)
+    total_ok = round(sum(t for t in timings.values() if t is not None), 3)
+    # A partial total must never masquerade as a full-run total.
+    value = None if failed else total_ok
+    detail = {
+        "metric": "headline_queries_total",
+        "value": value,
+        "total_ok": total_ok,
+        "unit": "sec",
+        "queries": timings,
+        "spreads": spreads,
+        "failed": failed,
+        "runs_per_query": runs,
+        "sf": float(sf),
+    }
+    print(json.dumps(detail))
+    try:  # committed artifact with the full per-query spread record
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    # FINAL line: compact, < 500 bytes, no per-query map — the driver's
+    # 2000-char tail capture must always contain this line whole.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                "value": total,
+                "value": value,
                 "unit": "sec",
-                "queries": timings,
-                "failed": sorted(k for k, v in timings.items() if v is None),
+                "n_queries": len(HEADLINE),
+                "n_failed": len(failed),
+                "failed": failed[:8],
                 "sf": float(sf),
             }
         )

@@ -502,13 +502,17 @@ def multiprobe_trained_ivf_topk(
     v = _as_double(F.col(vec_col))
     # ONE probe-UDF pass: probes[0] is the assignment (stable argsort), so
     # the query side (all nprobe probes) and the candidate side (home list)
-    # both derive from the same scanned+probed projection; persisting it
+    # both derive from the same scanned+probed projection; materializing it
     # halves the pandas-UDF scans vs probing each branch separately.
+    # localCheckpoint rather than persist: the returned frame is lazy, so
+    # there is no in-function point to unpersist — checkpoint blocks are
+    # reclaimed by the ContextCleaner once the result is GC'd, while a
+    # persist would pin a CacheManager entry for the whole session.
     probed = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
         _probe_clusters_udf(centroids, nprobe)(v).alias("_probes"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     queries = probed.select(
         F.col(id_col),
         F.col(vec_col),

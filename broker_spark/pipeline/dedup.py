@@ -432,8 +432,14 @@ def dedup_cluster_keepers(
 ) -> DataFrame:
     """The dedup output: one row per near-dup cluster — the component id
     (= min doc id in the cluster, the keeper) with the cluster size.
-    Downstream, a semi-join of docs against keepers drops the rest."""
-    comp = connected_components(docs, pairs, id_col)
+    Downstream, a semi-join of docs against keepers drops the rest.
+
+    Rides `connected_components_star` (O(log n) rounds) rather than label
+    propagation (O(cluster diameter) rounds): at corpus scale chained
+    near-dup families make the diameter bound the wrong one.  The two CC
+    implementations are property-tested equal (tests/test_dedup.py), so
+    this is purely a physical-plan choice."""
+    comp = connected_components_star(docs, pairs, id_col)
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size"),
     ).withColumnRenamed("component", "keeper_doc_id")
@@ -576,4 +582,12 @@ def connected_components_star(
     singletons = ids.join(paired_ids, id_col, "left_anti").select(
         F.col(id_col), F.col(id_col).alias("component")
     )
-    return labels.unionByName(centers).unionByName(singletons)
+    out = labels.unionByName(centers).unionByName(singletons)
+    # paired_ids is read twice in the final plan (centers + singletons
+    # anti-joins); release the cache now — recomputing it is one distinct
+    # over the final checkpointed edge set, and leaving it pinned leaks a
+    # cached block per call into the session (ADVICE r3).  The per-round
+    # localCheckpoint RDDs are unreferenced once `edges` is reassigned and
+    # are reclaimed by the ContextCleaner on driver GC.
+    paired_ids.unpersist()
+    return out

@@ -244,7 +244,11 @@ class MqttHandler(socketserver.StreamRequestHandler):
 
     def setup(self) -> None:
         super().setup()
-        self._write_lock = threading.Lock()
+        # RLock: send_qos1 holds it across pid-allocate + inflight-add +
+        # send (each of which also acquires it) so a qos-1 delivery is
+        # atomic against concurrent broadcast threads and the reader
+        # thread's PUBACK handling.
+        self._write_lock = threading.RLock()
         self.client_id = ""
         self.token: str | None = None
         self.connected = False
@@ -260,6 +264,22 @@ class MqttHandler(socketserver.StreamRequestHandler):
         with self._write_lock:
             self.wfile.write(packet)
             self.wfile.flush()
+
+    def send_qos1(self, topic: str, payload: bytes, retain: bool = False) -> int:
+        """Atomic qos-1 delivery: pid allocation, inflight registration and
+        the write happen under one lock, so interleaved broadcasts cannot
+        reorder pid-allocate vs send or race the PUBACK discard."""
+        with self._write_lock:
+            pid = self.next_packet_id()
+            self.inflight.add(pid)
+            self._send(
+                encode_publish(topic, payload, qos=1, packet_id=pid, retain=retain)
+            )
+            return pid
+
+    def ack_inflight(self, pid: int) -> None:
+        with self._write_lock:
+            self.inflight.discard(pid)
 
     def finish(self) -> None:
         self.server.broker._drop_connection(self)  # type: ignore[attr-defined]
@@ -283,7 +303,7 @@ class MqttHandler(socketserver.StreamRequestHandler):
                 self._on_subscribe(broker, *parse_topic_list(body, with_qos=True))
             elif ptype == PUBACK:
                 (acked,) = struct.unpack_from(">H", body, 0)
-                self.inflight.discard(acked)
+                self.ack_inflight(acked)
             elif ptype == UNSUBSCRIBE:
                 pid, topics, _ = parse_topic_list(body, with_qos=False)
                 for t in topics:
@@ -367,12 +387,12 @@ class MqttHandler(socketserver.StreamRequestHandler):
         # with the retain flag set, at the granted qos
         for topic, qos in zip(topics, granted):
             for rtopic, payload in broker.matching_retained(topic):
-                pid = self.next_packet_id() if qos else 1
                 if qos:
-                    self.inflight.add(pid)
-                self._send(
-                    encode_publish(rtopic, payload, qos=qos, packet_id=pid, retain=True)
-                )
+                    self.send_qos1(rtopic, payload, retain=True)
+                else:
+                    self._send(
+                        encode_publish(rtopic, payload, qos=0, packet_id=1, retain=True)
+                    )
 
 
 class MqttBroker:
@@ -465,9 +485,7 @@ class MqttBroker:
         for conn, qos in qos_by_conn.items():
             try:
                 if qos:
-                    pid = conn.next_packet_id()
-                    conn.inflight.add(pid)
-                    conn._send(encode_publish(stream_id, payload, qos=1, packet_id=pid))
+                    conn.send_qos1(stream_id, payload)
                 else:
                     conn._send(encode_publish(stream_id, payload))
                 sent += 1

@@ -103,7 +103,15 @@ class StreamMessageValidator:
 
     def validate(self, msg: MessageToValidate) -> None:
         info: dict[str, Any] = self._get_stream(msg.stream_id)
-        signed = msg.signature_type != SIGNATURE_TYPE_NONE and msg.signature
+        if msg.signature_type != SIGNATURE_TYPE_NONE and not msg.signature:
+            # A declared signature type with a missing signature is a
+            # malformed envelope, not an unsigned message — it must never
+            # slip through the unsigned path on permissive streams.
+            raise ValidationError(
+                f"Message on stream {msg.stream_id} declares signature type"
+                f" {msg.signature_type} but carries no signature."
+            )
+        signed = msg.signature_type != SIGNATURE_TYPE_NONE
         if not signed:
             if info.get("requireSignedData"):
                 raise ValidationError(
