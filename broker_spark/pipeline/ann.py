@@ -873,6 +873,92 @@ def ivf_pq_topk(
     )
 
 
+def exact_l2_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k over all query x candidate pairs (self
+    excluded) — the ground truth the IVF-PQ stack is measured against,
+    in the same metric the rerank stage scores (squared euclidean, no
+    sqrt).  Same broadcast-cross-join shape as `brute_force_topk`: the
+    query side broadcasts, the corpus side stays partition-parallel,
+    per-query top-k reduces independently under the window.
+
+    Returns (query_id, cand_id, rank, l2_dist)."""
+    v = _as_double(F.col(vec_col))
+    q = broadcast(
+        embeddings.select(F.col(id_col).alias("query_id"), v.alias("_qv"))
+    )
+    c = embeddings.select(F.col(id_col).alias("cand_id"), v.alias("_cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.aggregate(
+                F.zip_with(F.col("_qv"), F.col("_cv"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("l2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("l2", 6).alias("l2_dist"))
+    )
+
+
+def ivf_pq_agreement(
+    embeddings: DataFrame,
+    n_clusters: int = 10,
+    nprobe: int = 8,
+    m_sub: int = 8,
+    k_cent: int = 16,
+    k: int = 5,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Driver-visible recall audit for the IVF-PQ + rerank stack at its
+    production parameters: joins the approximate top-k against the exact
+    squared-L2 top-k IN SPARK and reduces to one summary row —
+    (n_queries, k, shortlist, n_exact, n_agree, recall).
+
+    The recall claim pytest pins (tests/test_pq.py) becomes a queryable
+    number instead of a test constant.  The exact side and the agreement
+    arithmetic are SQL-expressible; the PQ side is not (deterministic
+    two-level quantizer training), so the entry is rows-only — its
+    oracle-green companion is `ann_ivf_pq_exact_parity`, which runs the
+    same PQ code path in the full-probe/full-shortlist regime where its
+    output must equal exact brute force and hash-checks it against
+    DuckDB."""
+    pq = ivf_pq_rerank_topk(
+        embeddings, n_clusters, nprobe, m_sub, k_cent, k, shortlist, id_col, vec_col
+    ).select("query_id", "cand_id", F.lit(1).alias("_hit"))
+    exact = exact_l2_topk(embeddings, k, id_col, vec_col)
+    return (
+        exact.join(pq, ["query_id", "cand_id"], "left")
+        .agg(
+            F.countDistinct("query_id").cast("long").alias("n_queries"),
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_agree"),
+        )
+        .select(
+            "n_queries",
+            F.lit(k).cast("int").alias("k"),
+            F.lit(shortlist).cast("int").alias("shortlist"),
+            "n_exact",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
 def ivf_pq_rerank_topk(
     embeddings: DataFrame,
     n_clusters: int = 10,

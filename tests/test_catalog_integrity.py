@@ -33,6 +33,9 @@ def test_oracles_subset_with_expected_rows_only():
         "pq_quantization_error",
         "ann_ivf_pq_topk",
         "ann_ivf_pq_rerank_topk",
+        # one-row recall audit; its oracle-green companion is
+        # ann_ivf_pq_exact_parity (see catalog docstrings)
+        "ann_ivf_pq_agreement",
     }
 
 

@@ -127,3 +127,36 @@ def test_ivf_pq_rerank_recall(emb):
     two-stage read is the production IVF-PQ deployment shape."""
     recall = _recall(_exact_top5(emb), ann.ivf_pq_rerank_topk(emb))
     assert recall >= 0.85, recall
+
+
+def test_exact_l2_topk_matches_numpy(emb):
+    """The distributed exact-L2 ground truth equals the dense numpy
+    ground truth — top-5 sets identical for every query."""
+    exact = _exact_top5(emb)
+    got: dict[int, set] = {}
+    for r in ann.exact_l2_topk(emb).collect():
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert got == exact
+
+
+def test_ivf_pq_exact_parity(emb):
+    """With every list probed and an unbounded shortlist, the IVF-PQ +
+    rerank path must equal exact squared-L2 top-k row-for-row (including
+    rank and rounded distance) — the invariant the oracle-backed catalog
+    entry `ann_ivf_pq_exact_parity` hash-checks against DuckDB."""
+    cols = ["query_id", "cand_id", "rank", "l2_dist"]
+    pq = {tuple(r) for r in ann.ivf_pq_rerank_topk(
+        emb, nprobe=10, shortlist=10**9).select(cols).collect()}
+    ex = {tuple(r) for r in ann.exact_l2_topk(emb).select(cols).collect()}
+    assert pq == ex
+
+
+def test_ivf_pq_agreement_summary(emb):
+    """The one-row agreement audit is arithmetically consistent and its
+    recall equals the independently-computed recall at the same params."""
+    row = ann.ivf_pq_agreement(emb).collect()[0]
+    assert row["n_queries"] * row["k"] == row["n_exact"]
+    assert 0 <= row["n_agree"] <= row["n_exact"]
+    independent = _recall(_exact_top5(emb), ann.ivf_pq_rerank_topk(emb))
+    assert abs(row["recall"] - independent) < 1e-3
+    assert row["recall"] >= 0.85
