@@ -184,3 +184,24 @@ def hmac_validator(
         _verify,
         cache_timeout_ms,
     )
+
+
+def ecdsa_validator(
+    pubkeys: dict[str, tuple[int, int]],
+    get_stream: Callable[[str], dict] | None = None,
+    is_publisher: Callable[[str, str], bool] | None = None,
+    cache_timeout_ms: int = CACHE_TIMEOUT_MS,
+) -> CachingStreamMessageValidator:
+    """Asymmetric-scheme validator: publishers sign with secp256k1 ECDSA
+    private keys and are checked against a registered-public-key registry
+    (broker_spark.serving.ecdsa) — the same policy layer as
+    `hmac_validator` under a second scheme, matching the reference's
+    secp256k1 verification (src/Publisher.ts:34-51)."""
+    from broker_spark.serving.ecdsa import ecdsa_verifier
+
+    return CachingStreamMessageValidator(
+        get_stream or (lambda sid: {"id": sid, "requireSignedData": True}),
+        is_publisher or (lambda pub, sid: pub in pubkeys),
+        ecdsa_verifier(pubkeys),
+        cache_timeout_ms,
+    )

@@ -204,3 +204,82 @@ class TestGatewayIntegration:
         except urllib.error.HTTPError as e:
             assert e.code == 403
             assert json.loads(e.read()) == {"error": "Authentication failed."}
+
+
+class TestHttpCoreApi:
+    """The real-HTTP transport (serving/core_api.py): the same
+    StreamFetcher + middleware stack driven over an actual socket against
+    the core-API test server, matching src/StreamFetcher.ts:96-158's
+    URL shapes, Bearer header, and non-2xx -> HttpError mapping."""
+
+    @pytest.fixture()
+    def served(self):
+        from broker_spark.serving.auth import InMemoryCoreApi
+        from broker_spark.serving.core_api import HttpCoreApi, serve_core_api
+
+        registry = InMemoryCoreApi()
+        registry.create_stream("s1", partitions=2)
+        registry.grant("s1", "tok-read", "stream_subscribe")
+        server = serve_core_api(registry)
+        host, port = server.server_address
+        yield HttpCoreApi(f"http://{host}:{port}"), registry
+        server.shutdown()
+
+    def test_success_over_socket(self, served):
+        api, _ = served
+        status, payload = authenticate_request(api.fetcher(), "s1", "Bearer tok-read")
+        assert (status, payload) == (200, {"id": "s1", "partitions": 2})
+
+    def test_no_grant_403_over_socket(self, served):
+        api, _ = served
+        status, payload = authenticate_request(api.fetcher(), "s1", "Bearer other")
+        assert (status, payload) == (403, {"error": "Authentication failed."})
+
+    def test_unknown_stream_404_over_socket(self, served):
+        api, _ = served
+        status, payload = authenticate_request(api.fetcher(), "nope", "Bearer tok-read")
+        assert (status, payload) == (404, {"error": "Stream nope not found."})
+
+    def test_unreachable_core_api_503(self):
+        from broker_spark.serving.core_api import HttpCoreApi
+
+        # closed port: URLError from the transport -> middleware catch-all
+        api = HttpCoreApi("http://127.0.0.1:9", timeout_s=0.5)
+        status, payload = authenticate_request(api.fetcher(), "s1", "Bearer t")
+        assert (status, payload) == (503, {"error": "Request failed."})
+
+    def test_server_error_maps_to_request_failed(self, served):
+        api, registry = served
+
+        def boom(stream_id, token):
+            raise RuntimeError("registry exploded")
+
+        registry.get_permissions = boom  # handler returns 500
+        status, payload = authenticate_request(api.fetcher(), "s1", "Bearer t")
+        assert (status, payload) == (500, {"error": "Request failed."})
+
+    def test_stream_id_url_encoding_roundtrip(self, served):
+        api, registry = served
+        registry.create_stream("anonymous/weird stream#1")
+        registry.grant("anonymous/weird stream#1", "tok", "stream_subscribe")
+        status, payload = authenticate_request(
+            api.fetcher(), "anonymous/weird stream#1", "Bearer tok"
+        )
+        assert status == 200
+        assert payload["id"] == "anonymous/weird stream#1"
+
+    def test_memoized_over_socket(self, served):
+        api, registry = served
+        calls = {"n": 0}
+        orig = registry.get_permissions
+
+        def counting(stream_id, token):
+            calls["n"] += 1
+            return orig(stream_id, token)
+
+        registry.get_permissions = counting
+        fetcher = api.fetcher()
+        for _ in range(3):
+            status, _ = authenticate_request(fetcher, "s1", "Bearer tok-read")
+            assert status == 200
+        assert calls["n"] == 1  # 15-min memo serves repeats

@@ -204,3 +204,127 @@ class TestGatewayValidation:
         finally:
             spool.close()
             server.shutdown()
+
+
+class TestMalformedEnvelope:
+    def test_declared_type_with_missing_signature_rejected(self):
+        """signature_type set but signature absent is a malformed envelope
+        (ADVICE r3): it must NOT fall through the unsigned path, even on
+        streams that allow unsigned data."""
+        v = hmac_validator(
+            SECRETS, get_stream=lambda sid: {"id": sid, "requireSignedData": False}
+        )
+        msg = MessageToValidate(
+            "s1", 0, 1000, 0, "0xpub", "c1", "{}",
+            signature_type=SIGNATURE_TYPE_HMAC, signature=None,
+        )
+        with pytest.raises(ValidationError, match="carries no signature"):
+            v.validate(msg)
+        msg.signature = ""
+        with pytest.raises(ValidationError, match="carries no signature"):
+            v.validate(msg)
+
+
+class TestEcdsaScheme:
+    """The same policy matrix under the asymmetric secp256k1 scheme
+    (serving/ecdsa.py) — the validator's `verify` injection point proven
+    with a second, reference-shaped implementation."""
+
+    PRIV = {"0xpub": 0xC0FFEE, "0xother": 0xB0BACAFE}
+
+    @classmethod
+    def _pubkeys(cls):
+        from broker_spark.serving import ecdsa
+
+        return {pid: ecdsa.pubkey(k) for pid, k in cls.PRIV.items()}
+
+    @classmethod
+    def _signed(cls, publisher="0xpub", signer=None, tamper=False, **over):
+        from broker_spark.serving import ecdsa
+
+        fields = dict(
+            stream_id="s1", partition=0, ts_ms=1000, sequence_no=0,
+            publisher_id=publisher, msg_chain_id="c1", content='{"v":1}',
+        )
+        fields.update(over)
+        payload = signature_payload(
+            fields["stream_id"], fields["partition"], fields["ts_ms"],
+            fields["sequence_no"], fields["publisher_id"],
+            fields["msg_chain_id"], fields["content"],
+        )
+        sig = ecdsa.sign(signer or cls.PRIV[publisher], payload)
+        if tamper:
+            fields["content"] = '{"v":2}'
+        return MessageToValidate(
+            signature_type=SIGNATURE_TYPE_HMAC, signature=sig, **fields
+        )
+
+    def _validator(self, **kw):
+        from broker_spark.serving.validator import ecdsa_validator
+
+        return ecdsa_validator(self._pubkeys(), **kw)
+
+    def test_good_signature_accepted(self):
+        self._validator().validate(self._signed())
+
+    def test_wrong_key_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            self._validator().validate(
+                self._signed(signer=self.PRIV["0xother"])
+            )
+
+    def test_tampered_content_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            self._validator().validate(self._signed(tamper=True))
+
+    def test_unknown_publisher_rejected(self):
+        with pytest.raises(ValidationError, match="Signature validation failed"):
+            self._validator().validate(
+                self._signed(publisher="0xnobody", signer=0xC0FFEE)
+            )
+
+    def test_unsigned_policy_follows_stream_info(self):
+        v = self._validator()
+        with pytest.raises(ValidationError, match="requires signed data"):
+            v.validate(MessageToValidate("s1", 0, 1000, 0, "0xpub", "c1", "{}"))
+        open_v = self._validator(
+            get_stream=lambda sid: {"id": sid, "requireSignedData": False}
+        )
+        open_v.validate(MessageToValidate("s1", 0, 1000, 0, "0xpub", "c1", "{}"))
+
+    def test_valid_signature_but_not_a_publisher(self):
+        v = self._validator(is_publisher=lambda pub, sid: False)
+        with pytest.raises(ValidationError, match="is not a publisher"):
+            v.validate(self._signed())
+
+
+class TestEcdsaPrimitives:
+    def test_pubkey_of_one_is_generator(self):
+        from broker_spark.serving import ecdsa
+
+        assert ecdsa.pubkey(1) == (ecdsa.Gx, ecdsa.Gy)
+
+    def test_sign_verify_roundtrip_and_determinism(self):
+        from broker_spark.serving import ecdsa
+
+        pub = ecdsa.pubkey(0xDEADBEEF)
+        sig1 = ecdsa.sign(0xDEADBEEF, b"payload")
+        sig2 = ecdsa.sign(0xDEADBEEF, b"payload")
+        assert sig1 == sig2  # RFC 6979 nonce: reproducible
+        assert ecdsa.verify(pub, b"payload", sig1)
+        assert not ecdsa.verify(pub, b"other", sig1)
+
+    def test_low_s_canonical_form(self):
+        from broker_spark.serving import ecdsa
+
+        for i in range(1, 8):
+            sig = ecdsa.sign(i * 7919, bytes([i]) * 10)
+            s = int.from_bytes(bytes.fromhex(sig)[32:], "big")
+            assert 0 < s <= ecdsa.N // 2
+
+    def test_malformed_signatures_fail_closed(self):
+        from broker_spark.serving import ecdsa
+
+        pub = ecdsa.pubkey(42)
+        for bad in ("", "zz", "ab" * 63, "ab" * 65, "00" * 64):
+            assert not ecdsa.verify(pub, b"x", bad)
