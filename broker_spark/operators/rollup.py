@@ -132,3 +132,57 @@ def ewma(
         .groupBy(key_col)
         .applyInPandas(_one_key, _ewma_schema(key_col))
     )
+
+
+def hourly_gap_fill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Telemetry gap-fill: a dense per-key hourly grid between each key's
+    first and last observation, with missing hours carried forward from
+    the last observed hourly average (the standard time-series
+    regularization step before feature windows / model training).
+
+    Spark-first: the grid is `sequence(min_hr, max_hr, 1 hour)` exploded
+    per key (no driver-side loop, no cross join with a calendar table —
+    each key materializes exactly its own span), the fill is ONE
+    `last(ignorenulls)` window per key ordered by hour.  Two shuffles
+    total (hourly agg, per-key window); both partition by the key, so AQE
+    coalesces them into adjacent stages with co-located partitioning.
+    """
+    from pyspark.sql import Window
+
+    hr = F.date_trunc("hour", F.col("ts"))
+    hourly = events.groupBy(F.col(key_col), hr.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    spans = hourly.groupBy(key_col).agg(
+        F.min("hour").alias("first_hr"), F.max("hour").alias("last_hr")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("first_hr"), F.col("last_hr"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, [key_col, "hour"], "left")
+        .select(
+            key_col,
+            "hour",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+                "filled_value"
+            ),
+        )
+    )

@@ -1004,3 +1004,59 @@ def ivf_pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", F.round("l2", 6).alias("l2_dist"))
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query vector,
+    the top-k most-similar candidates with a DIFFERENT label — the
+    highest-loss negatives for a contrastive/triplet objective, which is
+    the standard embedding-model training-data prep step.
+
+    Same physical shape as brute_force_topk (broadcast query side,
+    partition-parallel corpus side, per-query window top-k); the label
+    inequality is a pre-window filter so mismatched-label pairs never
+    reach the sort.  Swap the corpus scan for the IVF/PQ index path at
+    production scale — the label filter composes with any candidate
+    generator.
+    """
+    q = broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_vec"),
+        F.col(label_col).alias("cand_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("cand_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cand_label",
+            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            "cand_label",
+            "rank",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+        )
+    )

@@ -4160,6 +4160,228 @@ def q_topk_bigrams_per_lang(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: sketch-pruned heavy hitters, time-series gap fill,
+# LSH estimator certificate, contrastive hard negatives, semantic dedup,
+# per-source cap sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 75
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter users via count-min sketch prefilter + exact confirm
+    (same sketch-then-exact pattern as bloom_decontamination): the sketch
+    is depth x width = 3 x 1024 counters regardless of key cardinality,
+    the exact count runs only over sketch-passed candidates, and CMS's
+    one-sided error (never underestimates) means zero false negatives —
+    the emitted result is EXACT, hence the plain GROUP BY/HAVING oracle."""
+    from broker_spark.pipeline import sketch
+
+    ev = load(spark, sf_dir, "events")
+    return sketch.cms_heavy_hitters(ev, "user_id", threshold=75)
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+      FROM events WHERE user_id < 40 GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, min(hour) AS f, max(hour) AS l FROM hourly GROUP BY 1),
+    grid AS (
+      SELECT user_id, unnest(generate_series(f, l, INTERVAL 1 HOUR)) AS hour FROM spans
+    )
+    SELECT g.user_id, epoch_ms(g.hour) AS hour_ms,
+           CAST(coalesce(h.n_events, 0) AS BIGINT) AS n_events,
+           round(last_value(h.avg_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_value
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
+)
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series regularization: dense per-user hourly grid between each
+    user's first and last event, gaps carried forward from the last
+    observed hourly average — `sequence()` explode per key (each key
+    materializes exactly its own span; no calendar cross join) + ONE
+    last(ignorenulls) window.  User subset keeps the certified result
+    bounded; the operator itself is unrestricted."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    return rollup.hourly_gap_fill(ev).select(
+        "user_id",
+        F.unix_millis("hour").alias("hour_ms"),
+        "n_events",
+        "filled_value",
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             round((CAST(sa.mh0 = sb.mh0 AS INT) + CAST(sa.mh1 = sb.mh1 AS INT)
+                  + CAST(sa.mh2 = sb.mh2 AS INT) + CAST(sa.mh3 = sb.mh3 AS INT)) / 4.0,
+                   6) AS est_jaccard
+      FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+                   JOIN sig sb ON p.doc_b = sb.doc_id
+    ),
+    sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    com AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT e.doc_a, e.doc_b, e.est_jaccard,
+             round(coalesce(c.common, 0) * 1.0
+                   / (x.n_sh + y.n_sh - coalesce(c.common, 0)), 6) AS jaccard
+      FROM est e
+      LEFT JOIN com c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+      JOIN sizes x ON e.doc_a = x.doc_id
+      JOIN sizes y ON e.doc_b = y.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           round(abs(est_jaccard - jaccard), 6) AS abs_err
+    FROM ex
+    """,
+)
+def q_minhash_estimate_error(spark, sf_dir):
+    """LSH estimator-quality certificate: per candidate pair, the
+    signature-agreement Jaccard estimate vs the exact shingle Jaccard and
+    the absolute error — banding-parameter tuning as a queryable result
+    (the dedup analogue of the IVF-PQ recall certificate)."""
+    return dedup.minhash_estimate_error(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv, label AS cl FROM embeddings),
+    scored AS (
+      SELECT query_id, cand_id, cl AS cand_label,
+        list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                 i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos_raw
+      FROM q, c WHERE cl <> ql
+    )
+    SELECT query_id, cand_id, cand_label, rank, round(cos_raw, 6) AS cosine FROM (
+      SELECT query_id, cand_id, cand_label, cos_raw,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(spark, sf_dir):
+    """Contrastive-training data prep: per query, the top-5 most-similar
+    DIFFERENT-label vectors (the highest-loss negatives for a
+    triplet/contrastive objective)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "semantic_dedup_clusters",
+    f"""
+    WITH RECURSIVE c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
+    cand AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             a.embedding AS av, b.embedding AS bv
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b, round({_PAIR_COS}, 6) AS cosine FROM cand
+      ) WHERE cosine >= 0.35
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(doc, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.s, reach.r FROM edges e JOIN reach ON reach.doc = e.d
+    ),
+    comp AS (SELECT doc AS vec_id, min(r) AS component FROM reach GROUP BY doc)
+    SELECT component AS keeper_vec_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM comp GROUP BY component
+    """,
+)
+def q_semantic_dedup_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup decision table: embedding-cosine
+    near-dup pairs (grid-bucketed, BLAS-scored) -> O(log n) star CC ->
+    one keeper per semantic cluster with cluster size.  Composes the two
+    certified primitives; the oracle recomputes the pairs exactly and
+    resolves components with a recursive CTE."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = ann.embedding_near_dup_pairs(emb, threshold=0.35).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = dedup.connected_components_star(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    ).select(F.col("component").alias("keeper_vec_id"), "n_vectors")
+
+
+@register(
+    "domain_cap_sample",
+    """
+    SELECT doc_id, source, rank FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rank
+      FROM documents
+    ) WHERE rank <= 10
+    """,
+)
+def q_domain_cap_sample(spark, sf_dir):
+    """Per-source cap (CommonCrawl-style domain balancing): keep at most
+    10 docs per source, chosen by hash order — deterministic, uniform,
+    and seedless, so the same docs survive on every engine.  One window
+    per source key; at corpus scale the hash order means no source's
+    selection depends on ingestion order."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 #: The driver's correctness snapshot audits the first ~50 entries of
@@ -4175,6 +4397,12 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4
+    "cms_heavy_hitters",
+    "events_gap_fill",
+    "minhash_estimate_error",
+    "hard_negative_mining",
+    "semantic_dedup_clusters",
+    "domain_cap_sample",
     "ann_ivf_pq_exact_parity",
     "ann_ivf_pq_agreement",
     # -- code changed in round 4 (star-CC keeper switch, localCheckpoint)

@@ -1,0 +1,166 @@
+"""Round-4 operators: CMS heavy hitters (one-sided error + exactness),
+hourly gap fill (grid density + carry-forward), hard-negative mining
+(label disjointness), MinHash estimator certificate (error bounds), and
+the per-source cap sample (determinism + cap)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from broker_spark.operators.rollup import hourly_gap_fill
+from broker_spark.pipeline import ann, dedup, sketch
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _keyed(spark, counts: dict[str, int]):
+    rows = [(k,) for k, n in counts.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "k string")
+
+
+def test_cms_never_underestimates(spark):
+    counts = {"a": 7, "b": 1, "c": 40, "d": 3}
+    df = _keyed(spark, counts)
+    est = {
+        r["k"]: r["cms_estimate"]
+        for r in sketch.cms_estimates(
+            df.select("k").distinct(), sketch.cms_build(df, "k"), "k"
+        ).collect()
+    }
+    assert set(est) == set(counts)
+    for k, true_n in counts.items():
+        assert est[k] >= true_n  # CMS error is one-sided
+
+
+def test_cms_heavy_hitters_exact(spark):
+    counts = {"a": 10, "b": 2, "c": 10, "d": 9, "e": 25}
+    out = {
+        r["k"]: r["n_events"]
+        for r in sketch.cms_heavy_hitters(_keyed(spark, counts), "k", threshold=10).collect()
+    }
+    # exact confirm removes any sketch overestimate: result is exactly
+    # the keys whose TRUE count clears the threshold, with true counts
+    assert out == {"a": 10, "c": 10, "e": 25}
+
+
+def test_cms_tiny_width_still_exact(spark):
+    # adversarial: width 2 forces heavy collisions -> big overestimates;
+    # the exact confirm must still produce the true heavy-hitter set
+    counts = {f"k{i}": 3 for i in range(20)} | {"hot": 50}
+    out = sketch.cms_heavy_hitters(
+        _keyed(spark, counts), "k", threshold=20, width=2
+    ).collect()
+    assert {(r["k"], r["n_events"]) for r in out} == {("hot", 50)}
+
+
+# ---------------------------------------------------------------------------
+# hourly gap fill
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_dense_grid_and_carry_forward(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", 10.0),
+        (1, "2024-01-01 00:50:00", 30.0),  # hour 0 avg = 20
+        (1, "2024-01-01 03:05:00", 7.0),  # hours 1-2 missing
+        (2, "2024-01-05 12:00:00", 1.0),  # single-hour user
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r["user_id"], str(r["hour"])): (r["n_events"], r["filled_value"])
+        for r in hourly_gap_fill(ev).collect()
+    }
+    # user 1: exactly 4 grid hours (00..03), gaps carried forward
+    u1 = sorted(k for k in out if k[0] == 1)
+    assert len(u1) == 4
+    assert out[(1, "2024-01-01 00:00:00")] == (2, 20.0)
+    assert out[(1, "2024-01-01 01:00:00")] == (0, 20.0)  # carried
+    assert out[(1, "2024-01-01 02:00:00")] == (0, 20.0)  # carried
+    assert out[(1, "2024-01-01 03:00:00")] == (1, 7.0)
+    # user 2: one hour, no padding beyond its own span
+    assert [k for k in out if k[0] == 2] == [(2, "2024-01-05 12:00:00")]
+
+
+def test_gap_fill_no_gaps_is_identity_shape(spark):
+    rows = [(5, f"2024-02-01 0{h}:30:00", float(h)) for h in range(4)]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, value double").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = hourly_gap_fill(ev).collect()
+    assert len(out) == 4
+    assert all(r["n_events"] == 1 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_own_label(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = ann.hard_negative_topk(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    assert out, "expected some negatives"
+    for r in out:
+        assert labels[r["cand_id"]] != labels[r["query_id"]]
+        assert r["cand_label"] == labels[r["cand_id"]]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_hard_negatives_are_topk_among_other_labels(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # rank-1 negative must dominate every other different-label candidate
+    top = ann.hard_negative_topk(emb, emb.filter(F.col("vec_id") == 0), k=1).collect()
+    assert len(top) == 1
+    brute = ann.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2000).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    best_other = max(
+        (r for r in brute if labels[r["cand_id"]] != labels[0]),
+        key=lambda r: (r["cosine"], -r["cand_id"]),
+    )
+    assert top[0]["cand_id"] == best_other["cand_id"]
+
+
+# ---------------------------------------------------------------------------
+# minhash estimator certificate
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimate_error_bounds(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup.minhash_estimate_error(docs).collect()
+    assert out, "expected candidate pairs at sf0.001"
+    pairs = dedup.minhash_lsh_pairs(docs).count()
+    assert len(out) == pairs  # one certificate row per candidate pair
+    for r in out:
+        assert 0.0 <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert abs(abs(r["est_jaccard"] - r["jaccard"]) - r["abs_err"]) < 1e-9
+        # an LSH candidate survived a band collision: at least one of the
+        # 4 signature components must agree
+        assert r["est_jaccard"] >= 0.25
+
+
+# ---------------------------------------------------------------------------
+# domain cap sample
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_is_deterministic_and_capped(spark):
+    from broker_spark.plans.catalog import CATALOG
+
+    a = CATALOG["domain_cap_sample"].fn(spark, SF).collect()
+    b = CATALOG["domain_cap_sample"].fn(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_source: dict[str, int] = {}
+    for r in a:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 10 for n in per_source.values())
