@@ -103,6 +103,12 @@ HEADLINE = [
     "bpe_pair_counts",
     "training_manifest",
     "pack_sequences_sharded",
+    "cms_heavy_hitters",
+    "events_gap_fill",
+    "minhash_estimate_error",
+    "hard_negative_mining",
+    "semantic_dedup_clusters",
+    "domain_cap_sample",
 ]
 
 

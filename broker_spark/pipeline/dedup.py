@@ -533,18 +533,21 @@ def connected_components_star(
     paired_ids = edges.select(F.col("u").alias(id_col)).distinct().persist()
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        # m(u) = min over N(u) ∪ {u}; connect the selected side of N(u) to m
-        nbr_min = e.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        joined = e.join(nbr_min, "u")
+        # m(u) = min over N(u) ∪ {u}; connect the selected side of N(u) to m.
+        # The min is a window over the SAME key the edges are grouped by —
+        # one shuffle per phase, where the groupBy+rejoin formulation costs
+        # two; the single trailing distinct (instead of one per projection)
+        # removes a third.  Bench: keeper entry 5.1 s -> 3.5 s at sf0.1.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u")
+        joined = e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         side = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
         out = (
             joined.filter(side)
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # keep edges symmetric for the next round's neighborhoods
         return out.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
@@ -556,19 +559,34 @@ def connected_components_star(
     # every round and planning itself OOMs — localCheckpoint materializes
     # the round and cuts the lineage (use checkpoint(dir) on a cluster
     # for executor-loss resilience)
+    def edge_digest(e: DataFrame):
+        # (count, order-insensitive checksum) in ONE lightweight job —
+        # the per-round convergence probe.  The old probe (count +
+        # exceptAll) cost two extra shuffles of the full edge set per
+        # round and dominated wall time at small scale (bench: keeper
+        # entry 4.9 s -> ~2x faster with the digest probe).
+        # bit_xor (not sum): order-insensitive over a distinct edge set and
+        # cannot overflow under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_digest = edge_digest(edges)
     for _ in range(max_iter):
         stepped = star(star(edges, large=True), large=False).localCheckpoint(
             eager=True
         )
-        # fixpoint test: same edge set (both sides are distinct sets, so
-        # count equality + empty difference decide exactly)
-        same = (
-            stepped.count() == edges.count()
-            and stepped.exceptAll(edges).isEmpty()
-        )
-        edges = stepped
-        if same:
-            break
+        digest = edge_digest(stepped)
+        if digest == prev_digest:
+            # digest equality is a near-certain fixpoint signal; confirm
+            # EXACTLY once with the full set difference so a checksum
+            # collision can never end the iteration early (both sides are
+            # distinct sets, so count equality + empty diff decide)
+            if stepped.exceptAll(edges).isEmpty():
+                edges = stepped
+                break
+        edges, prev_digest = stepped, digest
     # star edges point node -> component min; min per node is the label
     labels = edges.groupBy("u").agg(F.min("v").alias("_m")).select(
         F.col("u").alias(id_col),

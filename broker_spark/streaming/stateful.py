@@ -166,3 +166,51 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_ALERT_OUTPUT = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("total", LongType(), False),
+    ]
+)
+
+#: state per key: running count + whether the alert already fired
+_ALERT_STATE = StructType(
+    [StructField("count", LongType(), True), StructField("fired", LongType(), True)]
+)
+
+
+def _threshold_func(threshold: int):
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        count, fired = state.get if state.exists else (0, 0)
+        n = sum(len(p) for p in pdfs)
+        count += n
+        out_rows = []
+        if count >= threshold and not fired:
+            # emit exactly once, at the crossing micro-batch
+            out_rows.append((int(key[0]), int(count)))
+            fired = 1
+        state.update((count, fired))
+        yield pd.DataFrame(out_rows, columns=["key", "total"])
+
+    return fn
+
+
+def streaming_threshold_alerts(keyed: DataFrame, threshold: int) -> DataFrame:
+    """Streaming heavy-hitter alerting: per-key running count in the state
+    store, ONE row emitted the first time a key's lifetime count crosses
+    the threshold — the streaming counterpart of the batch
+    `cms_heavy_hitters` entry (there the sketch bounds memory on a bounded
+    input; here the state store is the running index, two longs per key,
+    RocksDB-backed on a cluster, and the count survives micro-batch and
+    restart boundaries via the checkpoint).
+
+    `keyed` is a streaming DataFrame with a `key long` column."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _threshold_func(threshold),
+        outputStructType=_ALERT_OUTPUT,
+        stateStructType=_ALERT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -164,3 +164,49 @@ def test_domain_cap_is_deterministic_and_capped(spark):
     for r in a:
         per_source[r["source"]] = per_source.get(r["source"], 0) + 1
     assert all(n <= 10 for n in per_source.values())
+
+
+# ---------------------------------------------------------------------------
+# streaming threshold alerts
+# ---------------------------------------------------------------------------
+
+
+class TestStreamingThresholdAlerts:
+    def test_alert_fires_once_across_microbatches(self, spark, tmp_path):
+        """Counts accumulate in the state store across micro-batches; the
+        alert fires exactly once, at the crossing batch, with the lifetime
+        total at that moment."""
+        from broker_spark.streaming import stateful
+
+        src = tmp_path / "ev-src"
+        sink = str(tmp_path / "ev-sink")
+        ckpt = str(tmp_path / "ev-ckpt")
+        src.mkdir()
+
+        def run_batch():
+            source = spark.readStream.schema("key long").parquet(str(src))
+            q = (
+                stateful.streaming_threshold_alerts(source, threshold=5)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return sorted(
+                (r["key"], r["total"]) for r in spark.read.parquet(sink).collect()
+            )
+
+        # batch 1: key 1 x3, key 2 x5 -> only key 2 crosses
+        spark.createDataFrame([(1,)] * 3 + [(2,)] * 5, "key long").write.mode(
+            "append"
+        ).parquet(str(src))
+        assert run_batch() == [(2, 5)]
+
+        # batch 2: key 1 x3 (lifetime 6 -> crosses), key 2 x2 (no re-fire)
+        spark.createDataFrame([(1,)] * 3 + [(2,)] * 2, "key long").write.mode(
+            "append"
+        ).parquet(str(src))
+        assert run_batch() == [(1, 6), (2, 5)]
