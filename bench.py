@@ -109,6 +109,10 @@ HEADLINE = [
     "hard_negative_mining",
     "semantic_dedup_clusters",
     "domain_cap_sample",
+    "tfidf_cosine_pairs",
+    "vocab_coverage",
+    "bigram_logprob_score",
+    "dedup_graph_degrees",
 ]
 
 

@@ -806,3 +806,143 @@ def pack_sequences_sharded(
         pack.alias("pack_id"),
         (F.col("cum_before") - pack * budget).cast("long").alias("pack_offset"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs whose TF-IDF
+    vectors have cosine >= threshold — the classic IR near-match operator,
+    complementary to shingle Jaccard (which needs exact n-gram overlap;
+    TF-IDF cosine catches paraphrase-ish bag-of-words similarity and
+    weights rare terms up).
+
+    Features are word 3-gram shingles, not single words: the fixture's
+    word vocabulary is ~31 types, so single-word posting lists would make
+    the inverted-index join a cartesian product — and the same failure
+    mode exists on any real corpus for stop-words, which is why
+    `max_doc_freq` additionally drops hot posting lists whose quadratic
+    cost carries no discriminative signal (idf already ranks them lowest).
+    Norms are computed over the SAME retained term space so the guarded
+    variant stays a true cosine.  One explode, two term-key aggs, one
+    term-key self-join, one pair agg; only documents sharing a shingle
+    ever meet.
+    """
+    from broker_spark.pipeline.dedup import word_shingles
+
+    terms = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_doc_freq is not None:
+        df_ = df_.filter(F.col("df") <= max_doc_freq)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.join(df_, "term")  # inner join = guard drops stop terms here
+        .crossJoin(broadcast(n_docs))
+        .withColumn(
+            "w",
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+        .select("doc_id", "term", "w")
+    )
+    norms = weighted.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    dots = (
+        weighted.alias("a")
+        .join(
+            weighted.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb")), "doc_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Tokenizer-planning metric: per language, the fraction of token
+    OCCURRENCES covered by that language's top-`top_n` vocabulary — the
+    number that says how large a per-language vocab budget must be before
+    OOV rates become acceptable.
+
+    One explode + (lang, term) hash-agg; the per-lang top-N is a window
+    over the lang key; coverage is a conditional sum — no second scan."""
+    terms = docs.select("lang", F.explode(words_col(F.col("text"))).alias("term"))
+    counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("rank") <= top_n, F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.round(
+            F.sum(F.when(F.col("rank") <= top_n, F.col("n")).otherwise(F.lit(0)))
+            / F.sum("n"),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def bigram_logprob_score(docs: DataFrame) -> DataFrame:
+    """Per-document mean negative log-probability under an add-one-smoothed
+    BIGRAM model trained on the corpus — one conditioning order above
+    `unigram_logprob_score`, so repetitive-but-locally-coherent junk that
+    a unigram model scores well (common words in nonsense order) surfaces.
+
+    score(d) = -(1/(|d|-1)) * sum_i ln((c(w_{i-1}, w_i) + 1)
+                                       / (c(w_{i-1}) + V))
+    with c = corpus counts and V = unigram vocab size.
+
+    Shape: one bigram explode feeding BOTH the model agg and the score
+    join (bigram-key), plus a broadcast unigram-count join on the
+    predecessor token.  Docs with < 2 tokens are excluded (no bigrams)."""
+    w = F.col("w")
+    bigram_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", words_col(F.col("text")).alias("w"))
+        .select("doc_id", F.explode(bigram_arr).alias("bigram"))
+        .withColumn("prev", F.split(F.col("bigram"), " ").getItem(0))
+    )
+    bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
+    terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
+    uni_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = terms.agg(F.countDistinct("term").alias("vocab"))
+    scored = (
+        bg.join(bg_counts, "bigram")
+        .join(uni_counts.withColumnRenamed("term", "prev"), "prev")
+        .crossJoin(broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.col("c_bg") + 1).cast("double")
+                / (F.col("c_uni") + F.col("vocab")).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("mean_bigram_nll"),
+    )

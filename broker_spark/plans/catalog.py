@@ -4381,6 +4381,124 @@ def q_domain_cap_sample(spark, sf_dir):
     )
 
 
+@register(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(shingles) AS term FROM shl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM sh) GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wt AS (SELECT doc_id, term, tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) AS w
+           FROM tf JOIN df USING (term), n),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM wt GROUP BY 1),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b, round(dot / (x.norm * y.norm), 6) AS cosine
+      FROM dots JOIN norms x ON doc_a = x.doc_id JOIN norms y ON doc_b = y.doc_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join over 3-gram shingle features
+    (inverted index on the shingle key) — bag-of-features near-match,
+    complementary to exact-overlap Jaccard."""
+    return text.tfidf_cosine_pairs(load(spark, sf_dir, "documents"), threshold=0.3)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH t AS (SELECT lang, unnest({_WORDS}) AS term FROM documents),
+    c AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT lang, term, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+          FROM c)
+    SELECT lang, CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS BIGINT) AS covered_tokens,
+           round(SUM(CASE WHEN rank <= 10 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+             AS coverage
+    FROM r GROUP BY lang
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Per-language fraction of token occurrences covered by that
+    language's top-10 vocabulary — the vocab-budget planning number for
+    tokenizer training."""
+    return text.vocab_coverage(load(spark, sf_dir, "documents"), top_n=10)
+
+
+@register(
+    "bigram_logprob_score",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))])
+               AS bigram
+      FROM w WHERE len(l) >= 2
+    ),
+    bgp AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS prev FROM bg),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_bg FROM bg GROUP BY 1),
+    t AS (SELECT unnest({_WORDS}) AS term FROM documents),
+    uc AS (SELECT term AS prev, CAST(COUNT(*) AS BIGINT) AS c_uni FROM t GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT term) AS vocab FROM t)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(-ln((c_bg + 1) * 1.0 / (c_uni + vocab))), 6) AS mean_bigram_nll
+    FROM bgp JOIN bc USING (bigram) JOIN uc USING (prev), v
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_logprob_score(spark, sf_dir):
+    """Add-one-smoothed bigram-LM scoring (one conditioning order above
+    the unigram entry): locally-incoherent token soup surfaces even when
+    its unigram distribution looks normal."""
+    return text.bigram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_graph_degrees",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs FROM deg GROUP BY degree
+    """,
+)
+def q_dedup_graph_degrees(spark, sf_dir):
+    """Degree distribution of the near-dup candidate graph — the shape
+    diagnostic that decides between O(diameter) label propagation and
+    O(log n) star contraction, and flags boilerplate hubs (high-degree
+    nodes) that the stop-bucket guards should be absorbing."""
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4397,6 +4515,10 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4
+    "tfidf_cosine_pairs",
+    "vocab_coverage",
+    "bigram_logprob_score",
+    "dedup_graph_degrees",
     "cms_heavy_hitters",
     "events_gap_fill",
     "minhash_estimate_error",

@@ -210,3 +210,66 @@ class TestStreamingThresholdAlerts:
             "append"
         ).parquet(str(src))
         assert run_batch() == [(1, 6), (2, 5)]
+
+
+# ---------------------------------------------------------------------------
+# tf-idf cosine pairs / vocab coverage / bigram LM / graph degrees
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_cosine_pairs_finds_near_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = dedup  # noqa: F841  (imported at module top; silence linters)
+    from broker_spark.pipeline import text as text_ops
+
+    pairs = text_ops.tfidf_cosine_pairs(docs, threshold=0.3).collect()
+    assert pairs, "expected near-dup pairs at sf0.001"
+    for r in pairs:
+        assert 0.3 <= r["cosine"] <= 1.0
+        assert r["doc_a"] < r["doc_b"]
+    # symmetric sanity: identical docs would be cosine 1; the fixture's
+    # near-dup families should score far above the candidate background
+    assert max(r["cosine"] for r in pairs) > 0.8
+
+
+def test_vocab_coverage_bounds_and_monotonicity(spark):
+    from broker_spark.pipeline import text as text_ops
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cov10 = {r["lang"]: r["coverage"] for r in text_ops.vocab_coverage(docs, 10).collect()}
+    cov31 = {r["lang"]: r["coverage"] for r in text_ops.vocab_coverage(docs, 31).collect()}
+    for lang, c in cov10.items():
+        assert 0.0 < c <= 1.0
+        assert cov31[lang] >= c  # widening the vocab can't reduce coverage
+    # 31 covers the entire fixture vocabulary
+    assert all(c == 1.0 for c in cov31.values())
+
+
+def test_bigram_logprob_flags_shuffled_text(spark):
+    """A doc whose tokens are globally common but locally scrambled must
+    score worse (higher NLL) under the bigram model than docs that follow
+    the corpus's dominant bigram pattern — the separation the unigram
+    model cannot see (all these docs share ONE unigram distribution)."""
+    from broker_spark.pipeline import text as text_ops
+
+    coherent = " ".join(["a b"] * 10)       # bigrams: 'a b' and 'b a' only
+    scrambled = " ".join(["a"] * 10 + ["b"] * 10)  # 'a a' / 'b b' runs
+    rows = [(i, coherent) for i in range(20)] + [(99, scrambled)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {
+        r["doc_id"]: r["mean_bigram_nll"]
+        for r in text_ops.bigram_logprob_score(docs).collect()
+    }
+    assert scores[99] > scores[0]
+    # every coherent doc scores identically (same text)
+    assert len({scores[i] for i in range(20)}) == 1
+
+
+def test_dedup_graph_degree_mass_equals_pair_endpoints(spark):
+    from broker_spark.plans.catalog import CATALOG
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.minhash_lsh_pairs(docs).count()
+    hist = CATALOG["dedup_graph_degrees"].fn(spark, SF).collect()
+    # sum(degree * n_docs) counts each edge twice
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * pairs
