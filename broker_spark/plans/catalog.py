@@ -4499,6 +4499,62 @@ def q_dedup_graph_degrees(spark, sf_dir):
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
 
 
+@register(
+    "streaming_alerts_replay",
+    """
+    SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS total
+    FROM events GROUP BY user_id HAVING COUNT(*) >= 75
+    """,
+)
+def q_streaming_alerts_replay(spark, sf_dir):
+    """The STREAMING threshold-alert operator executed over the fixture via
+    an availableNow replay — proof that the applyInPandasWithState path
+    computes the same result the batch oracle predicts.  With the whole
+    input in one micro-batch, each key's crossing emission carries its
+    full lifetime count, so the expected output is exactly GROUP BY /
+    HAVING — a value-level oracle for a stateful streaming operator
+    (streaming entries are otherwise pytest-only).
+
+    The sink/checkpoint live in a per-call temp dir; the returned
+    DataFrame is a plain batch read of the sink."""
+    import shutil
+    import tempfile
+
+    from broker_spark.streaming import stateful
+
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="alerts_replay_")
+    sink, ckpt, src = f"{tmp}/sink", f"{tmp}/ckpt", f"{tmp}/src"
+    # FileStreamSource requires a DIRECTORY; the fixture is a single
+    # parquet file -> stage a symlink (no copy) into the replay dir
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    # partial schema: parquet resolves columns by name, so declaring only
+    # the projected key column sidesteps timestamp-encoding mismatches
+    source = (
+        spark.readStream.schema("user_id long")
+        .parquet(src)
+        .select(F.col("user_id").alias("key"))
+    )
+    q = (
+        stateful.streaming_threshold_alerts(source, threshold=75)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(sink).select("key", "total")
+    # materialize before the temp dir disappears with the session's GC --
+    # the sink files stay on disk for the caller's collect(); cleanup of
+    # the checkpoint alone is safe
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -4515,6 +4571,7 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4
+    "streaming_alerts_replay",
     "tfidf_cosine_pairs",
     "vocab_coverage",
     "bigram_logprob_score",
