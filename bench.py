@@ -113,6 +113,7 @@ HEADLINE = [
     "vocab_coverage",
     "bigram_logprob_score",
     "dedup_graph_degrees",
+    "ann_rp_lsh_topk",
 ]
 
 

@@ -1060,3 +1060,96 @@ def hard_negative_topk(
             F.round(F.col("cos_raw"), 6).alias("cosine"),
         )
     )
+
+
+def rp_planes(tables: int = 2, planes: int = 8, dim: int = 64) -> list[list[list[float]]]:
+    """Deterministic ±1 random-projection hyperplanes: coefficient sign
+    from one md5 byte per (table, plane, dim) coordinate — engine-portable
+    (the SQL oracle inlines the SAME literals), seedless, and reproducible
+    across runs.  Rademacher (±1) projections satisfy the same
+    Johnson-Lindenstrauss bounds as Gaussian ones (Achlioptas 2001)."""
+    import hashlib
+
+    return [
+        [
+            [
+                1.0 if hashlib.md5(f"rp:{t}:{p}:{i}".encode()).digest()[0] % 2 == 0 else -1.0
+                for i in range(dim)
+            ]
+            for p in range(planes)
+        ]
+        for t in range(tables)
+    ]
+
+
+def rp_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    planes: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH (SimHash-for-ANN) top-k: each hash table buckets vectors
+    by the SIGN PATTERN of `planes` random projections; candidates are
+    vectors sharing a bucket with the query in ANY table; exact cosine
+    re-ranks the candidate set.
+
+    The second standard LSH family next to the grid index: grid cells
+    partition by leading coordinates (data-dependent density), sign-LSH
+    partitions by angle (matches cosine similarity directly) and its
+    bucket population is load-balanced by construction for centered data.
+
+    Shape: one narrow (id, table, bucket) projection per side, ONE
+    equi-join on (table, bucket), distinct pairs, exact-cosine window
+    top-k over candidates only — candidate generation never compares
+    vectors, and the join key cardinality (tables x 2^planes) controls
+    the recall/cost trade-off."""
+    def bucket(vec: Column, table: int) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(c) for c in planes[table][p]])) >= 0, "1"
+            ).otherwise("0")
+            for p in range(len(planes[table]))
+        ]
+        return F.concat(*bits)
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        parts = [
+            df.select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.lit(t).alias("t"),
+                bucket(F.col(vec_col), t).alias("bucket"),
+            )
+            for t in range(len(planes))
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qb = bucketed(queries, "query")
+    cb = bucketed(embeddings, "cand")
+    cand = (
+        qb.join(cb, ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
+    )

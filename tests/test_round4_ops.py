@@ -273,3 +273,46 @@ def test_dedup_graph_degree_mass_equals_pair_endpoints(spark):
     hist = CATALOG["dedup_graph_degrees"].fn(spark, SF).collect()
     # sum(degree * n_docs) counts each edge twice
     assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * pairs
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH (random projection) ANN
+# ---------------------------------------------------------------------------
+
+
+def test_rp_planes_deterministic_and_rademacher(spark):
+    a = ann.rp_planes(4, 4, 64)
+    b = ann.rp_planes(4, 4, 64)
+    assert a == b  # seedless determinism
+    flat = [c for t in a for p in t for c in p]
+    assert set(flat) == {1.0, -1.0}
+    # roughly balanced signs (md5 bytes are uniform)
+    assert 0.35 < sum(1 for c in flat if c > 0) / len(flat) < 0.65
+
+
+def test_rp_lsh_candidates_subset_of_bruteforce_order(spark):
+    """Every sign-LSH result must be a true cosine ranking over its own
+    candidate set: rank-1 beats rank-2 etc., and recall@5 vs exact brute
+    force should be well above chance for angle-clustered fixtures."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    planes = ann.rp_planes(4, 4, 64)
+    out = ann.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), planes, k=5).collect()
+    assert out
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+    exact = ann.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    hits = sum(
+        1
+        for r in out
+        if r["cand_id"] in exact_sets.get(r["query_id"], set())
+    )
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total > 0.2  # far above the ~5/2000 chance rate
