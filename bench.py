@@ -114,6 +114,7 @@ HEADLINE = [
     "bigram_logprob_score",
     "dedup_graph_degrees",
     "ann_rp_lsh_topk",
+    "embedding_pca_power_iter",
 ]
 
 

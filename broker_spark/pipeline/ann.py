@@ -1153,3 +1153,92 @@ def rp_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "rank", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def pca_top_component(
+    embeddings: DataFrame,
+    dim: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed PCA, top principal component by power iteration.
+
+    The DISTRIBUTED work is the single Gram pass: each partition reduces
+    to a (dim x dim) partial X^T X plus per-dim sums and a count inside
+    mapInPandas (Arrow in, one BLAS syrk, constant-size out), and ONE
+    shuffle of (partitions x dim^2) cells sums the partials — input rows
+    never shuffle.  The covariance C = (G - s s^T / n) / n is then a
+    dim^2-cell table (bounded, ~32 KB at dim=64), so the `iters` power
+    steps run on the driver in numpy — the same bounded-driver-traffic
+    contract as the k-means/PQ codebook collects documented in this
+    module.
+
+    Determinism: v0 = 1/sqrt(dim) (seedless), fixed iteration count (no
+    convergence test), sign fixed so the first nonzero loading is
+    positive — bit-for-bit reproducible and SQL-expressible (the oracle
+    unrolls the same `iters` steps as CTEs).
+
+    Returns (dim_index 1-based, loading, eigenvalue) — eigenvalue is the
+    Rayleigh quotient v^T C v, the variance explained by the component.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partial_gram(batches):
+        g = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            g += m.T @ m
+            s += m.sum(axis=0)
+            n += len(m)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel() + 1,
+                "j": jj.ravel() + 1,
+                "g": g.ravel(),
+                "s_i": np.repeat(s, dim),
+                "n": np.full(dim * dim, n, dtype="int64"),
+            }
+        )
+
+    cells = (
+        embeddings.select(vec_col)
+        .mapInPandas(_partial_gram, "i long, j long, g double, s_i double, n long")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("g").alias("g"),
+            F.sum("s_i").alias("s_i"),
+            F.sum("n").alias("n"),
+        )
+        .collect()
+    )
+    n = cells[0]["n"]
+    g = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    for r in cells:
+        g[r["i"] - 1, r["j"] - 1] = r["g"]
+        s[r["i"] - 1] = r["s_i"]  # every (i, j) row carries the full s[i]
+    cov = (g - np.outer(s, s) / n) / n
+    v = np.full(dim, 1.0 / np.sqrt(dim))
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.sqrt((w * w).sum())
+    nz = np.nonzero(np.round(v, 9))[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    spark = embeddings.sparkSession
+    out = pd.DataFrame(
+        {
+            "dim_index": np.arange(1, dim + 1),
+            "loading": np.round(v, 6),
+            "eigenvalue": np.round(np.full(dim, eig), 6),
+        }
+    )
+    return spark.createDataFrame(out)

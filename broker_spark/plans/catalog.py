@@ -4560,6 +4560,66 @@ def q_ann_rp_lsh_topk(spark, sf_dir):
     return ann.rp_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), _RP_PLANES, k=5)
 
 
+def _pca_power_sql(dim: int = 64, iters: int = 5) -> str:
+    """Unrolled power-iteration oracle: cov cells from an index-exploded
+    Gram self-join, then `iters` (mat-vec, normalize) CTE pairs — the same
+    seedless v0 and sign-fix as ann.pca_top_component."""
+    import math
+
+    v0 = 1.0 / math.sqrt(dim)
+    parts = [
+        f"""
+    WITH vals AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, range(1, {dim + 1}) t(i)
+    ),
+    st AS (SELECT COUNT(*) AS n FROM embeddings),
+    m AS (SELECT i, SUM(v) AS s FROM vals GROUP BY i),
+    gram AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS g
+      FROM vals a JOIN vals b USING (vec_id) GROUP BY 1, 2
+    ),
+    cov AS MATERIALIZED (
+      SELECT g.i, g.j, (g.g - mi.s * mj.s / st.n) / st.n AS c
+      FROM gram g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i, st
+    ),
+    v0 AS (SELECT i, {v0!r} AS val FROM range(1, {dim + 1}) t(i))"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""",
+    w{k} AS MATERIALIZED (SELECT cov.i AS i, SUM(cov.c * v{k - 1}.val) AS w
+             FROM cov JOIN v{k - 1} ON cov.j = v{k - 1}.i GROUP BY 1),
+    n{k} AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT i, w / nrm AS val FROM w{k}, n{k})"""
+        )
+    parts.append(
+        f""",
+    sgn AS (SELECT CASE WHEN (SELECT val FROM v{iters} WHERE round(val, 9) <> 0
+                              ORDER BY i LIMIT 1) < 0
+                        THEN -1.0 ELSE 1.0 END AS sg),
+    vf AS (SELECT i, val * sg AS val FROM v{iters}, sgn),
+    eig AS (SELECT SUM(vi.val * cov.c * vj.val) AS e
+            FROM cov JOIN vf vi ON cov.i = vi.i JOIN vf vj ON cov.j = vj.i)
+    SELECT i AS dim_index, round(val, 6) AS loading,
+           round((SELECT e FROM eig), 6) AS eigenvalue
+    FROM vf"""
+    )
+    return "".join(parts)
+
+
+@register("embedding_pca_power_iter", _pca_power_sql(64, 30))
+def q_embedding_pca_power_iter(spark, sf_dir):
+    """Distributed PCA (top component): ONE mapInPandas Gram pass — each
+    partition reduces to a dim^2 partial via BLAS, one shuffle of
+    (partitions x dim^2) cells — then 30 seedless power-iteration steps on
+    the bounded (~32 KB) covariance, sign-fixed (the fixture's eigengap
+    is small, so 5 steps reach only ~0.87 of the top eigenvalue; 30 reach
+    ~0.99).  The oracle unrolls the identical 30 steps as CTEs, so the whole linear-algebra path is
+    value-checked."""
+    return ann.pca_top_component(load(spark, sf_dir, "embeddings"), dim=64, iters=30)
+
+
 def _run_replay(spark, stream_df, tmp: str):
     """Execute a streaming DataFrame to completion (availableNow) into a
     parquet sink under `tmp` and return the sink path — the common half of
@@ -4757,6 +4817,7 @@ _AUDIT_PRIORITY = [
     "streaming_ewma_replay",
     "streaming_lsh_replay",
     "ann_rp_lsh_topk",
+    "embedding_pca_power_iter",
     "tfidf_cosine_pairs",
     "vocab_coverage",
     "bigram_logprob_score",

@@ -316,3 +316,28 @@ def test_rp_lsh_candidates_subset_of_bruteforce_order(spark):
     )
     total = sum(len(s) for s in exact_sets.values())
     assert hits / total > 0.2  # far above the ~5/2000 chance rate
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (power iteration)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_component_is_unit_norm_and_dominant(spark):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = ann.pca_top_component(emb, dim=64, iters=30).collect()
+    assert len(out) == 64
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim_index"])])
+    eig = out[0]["eigenvalue"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4  # unit loadings (rounded)
+    # Rayleigh quotient of the dominant direction must beat every single
+    # coordinate axis's variance
+    m = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(float)
+    c = np.cov(m, rowvar=False, bias=True)
+    assert eig >= c.diagonal().max() - 1e-6
+    # and must match numpy's top eigenvalue closely after 30 iterations
+    top = np.linalg.eigvalsh(c).max()
+    assert eig <= top + 1e-6
+    assert eig / top > 0.98
