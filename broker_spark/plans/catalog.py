@@ -4620,6 +4620,63 @@ def q_embedding_pca_power_iter(spark, sf_dir):
     return ann.pca_top_component(load(spark, sf_dir, "embeddings"), dim=64, iters=30)
 
 
+@register(
+    "embedding_pca_scores",
+    _pca_power_sql(64, 30).replace(
+        """
+    SELECT i AS dim_index, round(val, 6) AS loading,
+           round((SELECT e FROM eig), 6) AS eigenvalue
+    FROM vf""",
+        """,
+    centered AS (
+      -- round(val, 6): the Spark side broadcasts the ROUNDED loadings
+      -- (the public output of the PCA entry), so the oracle must project
+      -- with the same precision
+      SELECT e.vec_id, v.i,
+             (CAST(e.embedding[v.i] AS DOUBLE) - m.s / st.n) * round(v.val, 6) AS t
+      FROM embeddings e, vf v JOIN m ON v.i = m.i, st
+    )
+    SELECT vec_id, round(SUM(t), 6) AS pc1_score
+    FROM centered GROUP BY vec_id""",
+    ),
+)
+def q_embedding_pca_scores(spark, sf_dir):
+    """Dimensionality-reduced feature: each vector's mean-centered
+    projection onto the top principal component — the 1-D embedding
+    summary used for curriculum ordering / outlier screens.  The
+    component comes from the same distributed Gram pass; the projection
+    is a broadcast of the 64-float loading vector against the corpus
+    scan (one dot product per row, no shuffle)."""
+    emb = load(spark, sf_dir, "embeddings")
+    comp = ann.pca_top_component(emb, dim=64, iters=30)
+    rows = sorted(
+        ((r["dim_index"], r["loading"]) for r in comp.collect())
+    )
+    loadings = [v for _, v in rows]
+    # corpus mean per dim for centering (same pass shape as the component)
+    means = (
+        emb.select(F.posexplode(ann._as_double(F.col("embedding"))).alias("i0", "x"))
+        .groupBy("i0")
+        .agg((F.sum("x") / F.count(F.lit(1))).alias("mval"))
+        .collect()
+    )
+    mean = [r["mval"] for r in sorted(means, key=lambda r: r["i0"])]
+    lv = F.array(*[F.lit(c) for c in loadings])
+    mv = F.array(*[F.lit(c) for c in mean])
+    centered = F.zip_with(ann._as_double(F.col("embedding")), mv, lambda a, b: a - b)
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(centered, lv, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pc1_score"),
+    )
+
+
 def _run_replay(spark, stream_df, tmp: str):
     """Execute a streaming DataFrame to completion (availableNow) into a
     parquet sink under `tmp` and return the sink path — the common half of
@@ -4818,6 +4875,7 @@ _AUDIT_PRIORITY = [
     "streaming_lsh_replay",
     "ann_rp_lsh_topk",
     "embedding_pca_power_iter",
+    "embedding_pca_scores",
     "tfidf_cosine_pairs",
     "vocab_coverage",
     "bigram_logprob_score",
