@@ -1627,7 +1627,9 @@ def q_ann_trained_ivf_topk(spark, sf_dir):
     inverted-list search on the learned cluster — the production IVF shape
     (pyspark.ml KMeans -> assignment column) made oracle-checkable by
     pinning init, tie-breaks, and rounded centroid updates."""
-    return ann.trained_ivf_topk(load(spark, sf_dir, "embeddings"), n_clusters=10, k=5)
+    return ann.trained_ivf_topk(
+        load(spark, sf_dir, "embeddings"), n_clusters=10, k=5, cache_key=sf_dir
+    )
 
 
 @register(
@@ -1662,7 +1664,8 @@ def q_ann_trained_ivf_multiprobe(spark, sf_dir):
     recall ~= probed fraction — the multiprobe grid's 1.00 likewise probes
     9 of ~4 occupied grid cells (exhaustive coverage)."""
     return ann.multiprobe_trained_ivf_topk(
-        load(spark, sf_dir, "embeddings"), n_clusters=10, nprobe=8, k=5
+        load(spark, sf_dir, "embeddings"), n_clusters=10, nprobe=8, k=5,
+        cache_key=sf_dir,
     )
 
 
@@ -4000,7 +4003,7 @@ def q_ann_ivf_pq_topk(spark, sf_dir):
     over 8-byte codes) — the ANN shape whose index fits executor memory
     at 100 TB.  Rows-only; recall vs exact brute force pinned in
     tests/test_pq.py."""
-    return ann.ivf_pq_topk(load(spark, sf_dir, "embeddings"))
+    return ann.ivf_pq_topk(load(spark, sf_dir, "embeddings"), cache_key=sf_dir)
 
 
 @register("ann_ivf_pq_rerank_topk", None)
@@ -4013,7 +4016,7 @@ def q_ann_ivf_pq_rerank_topk(spark, sf_dir):
     this code path is oracle-certified by `ann_ivf_pq_exact_parity`;
     recall at these production params is driver-visible via
     `ann_ivf_pq_agreement`."""
-    return ann.ivf_pq_rerank_topk(load(spark, sf_dir, "embeddings"))
+    return ann.ivf_pq_rerank_topk(load(spark, sf_dir, "embeddings"), cache_key=sf_dir)
 
 
 @register(
@@ -4047,7 +4050,8 @@ def q_ann_ivf_pq_exact_parity(spark, sf_dir):
     production-parameter regime (nprobe=8, shortlist=200) rides the
     identical code and is audited by `ann_ivf_pq_agreement`."""
     return ann.ivf_pq_rerank_topk(
-        load(spark, sf_dir, "embeddings"), nprobe=10, shortlist=10**9
+        load(spark, sf_dir, "embeddings"), nprobe=10, shortlist=10**9,
+        cache_key=sf_dir,
     )
 
 
@@ -4060,7 +4064,7 @@ def q_ann_ivf_pq_agreement(spark, sf_dir):
     code path is oracle-certified by `ann_ivf_pq_exact_parity`, and
     tests/test_pq.py pins the recall floor (measured 0.90 at sf0.01,
     shortlist=200, vs exact squared-L2 top-5)."""
-    return ann.ivf_pq_agreement(load(spark, sf_dir, "embeddings"))
+    return ann.ivf_pq_agreement(load(spark, sf_dir, "embeddings"), cache_key=sf_dir)
 
 
 @register(
