@@ -4897,6 +4897,7 @@ _AUDIT_PRIORITY = [
     "dedup_components",
     "dedup_components_star",
     "ann_trained_ivf_multiprobe",
+    "ann_trained_ivf_topk",
     # -- never driver-checked: TPC-H remainder
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
