@@ -142,19 +142,68 @@ def embedding_near_dup_pairs(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
         norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(norms, norms)
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        cos = np.round(sims[ia, ib], 6)
-        keep = cos >= threshold
         ids = pdf[id_col].to_numpy()
+        n = len(pdf)
+        # row-blocked upper triangle: peak memory one (block x n) sims
+        # matrix (~32 MB), not the full (n x n) — hot cells at corpus
+        # scale would otherwise OOM the python worker
+        block = max(1, 4_000_000 // n)
+        out_a, out_b, out_c = [], [], []
+        jj = np.arange(n)[None, :]
+        for s in range(0, n, block):
+            b = min(block, n - s)
+            sims = (m[s : s + b] @ m.T) / np.outer(norms[s : s + b], norms)
+            cos = np.round(sims, 6)
+            keep = (jj > (s + np.arange(b))[:, None]) & (cos >= threshold)
+            ra, cb_ = np.nonzero(keep)
+            out_a.append(ids[s + ra])
+            out_b.append(ids[cb_])
+            out_c.append(cos[ra, cb_])
         return pd.DataFrame(
-            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "cosine": cos[keep]}
+            {
+                "vec_a": np.concatenate(out_a) if out_a else np.array([], "int64"),
+                "vec_b": np.concatenate(out_b) if out_b else np.array([], "int64"),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], "float64"),
+            }
         )
 
     return (
         _cells(embeddings, dims, width, id_col, vec_col)
         .groupBy("cell")
         .applyInPandas(_score_cell, "vec_a long, vec_b long, cosine double")
+    )
+
+
+def _self_topk_arrays(ids, m, k):
+    """Row-blocked all-pairs-within-cell top-k (self excluded): peak
+    memory is one (block x n) sims matrix (~32 MB), never the full
+    (n x n) — hot cells at corpus scale would otherwise OOM the python
+    worker.  Stable argsort on candidates pre-sorted by id keeps the
+    (cosine desc, cand_id asc) tie order exact."""
+    import numpy as np
+
+    n = len(ids)
+    norms = np.sqrt((m * m).sum(axis=1))
+    kk = min(k, n - 1)
+    block = max(1, 4_000_000 // n)
+    oq, oc, orr, os_ = [], [], [], []
+    for s in range(0, n, block):
+        b = min(block, n - s)
+        sims = (m[s : s + b] @ m.T) / np.outer(norms[s : s + b], norms)
+        sims[np.arange(b), s + np.arange(b)] = -np.inf
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        qi = np.repeat(np.arange(b), kk)
+        ci = order.ravel()
+        oq.append(ids[s + qi])
+        oc.append(ids[ci])
+        orr.append(np.tile(np.arange(1, kk + 1), b))
+        os_.append(sims[qi, ci])
+    import numpy as _np
+    return (
+        _np.concatenate(oq),
+        _np.concatenate(oc),
+        _np.concatenate(orr).astype("int32"),
+        _np.concatenate(os_),
     )
 
 
@@ -178,17 +227,30 @@ def _block_topk_arrays(q, c, id_col: str, vec_col: str, k: int):
     c = c.sort_values(id_col).reset_index(drop=True)
     qm = np.stack(q[vec_col].to_numpy()).astype("float64")
     cm = np.stack(c[vec_col].to_numpy()).astype("float64")
-    sims = (qm @ cm.T) / np.outer(
-        np.sqrt((qm * qm).sum(axis=1)), np.sqrt((cm * cm).sum(axis=1))
-    )
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    cn = np.sqrt((cm * cm).sum(axis=1))
     take = min(k + 1, len(c))
-    order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
-    qi = np.repeat(np.arange(len(q)), take)
-    ci = order.ravel()
-    qid = q[id_col].to_numpy()[qi]
-    cid = c[id_col].to_numpy()[ci]
+    qids = q[id_col].to_numpy()
+    cids = c[id_col].to_numpy()
+    # block the query side: peak memory is one (block x nc) sims matrix
+    # (~32 MB at the cap below) instead of the full (nq x nc) — on big
+    # probe lists the unblocked matmul is the same OOM shape the 100x
+    # scale run caught in the ADC kernel
+    block = max(1, 4_000_000 // max(1, len(c)))
+    out_q, out_c, out_s = [], [], []
+    for s in range(0, len(qm), block):
+        sims = (qm[s : s + block] @ cm.T) / np.outer(qn[s : s + block], cn)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+        qi = np.repeat(np.arange(sims.shape[0]), take)
+        ci = order.ravel()
+        out_q.append(qids[s : s + block][qi])
+        out_c.append(cids[ci])
+        out_s.append(sims[qi, ci])
+    qid = np.concatenate(out_q)
+    cid = np.concatenate(out_c)
+    sim = np.concatenate(out_s)
     keep = qid != cid
-    return qid[keep], cid[keep], sims[qi, ci][keep]
+    return qid[keep], cid[keep], sim[keep]
 
 
 def grid_lsh_topk_multiprobe(
@@ -281,20 +343,14 @@ def ivf_topk_by_assignment(
             return empty
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(norms, norms)
-        np.fill_diagonal(sims, -np.inf)
         ids = pdf[id_col].to_numpy()
-        kk = min(k, n - 1)
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        qi = np.repeat(np.arange(n), kk)
-        ci = order.ravel()
+        qid, cid, rank, cos = _self_topk_arrays(ids, m, k)
         return pd.DataFrame(
             {
-                "query_id": ids[qi],
-                "cand_id": ids[ci],
-                "rank": np.tile(np.arange(1, kk + 1), n).astype("int32"),
-                "cosine": np.round(sims[qi, ci], 6),
+                "query_id": qid,
+                "cand_id": cid,
+                "rank": rank,
+                "cosine": np.round(cos, 6),
             }
         )
 
@@ -584,26 +640,14 @@ def grid_lsh_topk(
             return empty
         pdf = pdf.sort_values(id_col).reset_index(drop=True)  # cand_id asc tie-break
         m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        norms = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(norms, norms)
-        np.fill_diagonal(sims, -np.inf)
         ids = pdf[id_col].to_numpy()
-        out_q, out_c, out_r, out_s = [], [], [], []
-        kk = min(k, n - 1)
-        # stable argsort on -sims keeps cand_id-ascending order for ties
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        for i in range(n):
-            for r, j in enumerate(order[i], start=1):
-                out_q.append(ids[i])
-                out_c.append(ids[j])
-                out_r.append(r)
-                out_s.append(round(float(sims[i, j]), 6))
+        qid, cid, rank, cos = _self_topk_arrays(ids, m, k)
         return pd.DataFrame(
             {
-                "query_id": np.array(out_q, dtype="int64"),
-                "cand_id": np.array(out_c, dtype="int64"),
-                "rank": np.array(out_r, dtype="int32"),
-                "cosine": np.array(out_s, dtype="float64"),
+                "query_id": qid,
+                "cand_id": cid,
+                "rank": rank,
+                "cosine": np.round(cos, 6),
             }
         )
 
@@ -885,21 +929,37 @@ def ivf_pq_topk(
         if q.empty or c.empty:
             return empty
         qm = np.stack(q["qv"].to_numpy()).astype("float64")  # (nq, dim)
-        qsub = qm.reshape(len(qm), m_count, d_sub)
-        # LUT[q, m, k] = ||q_sub[m] - cb[m, k]||^2
-        lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
         codes = np.stack(c["codes"].to_numpy()).astype("int64")  # (nc, M)
-        # adc[q, c] = sum_m LUT[q, m, codes[c, m]]
-        adc = lut[:, np.arange(m_count)[None, :], codes].sum(axis=2)
+        qids = q[id_col].to_numpy()
+        cids = c[id_col].to_numpy()
         take = min(k + 1, len(c))
-        order = np.argsort(adc, axis=1, kind="stable")[:, :take]
-        qi = np.repeat(np.arange(len(q)), take)
-        ci = order.ravel()
-        qid = q[id_col].to_numpy()[qi]
-        cid = c[id_col].to_numpy()[ci]
+        # Block the query side and accumulate the ADC matrix one subspace
+        # at a time: peak memory is two (block x nc) doubles (~32 MB at
+        # the cap below).  The unblocked fancy-index gather materialized a
+        # (nq x M x nc) intermediate — 189 GiB in the 100x scale run, the
+        # exact OOM this harness exists to catch.
+        block = max(1, 4_000_000 // max(1, len(c)))
+        out_q, out_c, out_d = [], [], []
+        for s in range(0, len(qm), block):
+            qb = qm[s : s + block]
+            qsub = qb.reshape(len(qb), m_count, d_sub)
+            # LUT[q, m, k] = ||q_sub[m] - cb[m, k]||^2
+            lut = ((qsub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            adc = np.zeros((len(qb), len(codes)))
+            for m in range(m_count):
+                adc += lut[:, m, codes[:, m]]
+            order = np.argsort(adc, axis=1, kind="stable")[:, :take]
+            qi = np.repeat(np.arange(len(qb)), take)
+            ci = order.ravel()
+            out_q.append(qids[s : s + block][qi])
+            out_c.append(cids[ci])
+            out_d.append(adc[qi, ci])
+        qid = np.concatenate(out_q)
+        cid = np.concatenate(out_c)
+        dist = np.concatenate(out_d)
         keep = qid != cid
         return pd.DataFrame(
-            {"query_id": qid[keep], "cand_id": cid[keep], "adc": adc[qi, ci][keep]}
+            {"query_id": qid[keep], "cand_id": cid[keep], "adc": dist[keep]}
         )
 
     scored = both.groupBy("cluster").applyInPandas(
