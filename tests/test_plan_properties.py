@@ -40,6 +40,13 @@ def test_pair_generators_never_cartesian(spark):
         "substring_dup_pairs",
         "source_overlap_matrix",
         "bloom_decontamination",
+        # round-4 pair generators: inverted-index / bucket joins only
+        "tfidf_cosine_pairs",
+        "minhash_estimate_error",
+        "semantic_dedup_clusters",
+        "ann_rp_lsh_topk",
+        "dedup_graph_degrees",
+        "cms_heavy_hitters",
     ):
         plan = plan_of(spark, name)
         assert "CartesianProduct" not in plan, name
