@@ -629,10 +629,13 @@ def minhash_estimate_error(
     proportional to the candidate set, not the corpus — the standard
     verify stage of a two-phase LSH dedup.
     """
-    # pairs/sh are referenced by multiple downstream joins; cache lifetime
-    # is owned by the session (same contract as ngram_jaccard_pairs —
-    # blocks are reclaimed by the ContextCleaner once the plan is GC'd)
-    pairs = minhash_lsh_pairs(docs, num_hashes, rows_per_band).persist()
+    # pairs/sh are each referenced by three downstream joins;
+    # localCheckpoint (not persist) materializes them once and the blocks
+    # are GC-reclaimed with the result — a persist would pin CacheManager
+    # entries for the whole session (ADVICE r3 pattern)
+    pairs = minhash_lsh_pairs(docs, num_hashes, rows_per_band).localCheckpoint(
+        eager=True
+    )
     sig = minhash_signatures(docs, num_hashes)
     agree = [
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(num_hashes)
@@ -672,7 +675,7 @@ def minhash_estimate_error(
             "doc_id",
             F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
         )
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
