@@ -4681,6 +4681,44 @@ def q_embedding_pca_scores(spark, sf_dir):
     )
 
 
+@register(
+    "log_roundtrip_resend",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL})
+    SELECT {_RESEND_COLS} FROM s
+    WHERE stream_id = 'view' AND partition = 2
+      AND ((ts > TIMESTAMP '2024-01-10 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-10 00:00:00' AND sequence_no >= 0))
+      AND ((ts < TIMESTAMP '2024-01-20 00:00:00')
+           OR (ts = TIMESTAMP '2024-01-20 00:00:00' AND sequence_no <= 2147483647))
+    """,
+)
+def q_log_roundtrip_resend(spark, sf_dir):
+    """The reference's CORE flow — store then resend — value-certified
+    through the WRITTEN log: events are adapted to stream messages,
+    appended to a fresh partitioned parquet log (day buckets, derived
+    partition column, clustering-key sort), and read back via
+    Storage.request_range with partition pruning.  The oracle is the same
+    SQL as `resend_range` over the RAW events table, so a round-trip
+    through the physical storage layout (directory layout, bucket
+    derivation, parquet encodings, pruning, ordering) must be lossless —
+    the driver-visible analog of the reference's store-and-resend
+    integration test (test/integration/storage/Storage.test.ts)."""
+    import tempfile
+
+    from broker_spark.storage.store import Storage
+
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    tmp = tempfile.mkdtemp(prefix="log_roundtrip_")
+    st = Storage(spark, f"{tmp}/log", bucket_ms=86_400_000)
+    st.store(s)
+    out = st.request_range("view", 2, TS_2024_01_10, 0, TS_2024_01_20, 2147483647)
+    return out.select(
+        "stream_id", "partition", "ts", "sequence_no",
+        "publisher_id", "msg_chain_id", "content",
+    )
+
+
 def _run_replay(spark, stream_df, tmp: str):
     """Execute a streaming DataFrame to completion (availableNow) into a
     parquet sink under `tmp` and return the sink path — the common half of
@@ -4874,6 +4912,7 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4
+    "log_roundtrip_resend",
     "streaming_alerts_replay",
     "streaming_ewma_replay",
     "streaming_lsh_replay",
