@@ -353,13 +353,16 @@ class MqttHandler(socketserver.StreamRequestHandler):
         except PublishError:
             self._send(encode_connack(RC_NOT_AUTHORIZED))
             return
+        if packet["retain"]:
+            # MQTT 3.1.1 §3.3.1.3: retain stores the message as the topic's
+            # last-known-good; a zero-byte retained payload clears it.
+            # Stored BEFORE the PUBACK: at-least-once means the ack certifies
+            # processing, so a subscriber arriving after the publisher sees
+            # its PUBACK must observe the retained update.
+            broker.set_retained(topic, packet["payload"])
         if packet["qos"]:
             # at-least-once: every (re)delivery PUBACKs, duplicates included
             self._send(encode_packet(PUBACK, 0, struct.pack(">H", packet["packet_id"])))
-        if packet["retain"]:
-            # MQTT 3.1.1 §3.3.1.3: retain stores the message as the topic's
-            # last-known-good; a zero-byte retained payload clears it
-            broker.set_retained(topic, packet["payload"])
         # loopback fan-out: the reference's network node echoes the message
         # back through broadcastMessage (MqttServer.ts:67,281-302)
         broker.broadcast(topic, partition, content)

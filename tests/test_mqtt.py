@@ -205,7 +205,13 @@ def test_retained_message_delivered_on_subscribe(server):
     port = srv.server_address[1]
     pub = MiniClient(port)
     assert pub.connect("pub", "key") == mqtt.RC_ACCEPTED
-    pub.send(mqtt.encode_publish("status/x", b'{"up": true}', retain=True))
+    # qos=1: the PUBACK round-trip is the synchronization barrier that
+    # guarantees the broker stored the retained message before we subscribe
+    pub.send(
+        mqtt.encode_publish("status/x", b'{"up": true}', qos=1, packet_id=77, retain=True)
+    )
+    ptype, _, _ = pub.recv()
+    assert ptype == mqtt.PUBACK
 
     # late subscriber still gets the retained last-known-good, retain=1
     sub = MiniClient(port)
@@ -220,8 +226,10 @@ def test_retained_message_delivered_on_subscribe(server):
     assert json.loads(msg["payload"]) == {"up": True}
     sub.close()
 
-    # zero-byte retained payload clears it
-    pub.send(mqtt.encode_publish("status/x", b"", retain=True))
+    # zero-byte retained payload clears it (again PUBACK-fenced)
+    pub.send(mqtt.encode_publish("status/x", b"", qos=1, packet_id=78, retain=True))
+    ptype, _, _ = pub.recv()
+    assert ptype == mqtt.PUBACK
     sub2 = MiniClient(port)
     assert sub2.connect("sub2", "key") == mqtt.RC_ACCEPTED
     sub2.send(mqtt.encode_subscribe(10, ["status/#"]))
