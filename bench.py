@@ -115,6 +115,10 @@ HEADLINE = [
     "dedup_graph_degrees",
     "ann_rp_lsh_topk",
     "embedding_pca_power_iter",
+    "bm25_topk",
+    "passage_dedup_stats",
+    "quality_classifier_score",
+    "temperature_mix_allocation",
 ]
 
 

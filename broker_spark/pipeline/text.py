@@ -946,3 +946,234 @@ def bigram_logprob_score(docs: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("mean_bigram_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval, passage dedup, learned quality scoring, temperature mix
+# ---------------------------------------------------------------------------
+
+#: BM25 free parameters (the Robertson/Sparck-Jones defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+#: Fixed benchmark query set (terms drawn from the fixture vocabulary so
+#: every query has matches at every scale factor).
+BM25_QUERIES = [
+    ("q1", ["spark", "join", "order"]),
+    ("q2", ["window", "hash", "scan"]),
+    ("q3", ["stream", "batch"]),
+]
+
+
+def bm25_topk(docs: DataFrame, queries=None, k: int = 10) -> DataFrame:
+    """Per-query BM25 top-k retrieval over the corpus — the ranking
+    function behind Lucene/Elasticsearch-style sparse retrieval, used in
+    training pipelines to mine retrieval-positive pairs and to audit
+    contamination against eval queries.
+
+    score(q, d) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    Scale shape: the term postings (doc_id, term, tf) are filtered to the
+    query vocabulary AT THE SCAN (predicate on the exploded term before
+    the agg), so the shuffled postings volume is |query vocab| * df, not
+    the corpus; df/N/avgdl are broadcast scalars.  Per-term partial
+    scores go through DECIMAL(28,12) so the cross-engine sum is
+    order-independent.  Top-k per query is one window over query_id."""
+    queries = queries if queries is not None else BM25_QUERIES
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, term string",
+    )
+    vocab = sorted({t for _, terms in queries for t in terms})
+
+    dl = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    postings = (
+        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    scored = (
+        postings.join(broadcast(df_t), "term")
+        .join(broadcast(qt), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    part = (idf * tf * F.lit(BM25_K1 + 1.0) / denom).cast("decimal(28,12)")
+    per_doc = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(part).cast("double"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+#: Passage granularity for exact passage-level dedup (words per passage).
+PASSAGE_WORDS = 8
+
+
+def passage_dedup_stats(
+    docs: DataFrame, passage_words: int = PASSAGE_WORDS, max_dup_ratio: float = 0.5
+) -> DataFrame:
+    """RefinedWeb/CCNet-style exact duplicate-passage accounting: split
+    each document into consecutive `passage_words`-word passages, mark
+    every passage whose content already occurred earlier in the corpus
+    (first occurrence = smallest (doc_id, position)), and emit the
+    per-document duplication decision table.
+
+    Scale shape: passages explode in the scan stage; corpus-first
+    detection is ONE window shuffle keyed on the passage hash
+    (row_number over (doc_id, pos)); the per-doc rollup re-shuffles on
+    doc_id.  No joins, no collect; hot keys are boilerplate passages,
+    which the hash key spreads across partitions at corpus scale only as
+    single-key windows — AQE skew handling applies."""
+    words = words_col(F.col("text"))
+    n_blocks = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
+    passages = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(words, i * passage_words + 1, passage_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "doc_id", F.posexplode(passages).alias("pos", "passage")
+    ).select("doc_id", "pos", F.md5(F.col("passage")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "pos")
+    flagged = exploded.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_passages"),
+        F.sum("is_dup").cast("long").alias("n_dup_passages"),
+    )
+    dup_ratio = F.round(
+        F.col("n_dup_passages").cast("double") / F.col("n_passages").cast("double"),
+        6,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_passages",
+        "n_dup_passages",
+        dup_ratio.alias("dup_ratio"),
+        (dup_ratio <= F.lit(max_dup_ratio)).alias("keep"),
+    )
+
+
+#: Fixed public weights for the linear quality classifier (a fastText-like
+#: model shape: hand-set weights standing in for trained ones — the Spark
+#: plumbing is identical either way).
+QC_WEIGHTS = {"f_len": 1.2, "f_alpha": 0.8, "f_stop": 1.5, "f_wordlen": -0.3}
+QC_BIAS = -1.0
+
+
+def quality_classifier_score(docs: DataFrame) -> DataFrame:
+    """Linear quality classifier (fastText-style): four scan-stage
+    features -> fixed-weight logit -> sigmoid score -> keep decision.
+    This is the 'learned filter' companion to the rule-based
+    `gopher_filter_flags`: same decision-table shape, but a single
+    continuous score a pipeline can threshold per mixture.
+
+    Features (all [0,1], all JVM built-ins, zero shuffles):
+      f_len     = min(n_tokens / 100, 1)         -- length prior
+      f_alpha   = 1 - punct_ratio                -- alphanumeric-ness
+      f_stop    = stopword_hits / n_tokens       -- natural-language-ness
+      f_wordlen = min(mean_word_len / 10, 1)     -- gibberish penalty arm
+    """
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    words = words_col(F.col("text"))
+    n_tokens = F.size(words).cast("double")
+    n_len = F.length(F.col("text")).cast("double")
+    punct_ratio = punct_len(F.col("text")).cast("double") / n_len
+    f_len = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    f_alpha = F.lit(1.0) - punct_ratio
+    n_stop = F.size(F.filter(words, lambda x: x.isin(all_stop))).cast("double")
+    f_stop = n_stop / n_tokens
+    mean_wordlen = (n_len - (n_tokens - F.lit(1.0))) / n_tokens
+    f_wordlen = F.least(mean_wordlen / F.lit(10.0), F.lit(1.0))
+    logit = (
+        F.lit(QC_WEIGHTS["f_len"]) * f_len
+        + F.lit(QC_WEIGHTS["f_alpha"]) * f_alpha
+        + F.lit(QC_WEIGHTS["f_stop"]) * f_stop
+        + F.lit(QC_WEIGHTS["f_wordlen"]) * f_wordlen
+        + F.lit(QC_BIAS)
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return docs.select(
+        "doc_id",
+        F.round(f_len, 6).alias("f_len"),
+        F.round(f_stop, 6).alias("f_stop"),
+        F.round(score, 6).alias("quality_prob"),
+        (score >= F.lit(0.5)).alias("keep"),
+    )
+
+
+#: Multinomial sampling temperature (the mT5/CCNet upsampling rule).
+MIX_ALPHA = 0.3
+
+
+def temperature_mix_allocation(
+    docs: DataFrame, alpha: float = MIX_ALPHA, group_col: str = "source"
+) -> DataFrame:
+    """Temperature-based mixture allocation: p_temp(s) ∝ p_nat(s)^alpha
+    (alpha=0.3, the mT5 low-resource upsampling rule), plus the repeat
+    factor p_temp/p_nat each source needs to hit its target share.
+    Complements `training_mix_weights` (uniform target): temperature
+    interpolates between natural (alpha=1) and uniform (alpha=0).
+
+    Scale shape: one hash-agg to per-source stats (a handful of rows),
+    two broadcast scalar attaches — nothing here grows with the corpus."""
+    stats = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    tot = stats.agg(F.sum("total_tokens").cast("long").alias("corpus_tokens"))
+    with_nat = stats.crossJoin(broadcast(tot)).withColumn(
+        "p_nat", F.col("total_tokens").cast("double") / F.col("corpus_tokens")
+    )
+    z = with_nat.agg(
+        F.sum(F.pow(F.col("p_nat"), F.lit(alpha)).cast("decimal(28,12)")).alias("z")
+    )
+    out = with_nat.crossJoin(broadcast(z)).withColumn(
+        "p_temp", F.pow(F.col("p_nat"), F.lit(alpha)) / F.col("z").cast("double")
+    )
+    return out.select(
+        group_col,
+        "n_docs",
+        "total_tokens",
+        F.round("p_nat", 6).alias("p_nat"),
+        F.round("p_temp", 6).alias("p_temp"),
+        F.round(F.col("p_temp") / F.col("p_nat"), 6).alias("repeat_factor"),
+    )

@@ -4897,6 +4897,187 @@ def q_streaming_alerts_replay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: sparse retrieval, passage dedup, learned quality
+# filter, temperature mixing
+# ---------------------------------------------------------------------------
+
+_BM25_Q_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in text.BM25_QUERIES for t in terms
+)
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH q(query_id, term) AS (VALUES {_BM25_Q_VALUES}),
+    dl AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS dl FROM documents),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    terms AS (SELECT doc_id, unnest({_WORDS}) AS term FROM documents),
+    postings AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY 1),
+    scored AS (
+      SELECT query_id, p.doc_id,
+             CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+                  * CAST(tf AS DOUBLE) * {text.BM25_K1 + 1.0}
+                  / (CAST(tf AS DOUBLE)
+                     + {text.BM25_K1} * ({1.0 - text.BM25_B}
+                                         + {text.BM25_B} * CAST(dl AS DOUBLE) / avgdl))
+               AS DECIMAL(28,12)) AS part
+      FROM postings p JOIN dft USING (term) JOIN q USING (term)
+           JOIN dl USING (doc_id), corpus
+    ),
+    per AS (
+      SELECT query_id, doc_id, round(CAST(SUM(part) AS DOUBLE), 6) AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS INT) AS rank
+      FROM per
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-10 per benchmark query — Lucene-style sparse retrieval
+    as a catalog primitive (retrieval-pair mining / query contamination
+    audits).  Postings filtered to the query vocabulary at the scan;
+    df/N/avgdl broadcast; DECIMAL partial scores for order-independent
+    cross-engine sums."""
+    return text.bm25_topk(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "passage_dedup_stats",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    p AS (
+      SELECT doc_id,
+             [{{'pos': i - 1,
+                'h': md5(array_to_string(
+                        words[(i-1)*{text.PASSAGE_WORDS}+1:(i-1)*{text.PASSAGE_WORDS}+{text.PASSAGE_WORDS}], ' '))}}
+              for i in range(1, CAST(ceil(len(words) / {text.PASSAGE_WORDS}.0) AS INT) + 1)]
+               AS ps
+      FROM w
+    ),
+    e AS (SELECT doc_id, unnest(ps, recursive := true) FROM p),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM e
+    ),
+    d AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(SUM(is_dup) AS BIGINT) AS n_dup_passages
+      FROM f GROUP BY 1
+    )
+    SELECT doc_id, n_passages, n_dup_passages,
+           round(CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE), 6)
+             AS dup_ratio,
+           round(CAST(n_dup_passages AS DOUBLE) / CAST(n_passages AS DOUBLE), 6)
+             <= 0.5 AS keep
+    FROM d
+    """,
+)
+def q_passage_dedup_stats(spark, sf_dir):
+    """RefinedWeb/CCNet passage-level exact-dedup decision table: docs
+    split into 8-word passages, corpus-first occurrence wins, per-doc
+    duplication ratio + keep bit.  One window shuffle on the passage
+    hash + one doc-key rollup — no joins."""
+    return text.passage_dedup_stats(load(spark, sf_dir, "documents"))
+
+
+_QC_STOP_SQL = ", ".join(
+    f"'{w}'" for w in sorted({w for ws in text.STOPWORDS.values() for w in ws})
+)
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(list_filter({_WORDS}, x -> x IN ({_QC_STOP_SQL}))) AS DOUBLE)
+               AS n_stop
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             least(n_tokens / 100.0, 1.0) AS f_len,
+             1.0 - n_punct / n_len AS f_alpha,
+             n_stop / n_tokens AS f_stop,
+             least(((n_len - (n_tokens - 1.0)) / n_tokens) / 10.0, 1.0) AS f_wordlen
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, f_len, f_stop,
+             1.0 / (1.0 + exp(-({text.QC_WEIGHTS["f_len"]} * f_len
+                               + {text.QC_WEIGHTS["f_alpha"]} * f_alpha
+                               + {text.QC_WEIGHTS["f_stop"]} * f_stop
+                               + ({text.QC_WEIGHTS["f_wordlen"]}) * f_wordlen
+                               + ({text.QC_BIAS})))) AS score
+      FROM feat
+    )
+    SELECT doc_id, round(f_len, 6) AS f_len, round(f_stop, 6) AS f_stop,
+           round(score, 6) AS quality_prob, score >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier_score(spark, sf_dir):
+    """fastText-shaped linear quality classifier: four scan-stage
+    features, fixed public weights, sigmoid score, keep decision — the
+    learned-filter companion to the rule-based `gopher_filter_flags`.
+    Zero shuffles; identical left-associated float arithmetic on both
+    engines."""
+    return text.quality_classifier_score(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "temperature_mix_allocation",
+    f"""
+    WITH stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len({_WORDS}) AS BIGINT)) AS BIGINT) AS total_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM stats),
+    nat AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS p_nat
+      FROM stats, tot
+    ),
+    z AS (
+      SELECT SUM(CAST(pow(p_nat, {text.MIX_ALPHA}) AS DECIMAL(28,12))) AS z FROM nat
+    )
+    SELECT source, n_docs, total_tokens,
+           round(p_nat, 6) AS p_nat,
+           round(pow(p_nat, {text.MIX_ALPHA}) / CAST(z AS DOUBLE), 6) AS p_temp,
+           round((pow(p_nat, {text.MIX_ALPHA}) / CAST(z AS DOUBLE)) / p_nat, 6)
+             AS repeat_factor
+    FROM nat, z
+    """,
+)
+def q_temperature_mix_allocation(spark, sf_dir):
+    """mT5-style temperature sampling (alpha=0.3): per-source natural
+    share, temperature-flattened target share, and the repeat factor to
+    realize it — interpolates between natural (alpha=1) and the uniform
+    target of `training_mix_weights` (alpha=0)."""
+    return text.temperature_mix_allocation(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 
 
 #: The driver's correctness snapshot audits the first ~50 entries of
@@ -4911,6 +5092,11 @@ _AUDIT_PRIORITY = [
     # round, (2) entries whose code CHANGED this round, (3) entries the
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
+    # -- NEW in round 4 (second batch)
+    "bm25_topk",
+    "passage_dedup_stats",
+    "quality_classifier_score",
+    "temperature_mix_allocation",
     # -- NEW in round 4
     "log_roundtrip_resend",
     "streaming_alerts_replay",

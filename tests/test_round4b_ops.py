@@ -1,0 +1,158 @@
+"""Round-4 additions (second batch): BM25 retrieval ranking, passage-level
+exact dedup, the linear quality classifier, and temperature mixing."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from broker_spark.pipeline import text
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bm25_more_matching_terms_scores_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            "spark join order filler filler",   # all three q1 terms
+            "spark join filler filler filler",  # two
+            "spark filler filler filler filler",  # one
+            "filler filler filler filler filler",  # none
+        ],
+    )
+    out = text.bm25_topk(docs, queries=[("q1", ["spark", "join", "order"])], k=10)
+    rows = {r["doc_id"]: (r["score"], r["rank"]) for r in out.collect()}
+    assert set(rows) == {0, 1, 2}  # no-match doc absent
+    assert rows[0][0] > rows[1][0] > rows[2][0]
+    assert [rows[i][1] for i in (0, 1, 2)] == [1, 2, 3]
+
+
+def test_bm25_rare_term_outweighs_common_term(spark):
+    # 'rare' appears in 1 of 6 docs, 'common' in 5 of 6: idf(rare) >> idf(common)
+    docs = _docs(
+        spark,
+        [
+            "rare pad pad pad",
+            "common pad pad pad",
+            "common x y z",
+            "common a b c",
+            "common d e f",
+            "common g h i",
+        ],
+    )
+    out = text.bm25_topk(docs, queries=[("q", ["rare", "common"])], k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["doc_id"] == 0  # the rare-term doc wins
+
+
+def test_bm25_length_normalization_prefers_short_docs(spark):
+    # same tf for the term, but the longer doc is penalized via dl/avgdl
+    docs = _docs(spark, ["hit one two", "hit " + "pad " * 40 + "end"])
+    out = {r["doc_id"]: r["score"] for r in
+           text.bm25_topk(docs, queries=[("q", ["hit"])]).collect()}
+    assert out[0] > out[1]
+
+
+# ---------------------------------------------------------------------------
+# passage dedup
+# ---------------------------------------------------------------------------
+
+
+def _passage(tag: str) -> str:
+    # one exact 8-word passage
+    return " ".join(f"{tag}{i}" for i in range(8))
+
+
+def test_passage_dedup_first_occurrence_wins(spark):
+    p1, p2, p3 = _passage("a"), _passage("b"), _passage("c")
+    docs = _docs(spark, [f"{p1} {p2}", f"{p1} {p3}"])
+    rows = {r["doc_id"]: r for r in text.passage_dedup_stats(docs).collect()}
+    assert rows[0]["n_dup_passages"] == 0  # doc 0 holds the first occurrences
+    assert rows[1]["n_dup_passages"] == 1 and rows[1]["n_passages"] == 2
+    assert rows[1]["dup_ratio"] == 0.5 and bool(rows[1]["keep"])
+
+
+def test_passage_dedup_internal_repeat_counts(spark):
+    p = _passage("x")
+    docs = _docs(spark, [f"{p} {p} {p}"])
+    r = text.passage_dedup_stats(docs).collect()[0]
+    assert r["n_passages"] == 3 and r["n_dup_passages"] == 2
+    assert not bool(r["keep"])  # 2/3 > 0.5
+
+
+def test_passage_dedup_tail_passage_is_shorter_but_counted(spark):
+    docs = _docs(spark, ["w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"])  # 8 + 2 words
+    r = text.passage_dedup_stats(docs).collect()[0]
+    assert r["n_passages"] == 2 and r["n_dup_passages"] == 0
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_orders_natural_above_gibberish(spark):
+    natural = "the cat sat of the mat and the dog is in the house to stay"
+    gibberish = "@@@@ #### !!!! %%%% ^^^^ &&&& **** (((( )))) $$$$"
+    rows = {r["doc_id"]: r for r in
+            text.quality_classifier_score(_docs(spark, [natural, gibberish])).collect()}
+    assert rows[0]["quality_prob"] > rows[1]["quality_prob"]
+    assert 0.0 < rows[1]["quality_prob"] < rows[0]["quality_prob"] < 1.0
+    for r in rows.values():
+        assert bool(r["keep"]) == (r["quality_prob"] >= 0.5)
+
+
+def test_quality_classifier_matches_hand_computed_sigmoid(spark):
+    doc = "the a of and to in is"  # 7 tokens, all stopwords, no punctuation
+    r = text.quality_classifier_score(_docs(spark, [doc])).collect()[0]
+    n_tokens, n_len = 7.0, float(len(doc))
+    f_len = min(n_tokens / 100.0, 1.0)
+    f_alpha = 1.0  # no punctuation
+    f_stop = 1.0
+    mean_wordlen = (n_len - (n_tokens - 1.0)) / n_tokens
+    f_wordlen = min(mean_wordlen / 10.0, 1.0)
+    logit = 1.2 * f_len + 0.8 * f_alpha + 1.5 * f_stop + -0.3 * f_wordlen + -1.0
+    assert abs(r["quality_prob"] - 1.0 / (1.0 + math.exp(-logit))) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def _sourced(spark, sizes: dict[str, int]):
+    rows = [
+        (f"{s}-{i}", "tok " * 9 + "tok", s)
+        for s, n in sizes.items()
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string, source string")
+
+
+def test_temperature_shares_sum_to_one_and_upsample_small(spark):
+    docs = _sourced(spark, {"big": 80, "small": 10, "tiny": 10})
+    rows = {r["source"]: r for r in text.temperature_mix_allocation(docs).collect()}
+    assert abs(sum(r["p_temp"] for r in rows.values()) - 1.0) < 1e-5
+    assert rows["tiny"]["repeat_factor"] > 1.0  # low-resource upsampled
+    assert rows["big"]["repeat_factor"] < 1.0  # head source downsampled
+    # temperature flattens but preserves order
+    assert rows["big"]["p_temp"] > rows["tiny"]["p_temp"]
+    assert rows["big"]["p_temp"] < rows["big"]["p_nat"]
+
+
+def test_temperature_alpha_one_is_natural_distribution(spark):
+    docs = _sourced(spark, {"a": 30, "b": 10})
+    rows = text.temperature_mix_allocation(docs, alpha=1.0).collect()
+    for r in rows:
+        assert abs(r["p_temp"] - r["p_nat"]) < 1e-6
+        assert abs(r["repeat_factor"] - 1.0) < 1e-6
