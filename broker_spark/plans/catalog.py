@@ -5077,6 +5077,89 @@ def q_temperature_mix_allocation(spark, sf_dir):
     return text.temperature_mix_allocation(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "streaming_sessionization_replay",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def q_streaming_sessionization_replay(spark, sf_dir):
+    """The NATIVE `session_window` sessionization executed as a real
+    streaming query (availableNow replay) and value-checked against the
+    same gap-sessionization oracle as the batch `events_sessionization`
+    entry — certifying that Spark's merging session windows equal the
+    lag + running-sum batch recurrence.
+
+    Append-mode session aggregation only emits a session once the
+    watermark passes its window end; availableNow's final batch flushes
+    everything below the watermark, but each user's LAST session ends at
+    last_ts + gap — above the watermark by construction — so a single
+    finite run always withholds the tail sessions.  The replay therefore
+    runs TWICE against one checkpoint, appending a watermark-advancing
+    sentinel event (excluded from the output) before the second run —
+    the streaming-correct analog of 'close the books'.
+    """
+    import shutil
+    import tempfile
+
+    from broker_spark.streaming import ingest as st_ingest
+
+    tmp = tempfile.mkdtemp(prefix="sess_replay_")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    ev.write.parquet(f"{tmp}/in")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once():
+        src = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        q = (
+            st_ingest.streaming_user_sessions(src, gap="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    # sentinel: one far-future event (61 min > the 30-min gap) advances the
+    # watermark past every real session's window end; its own still-open
+    # session stays in state and never reaches the sink
+    sentinel = [(-1, max_ts + __import__("datetime").timedelta(minutes=61))]
+    spark.createDataFrame(sentinel, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -5093,6 +5176,7 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
+    "streaming_sessionization_replay",
     "bm25_topk",
     "passage_dedup_stats",
     "quality_classifier_score",

@@ -136,6 +136,34 @@ def session_rollup(
     )
 
 
+def streaming_user_sessions(
+    source: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based per-user sessionization with the NATIVE `session_window`
+    operator — the streaming twin of the batch `events_sessionization`
+    catalog entry (lag + running sum).  Emits one row per closed session:
+    (user_id, n_events, session_start=min ts, session_end=max ts).
+
+    Append-mode sessions only flush once the watermark passes the
+    session's window end (last event + gap), so each user's final session
+    outlives any finite replay's watermark — flushing it needs a
+    watermark-advancing event after the real data; see the
+    `streaming_sessionization_replay` catalog entry for the two-run
+    sentinel protocol."""
+    return (
+        source.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
 def windowed_rates(
     source: DataFrame,
     window: str = "1 minute",

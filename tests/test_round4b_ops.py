@@ -156,3 +156,53 @@ def test_temperature_alpha_one_is_natural_distribution(spark):
     for r in rows:
         assert abs(r["p_temp"] - r["p_nat"]) < 1e-6
         assert abs(r["repeat_factor"] - 1.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# native session_window streaming (availableNow replay protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_user_sessions_two_run_flush(spark, tmp_path):
+    """Two bursts > gap apart close as two sessions; the sentinel-advanced
+    second run flushes them (a single run emits nothing in append mode)."""
+    import datetime as dt
+
+    from broker_spark.streaming import ingest as st_ingest
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    src, sink, ckpt = str(tmp_path / "in"), str(tmp_path / "sink"), str(tmp_path / "ck")
+    rows = [(7, base + dt.timedelta(minutes=m)) for m in (0, 5, 10)]
+    rows += [(7, base + dt.timedelta(minutes=m)) for m in (90, 95)]
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    def run():
+        q = (
+            st_ingest.streaming_user_sessions(
+                spark.readStream.schema(schema).parquet(src), gap="30 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # availableNow's final batch flushes sessions whose window end is below
+    # the watermark (= max ts seen): session 1 (ends 12:40) flushes, but the
+    # LAST session (ends max_ts + gap, always above the watermark) cannot —
+    # that's what the sentinel run is for
+    assert spark.read.parquet(sink).count() == 1
+    spark.createDataFrame(
+        [(-1, base + dt.timedelta(minutes=95 + 61))], schema
+    ).write.mode("append").parquet(src)
+    run()
+    got = sorted(
+        (r["session_start"], r["n_events"])
+        for r in spark.read.parquet(sink).filter("user_id >= 0").collect()
+    )
+    assert [(s.minute, n) for s, n in got] == [(0, 3), (30, 2)]
