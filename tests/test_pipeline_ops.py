@@ -456,8 +456,17 @@ class TestStarContractionProperty:
                 r["doc_id"]: r["component"]
                 for r in connected_components(docs, pairs).collect()
             }
-            star = {
+            star_local = {
                 r["doc_id"]: r["component"]
                 for r in connected_components_star(docs, pairs).collect()
             }
-            assert star == prop, f"trial {trial}"
+            # local_threshold=0 forces the distributed star rounds — both
+            # execution paths must produce identical labels
+            star_dist = {
+                r["doc_id"]: r["component"]
+                for r in connected_components_star(
+                    docs, pairs, local_threshold=0
+                ).collect()
+            }
+            assert star_local == prop, f"trial {trial} (union-find path)"
+            assert star_dist == prop, f"trial {trial} (distributed path)"
