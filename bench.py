@@ -119,6 +119,8 @@ HEADLINE = [
     "passage_dedup_stats",
     "quality_classifier_score",
     "temperature_mix_allocation",
+    "doc_entropy_stats",
+    "split_leakage_audit",
 ]
 
 

@@ -1177,3 +1177,69 @@ def temperature_mix_allocation(
         F.round("p_temp", 6).alias("p_temp"),
         F.round(F.col("p_temp") / F.col("p_nat"), 6).alias("repeat_factor"),
     )
+
+
+def doc_entropy_stats(docs: DataFrame) -> DataFrame:
+    """Per-document word-distribution statistics: Shannon entropy of the
+    within-document unigram distribution plus type-token ratio — the
+    information-theoretic quality signal next to `repetition_stats`'
+    rule-based fractions (low entropy = repetitive/boilerplate, and a
+    near-zero TTR catches keyword-stuffing that per-rule fractions miss).
+
+    entropy(d) = -sum_w p_w ln p_w,  p_w = c_w / |d|.
+
+    Shape: one explode + (doc, word) hash-agg; the doc-total reuses the
+    SAME doc_id partitioning via a window (no extra shuffle) and the final
+    doc rollup shuffles doc-keyed rows only.  Per-word entropy terms go
+    through DECIMAL(28,12) so the cross-engine sum is order-independent."""
+    terms = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    counts = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    part = (-(p * F.log(p))).cast("decimal(28,12)")
+    return (
+        counts.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(F.sum(part).cast("double"), 6).alias("word_entropy"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("n").cast("double"), 6
+            ).alias("ttr"),
+        )
+    )
+
+
+def split_leakage_audit(docs: DataFrame) -> DataFrame:
+    """Train/test leakage audit: canonical-content fingerprints (same
+    bag of words) that land in MORE THAN ONE split of the deterministic
+    md5-bucket assignment — exactly the contamination a random split
+    invites and a content-hash split would prevent.  Every training
+    pipeline should run this after splitting; output is one row per
+    leaking fingerprint with the splits it spans.
+
+    Shape: fingerprint + split are scan-stage expressions; one hash-agg
+    on the fingerprint; output is bounded by the number of duplicate
+    groups, not the corpus."""
+    words = words_col(F.col("text"))
+    canon = F.array_join(F.array_sort(F.array_distinct(words)), " ")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(bucket < SPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    fp = docs.select("doc_id", F.md5(canon).alias("fingerprint"), split.alias("split"))
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("split").cast("long").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_splits") >= 2)
+    )

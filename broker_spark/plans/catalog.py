@@ -5078,6 +5078,64 @@ def q_temperature_mix_allocation(spark, sf_dir):
 
 
 @register(
+    "doc_entropy_stats",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+    wn AS (SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM c)
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           round(CAST(SUM(CAST(-((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))
+                           AS DECIMAL(28,12))) AS DOUBLE), 6) AS word_entropy,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE), 6) AS ttr
+    FROM wn GROUP BY doc_id
+    """,
+)
+def q_doc_entropy_stats(spark, sf_dir):
+    """Within-document unigram Shannon entropy + type-token ratio — the
+    information-theoretic repetition/boilerplate signal; DECIMAL-summed
+    per-word terms keep the cross-engine sum order-independent."""
+    return text.doc_entropy_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    f AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(words)), ' '))
+               AS fingerprint,
+             CASE WHEN CAST(CAST(concat('0x',
+                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) AS INT) < {text.SPLIT_TRAIN_MAX} THEN 'train'
+                  WHEN CAST(CAST(concat('0x',
+                          substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS BIGINT) AS INT) < {text.SPLIT_VAL_MAX} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM w
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           array_to_string(list_sort(list(DISTINCT split)), ',') AS splits,
+           min(doc_id) AS keeper_doc_id
+    FROM f GROUP BY fingerprint
+    HAVING COUNT(DISTINCT split) >= 2
+    """,
+)
+def q_split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination: canonical-content fingerprints spanning
+    more than one split of the deterministic md5-bucket train/val/test
+    assignment — the audit a random split needs and a content-hash split
+    would make empty by construction.  Output bounded by duplicate
+    groups, not corpus size."""
+    return text.split_leakage_audit(load(spark, sf_dir, "documents"))
+
+
+@register(
     "streaming_sessionization_replay",
     """
     WITH o AS (
@@ -5177,6 +5235,8 @@ _AUDIT_PRIORITY = [
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
     "streaming_sessionization_replay",
+    "doc_entropy_stats",
+    "split_leakage_audit",
     "bm25_topk",
     "passage_dedup_stats",
     "quality_classifier_score",

@@ -206,3 +206,50 @@ def test_streaming_user_sessions_two_run_flush(spark, tmp_path):
         for r in spark.read.parquet(sink).filter("user_id >= 0").collect()
     )
     assert [(s.minute, n) for s, n in got] == [(0, 3), (30, 2)]
+
+
+# ---------------------------------------------------------------------------
+# entropy stats + split leakage
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_uniform_equals_log_vocab_and_repetition_is_zero(spark):
+    uniform = "a b c d"            # 4 distinct, each p=1/4 -> ln(4)
+    repeated = "x x x x x"         # single type -> entropy 0
+    rows = {r["doc_id"]: r for r in
+            text.doc_entropy_stats(_docs(spark, [uniform, repeated])).collect()}
+    assert abs(rows[0]["word_entropy"] - math.log(4)) < 1e-6
+    assert rows[0]["ttr"] == 1.0
+    assert rows[1]["word_entropy"] == 0.0
+    assert rows[1]["ttr"] == 0.2
+    assert rows[0]["n_tokens"] == 4 and rows[0]["n_distinct"] == 4
+
+
+def _split_of(doc_id: int) -> str:
+    import hashlib
+
+    b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:4], 16)
+    if b < text.SPLIT_TRAIN_MAX:
+        return "train"
+    if b < text.SPLIT_VAL_MAX:
+        return "val"
+    return "test"
+
+
+def test_split_leakage_flags_cross_split_duplicates_only(spark):
+    # pick one train id and one test id deterministically, plus two train ids
+    train_ids = [i for i in range(200) if _split_of(i) == "train"]
+    test_ids = [i for i in range(200) if _split_of(i) == "test"]
+    a, b = train_ids[0], test_ids[0]       # same text, different splits -> leak
+    c, d = train_ids[1], train_ids[2]      # same text, same split -> no leak
+    docs = spark.createDataFrame(
+        [(a, "dup words here"), (b, "words dup here"),   # same bag of words
+         (c, "other thing"), (d, "thing other"),
+         (train_ids[3], "unique text entirely")],
+        "doc_id long, text string",
+    )
+    rows = text.split_leakage_audit(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 2 and r["n_splits"] == 2
+    assert r["splits"] == "test,train" and r["keeper_doc_id"] == min(a, b)
