@@ -5078,6 +5078,93 @@ def q_temperature_mix_allocation(spark, sf_dir):
 
 
 @register(
+    "streaming_hourly_rollup_replay",
+    """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly_rollup_replay(spark, sf_dir):
+    """The NATIVE tumbling `window()` aggregation executed as a real
+    streaming query (availableNow replay, append mode) and value-checked
+    against the same SQL oracle as the batch `events_hourly_rollup` —
+    certifying that the watermark-evicted streaming rollup equals the
+    batch group-by.  Completes the streaming-certificate family: custom
+    stateful (alerts/EWMA/LSH), native session_window, native tumbling
+    window.
+
+    Uses the same two-run sentinel protocol as
+    `streaming_sessionization_replay`: the last hour's window end is
+    above any finite run's watermark, so a far-future sentinel row
+    (excluded from output) closes the books on run two."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="rollup_replay_")
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ev.write.parquet(f"{tmp}/in")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once():
+        src = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        agg = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "event_type",
+                F.floor(F.unix_millis(F.col("window.start")) / 3_600_000)
+                .cast("long")
+                .alias("bucket"),
+                "n_samples",
+                "sum_value",
+                "min_value",
+                "max_value",
+                (F.col("sum_value") / F.col("n_samples")).alias("avg_value"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", f"{tmp}/sink")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    sentinel = [
+        ("__sentinel__", max_ts + __import__("datetime").timedelta(hours=2), 0.0)
+    ]
+    spark.createDataFrame(sentinel, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            "event_type", "bucket", "n_samples", "sum_value",
+            "min_value", "max_value", "avg_value",
+        )
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@register(
     "doc_entropy_stats",
     f"""
     WITH t AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
@@ -5235,6 +5322,7 @@ _AUDIT_PRIORITY = [
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
     "streaming_sessionization_replay",
+    "streaming_hourly_rollup_replay",
     "doc_entropy_stats",
     "split_leakage_audit",
     "bm25_topk",

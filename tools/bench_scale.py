@@ -76,6 +76,13 @@ HEAVY = [
     "events_sessionization",
     "user_session_features",
     "source_overlap_matrix",
+    # round-4 second batch: changed execution paths + new operators
+    "semantic_dedup_clusters",
+    "ann_rp_lsh_topk",
+    "tfidf_cosine_pairs",
+    "bm25_topk",
+    "passage_dedup_stats",
+    "doc_entropy_stats",
 ]
 
 
