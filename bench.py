@@ -121,6 +121,7 @@ HEADLINE = [
     "temperature_mix_allocation",
     "doc_entropy_stats",
     "split_leakage_audit",
+    "curated_mix_manifest",
 ]
 
 

@@ -5223,6 +5223,113 @@ def q_split_leakage_audit(spark, sf_dir):
 
 
 @register(
+    "curated_mix_manifest",
+    f"""
+    WITH qcraw AS (
+      SELECT doc_id,
+             CAST(len({_WORDS}) AS DOUBLE) AS n_tokens,
+             CAST(length(text) AS DOUBLE) AS n_len,
+             CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(list_filter({_WORDS}, x -> x IN ({_QC_STOP_SQL}))) AS DOUBLE)
+               AS n_stop
+      FROM documents
+    ),
+    qc AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-({text.QC_WEIGHTS["f_len"]} * least(n_tokens / 100.0, 1.0)
+                               + {text.QC_WEIGHTS["f_alpha"]} * (1.0 - n_punct / n_len)
+                               + {text.QC_WEIGHTS["f_stop"]} * (n_stop / n_tokens)
+                               + ({text.QC_WEIGHTS["f_wordlen"]})
+                                 * least(((n_len - (n_tokens - 1.0)) / n_tokens) / 10.0, 1.0)
+                               + ({text.QC_BIAS})))) >= 0.5 AS qc_keep
+      FROM qcraw
+    ),
+    pw AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    pp AS (
+      SELECT doc_id,
+             [{{'pos': i - 1,
+                'h': md5(array_to_string(
+                        words[(i-1)*{text.PASSAGE_WORDS}+1:(i-1)*{text.PASSAGE_WORDS}+{text.PASSAGE_WORDS}], ' '))}}
+              for i in range(1, CAST(ceil(len(words) / {text.PASSAGE_WORDS}.0) AS INT) + 1)]
+               AS ps
+      FROM pw
+    ),
+    pe AS (SELECT doc_id, unnest(ps, recursive := true) FROM pp),
+    pf AS (
+      SELECT doc_id,
+             CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM pe
+    ),
+    pd AS (
+      SELECT doc_id,
+             round(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               <= 0.5 AS pd_keep
+      FROM pf GROUP BY 1
+    ),
+    base AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN qc USING (doc_id) JOIN pd USING (doc_id)
+      WHERE qc.qc_keep AND pd.pd_keep
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+    kept AS (SELECT b.* FROM base b JOIN keepers USING (doc_id)),
+    stats AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS total_tokens
+      FROM kept GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM stats),
+    nat AS (
+      SELECT source, n_docs, total_tokens,
+             CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS p_nat
+      FROM stats, tot
+    ),
+    z AS (
+      SELECT SUM(CAST(pow(p_nat, {text.MIX_ALPHA}) AS DECIMAL(28,12))) AS z FROM nat
+    )
+    SELECT source, n_docs, total_tokens,
+           round(p_nat, 6) AS p_nat,
+           round(pow(p_nat, {text.MIX_ALPHA}) / CAST(z AS DOUBLE), 6) AS p_temp,
+           round((pow(p_nat, {text.MIX_ALPHA}) / CAST(z AS DOUBLE)) / p_nat, 6)
+             AS repeat_factor
+    FROM nat, z
+    """,
+)
+def q_curated_mix_manifest(spark, sf_dir):
+    """The round-4 composition flagship: learned quality filter AND
+    passage-dedup filter AND exact-hash dedup AND temperature mixing —
+    `quality_classifier_score` ∧ `passage_dedup_stats` → md5 keeper →
+    `temperature_mix_allocation` over the curated survivors — as ONE lazy
+    Spark plan (the oracle recomputes every stage in a single SQL).
+
+    Plan shape: the two filters are a zero-shuffle scan projection plus
+    one passage-hash window; dedup is one doc-text hash-agg + keeper
+    semi-join; the mixture math is two broadcast scalar attaches.  No
+    stage materializes an intermediate corpus."""
+    docs = load(spark, sf_dir, "documents")
+    qc = text.quality_classifier_score(docs).select(
+        "doc_id", F.col("keep").alias("qc_keep")
+    )
+    pd_ = text.passage_dedup_stats(docs).select(
+        "doc_id", F.col("keep").alias("pd_keep")
+    )
+    base = (
+        docs.join(qc, "doc_id")
+        .join(pd_, "doc_id")
+        .filter(F.col("qc_keep") & F.col("pd_keep"))
+        .select("doc_id", "text", "source")
+    )
+    keepers = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = base.join(keepers.select("doc_id"), "doc_id")
+    return text.temperature_mix_allocation(kept)
+
+
+@register(
     "streaming_sessionization_replay",
     """
     WITH o AS (
@@ -5321,6 +5428,7 @@ _AUDIT_PRIORITY = [
     # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
+    "curated_mix_manifest",
     "streaming_sessionization_replay",
     "streaming_hourly_rollup_replay",
     "doc_entropy_stats",

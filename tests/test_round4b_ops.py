@@ -253,3 +253,32 @@ def test_split_leakage_flags_cross_split_duplicates_only(spark):
     r = rows[0]
     assert r["n_docs"] == 2 and r["n_splits"] == 2
     assert r["splits"] == "test,train" and r["keeper_doc_id"] == min(a, b)
+
+
+# ---------------------------------------------------------------------------
+# curated mixture composition
+# ---------------------------------------------------------------------------
+
+
+def test_curated_mix_excludes_filtered_and_duplicate_docs(spark):
+    """The composed manifest counts only docs passing BOTH filters with
+    exact duplicates collapsed to one keeper."""
+    from broker_spark.plans.catalog import CATALOG
+    from tests.conftest import SF_SMALL
+
+    out = {r["source"]: r for r in CATALOG["curated_mix_manifest"].fn(spark, SF_SMALL).collect()}
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    qc = {r["doc_id"] for r in text.quality_classifier_score(docs).collect() if r["keep"]}
+    pd_ = {r["doc_id"] for r in text.passage_dedup_stats(docs).collect() if r["keep"]}
+    rows = docs.select("doc_id", "text", "source").collect()
+    surviving = [r for r in rows if r["doc_id"] in qc and r["doc_id"] in pd_]
+    # exact dedup among survivors: keeper = min doc_id per text
+    first: dict = {}
+    for r in sorted(surviving, key=lambda r: r["doc_id"]):
+        first.setdefault(r["text"], r["doc_id"])
+    kept = [r for r in surviving if first[r["text"]] == r["doc_id"]]
+    per_source: dict = {}
+    for r in kept:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert {s: r["n_docs"] for s, r in out.items()} == per_source
+    assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-4
