@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_entropy_stats",
     "split_leakage_audit",
     "curated_mix_manifest",
+    "events_rolling_hour_stats",
 ]
 
 

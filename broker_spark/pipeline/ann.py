@@ -1360,3 +1360,102 @@ def pca_top_component(
         }
     )
     return spark.createDataFrame(out)
+
+
+def recall_vs_nprobe(
+    embeddings: DataFrame,
+    n_clusters: int = 10,
+    nprobes: tuple = (1, 2, 4, 8),
+    k: int = 5,
+    max_query_id: int = 100,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """The IVF recall/cost curve, oracle-checkable end to end: mean
+    recall@k of trained-IVF search vs exact cosine top-k for several
+    nprobe settings, over a fixed query sample.  This is the table an
+    index operator reads to pick nprobe — and unlike the PQ recall audit
+    (rows-only), every stage here (k-means, probe ranking, candidate
+    topk, exact topk, agreement arithmetic) has an exact SQL twin.
+
+    Shape: ONE candidate-scoring pass with the probe rank attached (a
+    candidate pair exists iff the candidate's single home cluster is
+    among the query's ranked probes, so no dedup is needed); each nprobe
+    tier is a filter + window over that shared frame.  The exact side is
+    the documented bounded audit cross-join: |queries| x corpus, the same
+    shape as `ann_bruteforce_topk`.  Recall arithmetic is integer-exact
+    (n_agree / (n_queries * k))."""
+    centroids = _cached_kmeans(
+        embeddings, n_clusters, iters, id_col, vec_col, cache_key
+    )
+    max_np = max(nprobes)
+    v = _as_double(F.col(vec_col))
+    queries = embeddings.filter(F.col(id_col) < max_query_id)
+    qp = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.posexplode(_probe_clusters_udf(centroids, max_np)(v)).alias(
+            "_p0", "cluster"
+        ),
+    ).select(
+        "query_id", "qv", "cluster", (F.col("_p0") + 1).cast("int").alias("probe_rank")
+    )
+    cands = embeddings.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_probe_clusters_udf(centroids, 1)(v), 1).alias("cluster"),
+    )
+    scored = (
+        qp.join(cands, "cluster")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "probe_rank",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    ivf_parts = []
+    for np_ in nprobes:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("cand_id").asc()
+        )
+        ivf_parts.append(
+            scored.filter(F.col("probe_rank") <= np_)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.lit(np_).cast("int").alias("nprobe"), "query_id", "cand_id")
+        )
+    ivf = ivf_parts[0]
+    for p in ivf_parts[1:]:
+        ivf = ivf.unionByName(p)
+
+    ex = (
+        broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+        .crossJoin(embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    wex = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cand_id").asc()
+    )
+    exact = (
+        ex.withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "cand_id")
+    )
+    n_q = queries.count()
+    agree = ivf.join(exact, ["query_id", "cand_id"]).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_agree")
+    )
+    return agree.select(
+        "nprobe",
+        F.lit(n_q).cast("long").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        "n_agree",
+        F.round(
+            F.col("n_agree").cast("double") / F.lit(float(n_q * k)), 6
+        ).alias("recall"),
+    )

@@ -5223,6 +5223,148 @@ def q_split_leakage_audit(spark, sf_dir):
 
 
 @register(
+    "ann_recall_vs_nprobe",
+    f"""
+    WITH {_lloyd_sql()},
+    pr AS (SELECT vec_id AS query_id, j AS cluster, CAST(rn AS INT) AS probe_rank
+           FROM (SELECT vec_id, j,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+                 FROM d2)
+           WHERE rn <= 8 AND vec_id < 100),
+    asgn AS (SELECT e0.vec_id, e0.embedding, a2.cluster
+             FROM embeddings e0 JOIN a2 USING (vec_id)),
+    qv AS (SELECT pr.query_id, pr.cluster, pr.probe_rank, e0.embedding AS av
+           FROM pr JOIN embeddings e0 ON e0.vec_id = pr.query_id),
+    pairs AS (SELECT q.query_id, c.vec_id AS cand_id, q.probe_rank,
+                     q.av, c.embedding AS bv
+              FROM qv q JOIN asgn c
+                ON q.cluster = c.cluster AND q.query_id <> c.vec_id),
+    scored AS (SELECT query_id, cand_id, probe_rank, {_PAIR_COS} AS cos FROM pairs),
+    nps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+    ivf AS (SELECT nprobe, query_id, cand_id FROM (
+        SELECT n.nprobe, s.query_id, s.cand_id,
+               row_number() OVER (PARTITION BY n.nprobe, s.query_id
+                                  ORDER BY s.cos DESC, s.cand_id) AS rk
+        FROM scored s JOIN nps n ON s.probe_rank <= n.nprobe) WHERE rk <= 5),
+    ex_pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                        q.embedding AS av, c.embedding AS bv
+                 FROM embeddings q JOIN embeddings c
+                   ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+    ex_scored AS (SELECT query_id, cand_id, {_PAIR_COS} AS cos FROM ex_pairs),
+    exact AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id) AS rk
+        FROM ex_scored) WHERE rk <= 5),
+    agree AS (SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_agree
+              FROM ivf JOIN exact USING (query_id, cand_id) GROUP BY 1),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
+           FROM embeddings WHERE vec_id < 100)
+    SELECT CAST(nprobe AS INT) AS nprobe, nq.n_queries, CAST(5 AS INT) AS k,
+           a.n_agree,
+           round(CAST(a.n_agree AS DOUBLE) / CAST(nq.n_queries * 5 AS DOUBLE), 6)
+             AS recall
+    FROM agree a, nq
+    """,
+)
+def q_ann_recall_vs_nprobe(spark, sf_dir):
+    """The IVF recall/cost curve with a FULL oracle: mean recall@5 of
+    trained-IVF search at nprobe in (1,2,4,8) vs exact cosine top-5 over
+    a 100-query sample — every stage (deterministic Lloyd k-means, probe
+    ranking, per-tier candidate top-k, exact top-k, integer agreement
+    arithmetic) recomputed by the SQL twin, unlike the rows-only PQ
+    recall audit.  One candidate-scoring pass serves all four tiers."""
+    return ann.recall_vs_nprobe(
+        load(spark, sf_dir, "embeddings"), n_clusters=10, nprobes=(1, 2, 4, 8),
+        k=5, max_query_id=100, cache_key=sf_dir,
+    )
+
+
+@register(
+    "events_rolling_hour_stats",
+    """
+    SELECT event_id, ts, value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg_prev_hour
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling_hour_stats(spark, sf_dir):
+    """Sliding event-time window via a RANGE frame (every peer row with
+    the same ordering value shares the frame, so equal timestamps are
+    deterministic across engines — a ROWS frame would not be): per
+    purchase event, count/sum/mean of purchases in the trailing hour.
+    The feature shape behind rate limiting and burst features; DECIMAL
+    window sums keep the cross-engine totals order-independent.
+
+    Scale note: a single global RANGE window serializes onto one task;
+    at corpus scale partition it by a coarse time bucket and stitch the
+    boundary (or keep the per-key form like `event_value_ranks`) — here
+    the single-key form is exactly the reference's per-stream metric
+    shape."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-3_600_000, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "ts",
+        "value",
+        cnt.cast("long").alias("n_prev_hour"),
+        dec_sum.alias("sum_prev_hour"),
+        (dec_sum / cnt).alias("avg_prev_hour"),
+    )
+
+
+@register(
+    "streaming_exact_dedup_replay",
+    """
+    SELECT DISTINCT md5(text) AS content_hash FROM documents
+    """,
+)
+def q_streaming_exact_dedup_replay(spark, sf_dir):
+    """STREAMING exact dedup through the state store: `dropDuplicates`
+    on the content hash inside a real streaming query (availableNow
+    replay into a parquet sink), value-checked against the batch DISTINCT
+    oracle — certifying that state-store dedup emits exactly the distinct
+    content set.  Output is the hash set itself (which duplicate arrives
+    first is racy across partitions; the distinct SET is deterministic).
+    Production ingestion uses the watermark-bounded form
+    (`dropDuplicatesWithinWatermark`, streaming/ingest.py); the unbounded
+    state here is safe for a finite replay."""
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="sdedup_replay_")
+    docs = load(spark, sf_dir, "documents").select("text")
+    docs.write.parquet(f"{tmp}/in")
+    src = spark.readStream.schema(docs.schema).parquet(f"{tmp}/in")
+    dedup_stream = src.select(F.md5("text").alias("content_hash")).dropDuplicates(
+        ["content_hash"]
+    )
+    q = (
+        dedup_stream.writeStream.format("parquet")
+        .option("path", f"{tmp}/sink")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(f"{tmp}/sink").select("content_hash")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@register(
     "curated_mix_manifest",
     f"""
     WITH qcraw AS (
@@ -5429,6 +5571,9 @@ _AUDIT_PRIORITY = [
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
     "curated_mix_manifest",
+    "ann_recall_vs_nprobe",
+    "events_rolling_hour_stats",
+    "streaming_exact_dedup_replay",
     "streaming_sessionization_replay",
     "streaming_hourly_rollup_replay",
     "doc_entropy_stats",

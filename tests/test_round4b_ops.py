@@ -282,3 +282,27 @@ def test_curated_mix_excludes_filtered_and_duplicate_docs(spark):
         per_source[r["source"]] = per_source.get(r["source"], 0) + 1
     assert {s: r["n_docs"] for s, r in out.items()} == per_source
     assert abs(sum(r["p_temp"] for r in out.values()) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# recall-vs-nprobe curve
+# ---------------------------------------------------------------------------
+
+
+def test_recall_curve_monotone_and_consistent(spark):
+    from broker_spark.pipeline import ann
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    rows = sorted(
+        ann.recall_vs_nprobe(emb, n_clusters=10, nprobes=(1, 4, 10), k=5,
+                             max_query_id=50).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)  # more probes never hurt
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0
+        assert r["n_agree"] == round(r["recall"] * r["n_queries"] * r["k"])
+    # probing ALL 10 lists = exhaustive search = exact
+    assert rows[-1]["nprobe"] == 10 and rows[-1]["recall"] == 1.0
