@@ -774,3 +774,104 @@ def minhash_estimate_error(
         F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
     )
     return out
+
+
+def lsh_s_curve(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    rows_per_band: int = 2,
+    shingle: int = DEFAULT_SHINGLE,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """The empirical LSH S-curve: candidate-capture rate of the MinHash
+    banding per exact-Jaccard decile, next to the theoretical
+    1-(1-s^r)^b at the decile midpoint — banding THEORY measured on the
+    corpus itself, the table that justifies (or indicts) the chosen
+    (bands, rows) against the dedup threshold.
+
+    Pair universe: document pairs sharing >= 1 shingle (the shingle
+    inverted index; `max_doc_freq` drops hot posting lists at corpus
+    scale).  Candidate flag: the pair collides in >= 1 band.  Pure-hash
+    band collisions with zero shingle overlap are excluded from the
+    universe — at md5 strength they do not occur.
+
+    Shape: shingle inverted-index self-join for the universe (the same
+    bounded join as `minhash_estimate_error`'s exact side), banding
+    pairs LEFT-joined as a flag, one decile hash-agg.  Rates are exact
+    integer ratios."""
+    b = num_hashes // rows_per_band
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+                "sh"
+            ),
+        )
+    )
+    if max_doc_freq is not None:
+        df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(df_.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    universe = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    cand = minhash_lsh_pairs(docs, num_hashes, rows_per_band).select(
+        "doc_a", "doc_b", F.lit(1).alias("is_cand")
+    )
+    flagged = universe.join(cand, ["doc_a", "doc_b"], "left").select(
+        "jaccard", F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand")
+    )
+    decile = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    mid = decile.cast("double") / F.lit(10.0) + F.lit(0.05)
+    theory = F.round(
+        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(mid, F.lit(float(rows_per_band))), F.lit(float(b))),
+        6,
+    )
+    return (
+        flagged.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_cand").cast("long").alias("n_candidates"),
+        )
+        .select(
+            "decile",
+            F.round(F.col("decile").cast("double") / 10.0, 1).alias("jaccard_lo"),
+            "n_pairs",
+            "n_candidates",
+            F.round(
+                F.col("n_candidates").cast("double") / F.col("n_pairs").cast("double"),
+                6,
+            ).alias("candidate_rate"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0)
+                    - F.pow(
+                        F.col("decile").cast("double") / F.lit(10.0) + F.lit(0.05),
+                        F.lit(float(rows_per_band)),
+                    ),
+                    F.lit(float(b)),
+                ),
+                6,
+            ).alias("theory_mid_rate"),
+        )
+    )

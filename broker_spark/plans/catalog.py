@@ -5223,6 +5223,59 @@ def q_split_leakage_audit(spark, sf_dir):
 
 
 @register(
+    "lsh_s_curve",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ),
+    sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+    uni AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT round(u.common * 1.0 / (x.n_sh + y.n_sh - u.common), 6) AS jaccard,
+             CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS is_cand
+      FROM uni u
+      JOIN sizes x ON u.doc_a = x.doc_id
+      JOIN sizes y ON u.doc_b = y.doc_id
+      LEFT JOIN cand c ON u.doc_a = c.doc_a AND u.doc_b = c.doc_b
+    ),
+    d AS (SELECT least(CAST(floor(jaccard * 10) AS INT), 9) AS decile, is_cand
+          FROM jac)
+    SELECT decile, round(decile / 10.0, 1) AS jaccard_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+           round(CAST(SUM(is_cand) AS DOUBLE) / COUNT(*), 6) AS candidate_rate,
+           round(1.0 - pow(1.0 - pow(decile / 10.0 + 0.05, 2.0), 2.0), 6)
+             AS theory_mid_rate
+    FROM d GROUP BY decile
+    """,
+)
+def q_lsh_s_curve(spark, sf_dir):
+    """The empirical LSH S-curve: MinHash-banding candidate-capture rate
+    per exact-Jaccard decile next to the theoretical 1-(1-s^r)^b at the
+    decile midpoint — banding theory measured on the corpus, the table
+    that justifies the (bands, rows) choice against the dedup threshold.
+    Universe = shingle-overlapping pairs (inverted index); rates are
+    exact integer ratios."""
+    return dedup.lsh_s_curve(load(spark, sf_dir, "documents"))
+
+
+@register(
     "ann_recall_vs_nprobe",
     f"""
     WITH {_lloyd_sql()},
@@ -5571,6 +5624,7 @@ _AUDIT_PRIORITY = [
     # Round-3's 50 drop to the tail: they were just certified.
     # -- NEW in round 4 (second batch)
     "curated_mix_manifest",
+    "lsh_s_curve",
     "ann_recall_vs_nprobe",
     "events_rolling_hour_stats",
     "streaming_exact_dedup_replay",

@@ -306,3 +306,28 @@ def test_recall_curve_monotone_and_consistent(spark):
         assert r["n_agree"] == round(r["recall"] * r["n_queries"] * r["k"])
     # probing ALL 10 lists = exhaustive search = exact
     assert rows[-1]["nprobe"] == 10 and rows[-1]["recall"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# LSH S-curve
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_s_curve_identical_docs_always_captured(spark):
+    from broker_spark.pipeline import dedup
+
+    base = " ".join(f"w{i}" for i in range(20))
+    near = " ".join(f"w{i}" for i in range(19)) + " zz"     # high jaccard
+    far = "a b c " + " ".join(f"q{i}" for i in range(17))   # tiny overlap w/ nothing
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far), (4, "x y z only three")],
+        "doc_id long, text string",
+    )
+    rows = {r["decile"]: r for r in dedup.lsh_s_curve(docs).collect()}
+    top = rows[max(rows)]  # the identical pair lands in the top decile
+    assert top["candidate_rate"] == 1.0  # identical signatures share every band
+    for r in rows.values():
+        assert 0.0 <= r["candidate_rate"] <= 1.0
+        mid = r["decile"] / 10.0 + 0.05
+        assert abs(r["theory_mid_rate"] - (1 - (1 - mid**2) ** 2)) < 1e-6
+        assert r["n_candidates"] <= r["n_pairs"]
