@@ -1243,3 +1243,68 @@ def split_leakage_audit(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_splits") >= 2)
     )
+
+
+#: Fixed public WordPiece-style vocabulary: multi-char pieces plus every
+#: single lowercase letter (so greedy matching can always advance).
+WORDPIECE_PIECES = [
+    "the", "bat", "ch", "or", "der", "col", "umn", "vec", "tor", "sc", "an",
+    "ta", "ble", "me", "rge", "win", "dow", "jo", "in", "qu", "ery", "str",
+    "eam", "gro", "up", "sp", "ark", "cus", "tom", "er", "va", "lue", "ha",
+    "sh", "fil", "ter", "da", "key", "agg", "row", "part", "li", "ne", "sma",
+    "ll", "fa", "st", "big", "du", "slow", "sort", "val",
+]
+
+
+def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
+    """Tokenizer APPLICATION: greedy longest-match (WordPiece-style)
+    encoding of the corpus against a fixed vocabulary, rolled up to
+    per-token corpus counts — the apply-side companion to the train-side
+    `bpe_pair_counts`.  At each position the longest matching vocabulary
+    piece wins (equal-length matches at one position are the same string,
+    so the choice is unique and engine-portable); single-letter pieces
+    guarantee progress.
+
+    Scale shape: the corpus contributes ONE hash-agg to (word, count);
+    only the DISTINCT word table is encoded (an Arrow-batched pandas UDF
+    over a table bounded by vocabulary size, not corpus size) and counts
+    join back — exactly how production tokenizer jobs amortize encoding
+    over repeated words.  The oracle replays the same greedy walk as a
+    recursive CTE."""
+    import string
+
+    vocab = sorted(set(pieces or WORDPIECE_PIECES) | set(string.ascii_lowercase))
+    by_len = sorted(vocab, key=lambda p: (-len(p), p))
+
+    def one(w: str) -> list[str]:
+        out, pos = [], 0
+        while pos < len(w):
+            for p in by_len:
+                if w.startswith(p, pos):
+                    out.append(p)
+                    pos += len(p)
+                    break
+            else:  # unreachable with single-letter pieces present
+                out.append(w[pos])
+                pos += 1
+        return out
+
+    # explicit functionType form: the module uses lazy annotations, which
+    # the hint-based pandas_udf signature parser cannot resolve here
+    enc = F.pandas_udf(lambda ws: ws.map(one), "array<string>")
+
+    wc = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_word = (
+        wc.withColumn("toks", enc(F.col("w")))
+        .select("w", "n", F.explode("toks").alias("token"))
+        .groupBy("w", "n", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return per_word.groupBy("token").agg(
+        F.sum(F.col("c") * F.col("n")).cast("long").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+    )

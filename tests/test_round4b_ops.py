@@ -331,3 +331,23 @@ def test_lsh_s_curve_identical_docs_always_captured(spark):
         mid = r["decile"] / 10.0 + 0.05
         assert abs(r["theory_mid_rate"] - (1 - (1 - mid**2) ** 2)) < 1e-6
         assert r["n_candidates"] <= r["n_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# wordpiece encode
+# ---------------------------------------------------------------------------
+
+
+def test_wordpiece_greedy_longest_match_and_mass_conservation(spark):
+    docs = _docs(spark, ["the scan scan", "window"])
+    rows = {r["token"]: r for r in
+            text.wordpiece_encode_counts(docs).collect()}
+    # 'the' is a vocab piece: matched whole, not as t+h+e
+    assert rows["the"]["n_occurrences"] == 1
+    # 'scan' -> sc|an (both pieces present, longest-match from position 0)
+    assert rows["sc"]["n_occurrences"] == 2 and rows["an"]["n_occurrences"] == 2
+    # 'window' -> win|dow
+    assert rows["win"]["n_occurrences"] == 1 and rows["dow"]["n_occurrences"] == 1
+    # token character mass equals corpus character mass (no word loses chars)
+    total_chars = sum(len(t) * r["n_occurrences"] for t, r in rows.items())
+    assert total_chars == len("thescanscan") + len("window")
