@@ -1416,6 +1416,12 @@ def recall_vs_nprobe(
             "probe_rank",
             cosine(F.col("qv"), F.col("cv")).alias("cos"),
         )
+        # materialize ONCE: each nprobe tier filters + windows this frame,
+        # and without the checkpoint Spark re-executes the probe UDF +
+        # cluster join + cosine per tier (4x the scoring work);
+        # localCheckpoint (not persist) so the blocks are GC-reclaimed
+        # with the result rather than pinned in the session cache
+        .localCheckpoint(eager=True)
     )
     ivf_parts = []
     for np_ in nprobes:

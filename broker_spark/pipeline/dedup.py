@@ -840,11 +840,6 @@ def lsh_s_curve(
         "jaccard", F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand")
     )
     decile = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
-    mid = decile.cast("double") / F.lit(10.0) + F.lit(0.05)
-    theory = F.round(
-        F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(mid, F.lit(float(rows_per_band))), F.lit(float(b))),
-        6,
-    )
     return (
         flagged.withColumn("decile", decile)
         .groupBy("decile")

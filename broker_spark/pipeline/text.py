@@ -132,10 +132,7 @@ def hash_sample(docs: DataFrame, threshold: int = 6554, id_col: str = "doc_id") 
     ~10%.  Hash-based sampling is reproducible across runs/engines and
     stratifies uniformly regardless of id distribution; it's the standard
     way to cut a training-mix subset that's stable under re-runs."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    return docs.withColumn("sample_bucket", bucket).filter(
+    return docs.withColumn("sample_bucket", hash_bucket(F.col(id_col))).filter(
         F.col("sample_bucket") < threshold
     )
 
@@ -345,10 +342,7 @@ def decontamination_overlap(
     self-joins — cost is linear in corpus shingles."""
     from broker_spark.pipeline.dedup import word_shingles
 
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    base = docs.withColumn("bucket", bucket)
+    base = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
     sh = F.array_distinct(word_shingles(F.col("text"), shingle))
     bench_sh = (
         base.filter(F.col("bucket") < threshold)
@@ -485,6 +479,26 @@ SPLIT_TRAIN_MAX = 58982
 SPLIT_VAL_MAX = 62259
 
 
+def hash_bucket(col: Column) -> Column:
+    """md5-prefix bucket in [0, 65536): the deterministic basis shared by
+    hash sampling, decontamination-sample selection, and the
+    train/val/test split — one definition so the boundaries can never
+    drift apart between operators."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("int")
+
+
+def split_col(id_col: str = "doc_id") -> Column:
+    """The canonical train/val/test CASE over `hash_bucket` — every
+    operator that reasons about splits must use THIS column so they all
+    audit the same assignment."""
+    bucket = hash_bucket(F.col(id_col))
+    return (
+        F.when(bucket < SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(bucket < SPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def split_assignment(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic train/val/test assignment by md5(id) bucket
     (90/5/5) — the reproducible split every training pipeline needs:
@@ -493,14 +507,7 @@ def split_assignment(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Returns per (lang, split) accounting.  The split expression is a pure
     column (md5 prefix -> int bucket -> CASE), evaluated in the scan."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    split = (
-        F.when(bucket < SPLIT_TRAIN_MAX, F.lit("train"))
-        .when(bucket < SPLIT_VAL_MAX, F.lit("val"))
-        .otherwise(F.lit("test"))
-    )
+    split = split_col(id_col)
     return docs.groupBy(F.col("lang"), split.alias("split")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(token_count(F.col("text")).cast("long")).alias("total_tokens"),
@@ -615,10 +622,7 @@ def bloom_decontamination(
     from broker_spark.pipeline.dedup import word_shingles
 
     spark = docs.sparkSession
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    base = docs.withColumn("bucket", bucket)
+    base = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
     sh = F.array_distinct(word_shingles(F.col("text"), shingle))
     bench_sh = (
         base.filter(F.col("bucket") < threshold)
@@ -1224,15 +1228,9 @@ def split_leakage_audit(docs: DataFrame) -> DataFrame:
     groups, not the corpus."""
     words = words_col(F.col("text"))
     canon = F.array_join(F.array_sort(F.array_distinct(words)), " ")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int")
-    split = (
-        F.when(bucket < SPLIT_TRAIN_MAX, F.lit("train"))
-        .when(bucket < SPLIT_VAL_MAX, F.lit("val"))
-        .otherwise(F.lit("test"))
+    fp = docs.select(
+        "doc_id", F.md5(canon).alias("fingerprint"), split_col().alias("split")
     )
-    fp = docs.select("doc_id", F.md5(canon).alias("fingerprint"), split.alias("split"))
     return (
         fp.groupBy("fingerprint")
         .agg(
@@ -1284,9 +1282,15 @@ def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
                     out.append(p)
                     pos += len(p)
                     break
-            else:  # unreachable with single-letter pieces present
-                out.append(w[pos])
-                pos += 1
+            else:
+                # LOUD failure, matching the oracle's contract: the
+                # recursive-CTE walk also stops cold at an uncovered
+                # character, so a silent skip here would let the two
+                # engines diverge instead of surfacing the vocabulary gap
+                raise ValueError(
+                    f"character {w[pos]!r} in word {w!r} is not covered by "
+                    "the vocabulary; add it (or its pieces) to `pieces`"
+                )
         return out
 
     # explicit functionType form: the module uses lazy annotations, which

@@ -5105,6 +5105,8 @@ def q_streaming_hourly_rollup_replay(spark, sf_dir):
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="rollup_replay_")
+    # projected load()-normalized copy (the ts column needs tables.py
+    # normalization, so no fixture symlink); removed after the final run
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
     ev.write.parquet(f"{tmp}/in")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
@@ -5134,15 +5136,7 @@ def q_streaming_hourly_rollup_replay(spark, sf_dir):
                 (F.col("sum_value") / F.col("n_samples")).alias("avg_value"),
             )
         )
-        q = (
-            agg.writeStream.format("parquet")
-            .option("path", f"{tmp}/sink")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _run_replay(spark, agg, tmp)
 
     run_once()
     sentinel = [
@@ -5161,6 +5155,7 @@ def q_streaming_hourly_rollup_replay(spark, sf_dir):
         )
     )
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
     return out
 
 
@@ -5449,23 +5444,19 @@ def q_streaming_exact_dedup_replay(spark, sf_dir):
     import shutil
     import tempfile
 
+    import os
+
     tmp = tempfile.mkdtemp(prefix="sdedup_replay_")
-    docs = load(spark, sf_dir, "documents").select("text")
-    docs.write.parquet(f"{tmp}/in")
-    src = spark.readStream.schema(docs.schema).parquet(f"{tmp}/in")
+    # text-only projection: stage the fixture as a symlink (no copy) and
+    # declare just the text column — the established replay idiom
+    os.makedirs(f"{tmp}/src")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{tmp}/src/documents.parquet")
+    src = spark.readStream.schema("text string").parquet(f"{tmp}/src")
     dedup_stream = src.select(F.md5("text").alias("content_hash")).dropDuplicates(
         ["content_hash"]
     )
-    q = (
-        dedup_stream.writeStream.format("parquet")
-        .option("path", f"{tmp}/sink")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    out = spark.read.parquet(f"{tmp}/sink").select("content_hash")
+    sink = _run_replay(spark, dedup_stream, tmp)
+    out = spark.read.parquet(sink).select("content_hash")
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
     return out
 
@@ -5587,8 +5578,12 @@ def q_curated_mix_manifest(spark, sf_dir):
     ),
     m AS (
       SELECT user_id, event_id, ts,
+             -- MICROsecond precision: the native session_window merges at
+             -- exactly gap and splits strictly beyond it, measured at us
+             -- resolution; an epoch_ms predicate would diverge on events
+             -- whose true gap crosses the boundary within the same ms
              CASE WHEN prev_ts IS NULL
-                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+                       OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM o
     ),
@@ -5625,22 +5620,16 @@ def q_streaming_sessionization_replay(spark, sf_dir):
     from broker_spark.streaming import ingest as st_ingest
 
     tmp = tempfile.mkdtemp(prefix="sess_replay_")
+    # projected load()-normalized copy (NOT a fixture symlink: the ts
+    # column needs the tables.py timestamp normalization; the staged copy
+    # carries two columns only and is removed below)
     ev = load(spark, sf_dir, "events").select("user_id", "ts")
     ev.write.parquet(f"{tmp}/in")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]
 
     def run_once():
         src = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
-        q = (
-            st_ingest.streaming_user_sessions(src, gap="30 minutes")
-            .writeStream.format("parquet")
-            .option("path", f"{tmp}/sink")
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _run_replay(spark, st_ingest.streaming_user_sessions(src, gap="30 minutes"), tmp)
 
     run_once()
     # sentinel: one far-future event (61 min > the 30-min gap) advances the
@@ -5656,7 +5645,10 @@ def q_streaming_sessionization_replay(spark, sf_dir):
         .filter(F.col("user_id") >= 0)
         .select("user_id", "n_events", "session_start", "session_end")
     )
+    # keep only the sink (the returned frame reads it lazily); the staged
+    # input copy and checkpoint are dead weight after the final run
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
     return out
 
 
