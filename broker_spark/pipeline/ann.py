@@ -494,11 +494,21 @@ def _probe_clusters_udf(centroids: list[tuple[int, list[float]]], nprobe: int):
     cmat = np.asarray([cv for _, cv in sorted(centroids)], dtype="float64")
     order = [j for j, _ in sorted(centroids)]
     jmap = np.asarray(order, dtype="int32")
+    k, dim = cmat.shape
+    # row-block the (rows x k x dim) broadcast-difference intermediate to
+    # ~32 MB of scratch: at production nlist (k grows with the corpus — the
+    # 100x run uses k=1000) an unblocked 10k-row Arrow batch would
+    # materialize 5+ GB PER WORKER and thrash every executor.  Blocking
+    # over rows keeps each (row, centroid) distance bit-identical.
+    block = max(1, 4_000_000 // max(1, k * dim))
 
     def _probes(vs):
         vm = np.stack(vs.to_numpy()).astype("float64")
-        d = ((vm[:, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
-        top = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        tops = []
+        for s in range(0, len(vm), block):
+            d = ((vm[s : s + block, None, :] - cmat[None, :, :]) ** 2).sum(axis=2)
+            tops.append(np.argsort(d, axis=1, kind="stable")[:, :nprobe])
+        top = np.concatenate(tops) if tops else np.empty((0, nprobe), "int64")
         return pd.Series(list(jmap[top]))
 
     return F.pandas_udf(_probes, "array<int>")
@@ -783,11 +793,21 @@ def _pq_assign_udf(codebooks):
     cb = _pq_codebooks_array(codebooks)  # (M, K, d)
     m_sub, k_cent, d_sub = cb.shape
 
+    # same ~32 MB row-blocking as _probe_clusters_udf: the (rows, M, K, d)
+    # intermediate is rows x 128 KB at (M=8, K=256, d=8) — 1.3 GB per
+    # unblocked 10k-row Arrow batch, per worker
+    block = max(1, 4_000_000 // max(1, m_sub * k_cent * d_sub))
+
     def _assign(vs):
         vm = np.stack(vs.to_numpy()).astype("float64")
-        sub = vm.reshape(len(vm), m_sub, d_sub)
-        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-        codes = d2.argmin(axis=2).astype("int32")  # argmin ties -> lowest
+        parts = []
+        for s in range(0, len(vm), block):
+            sub = vm[s : s + block].reshape(-1, m_sub, d_sub)
+            d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            parts.append(d2.argmin(axis=2).astype("int32"))  # ties -> lowest
+        codes = (
+            np.concatenate(parts) if parts else np.empty((0, m_sub), "int32")
+        )
         return pd.Series(list(codes))
 
     return F.pandas_udf(_assign, "array<int>")
@@ -808,12 +828,25 @@ def pq_encode(
     cb = _pq_codebooks_array(codebooks)
     m_sub, k_cent, d_sub = cb.shape
 
+    # row-blocked like _pq_assign_udf: bounds the (rows, M, K, d) scratch
+    block = max(1, 4_000_000 // max(1, m_sub * k_cent * d_sub))
+
     def _encode(vs):
         vm = np.stack(vs.to_numpy()).astype("float64")
-        sub = vm.reshape(len(vm), m_sub, d_sub)
-        d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-        codes = d2.argmin(axis=2)
-        err = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(axis=1)
+        code_parts, err_parts = [], []
+        for s in range(0, len(vm), block):
+            sub = vm[s : s + block].reshape(-1, m_sub, d_sub)
+            d2 = ((sub[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d2.argmin(axis=2)
+            err = np.take_along_axis(d2, codes[:, :, None], axis=2)[:, :, 0].sum(
+                axis=1
+            )
+            code_parts.append(codes)
+            err_parts.append(err)
+        codes = (
+            np.concatenate(code_parts) if code_parts else np.empty((0, m_sub), "int64")
+        )
+        err = np.concatenate(err_parts) if err_parts else np.empty((0,), "float64")
         return pd.DataFrame(
             {"codes": list(codes.astype("int32")), "recon_err": np.round(err, 6)}
         )

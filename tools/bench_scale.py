@@ -206,7 +206,36 @@ def _scaled_ann_overrides(copies: int):
             cache_key=f"{sf}|{nlist}",
         )
 
-    return {"ann_ivf_pq_topk": ivf_pq, "ann_trained_ivf_multiprobe": multiprobe}
+    # Grid near-dup obeys the same sizing rule as nlist: cell granularity
+    # must grow with the corpus or cell populations (and the per-cell
+    # BLAS) grow linearly — at 100x a fixed 2-dim grid concentrates 200k
+    # vectors into a handful of cells and the hottest cell's Arrow group
+    # OOMs the executor.  One extra quantized dimension per 10x keeps the
+    # expected cell population constant.
+    import math
+
+    from broker_spark.pipeline import dedup as _dedup
+    from pyspark.sql import functions as _F
+
+    sem_dims = 2 + max(0, round(math.log10(max(copies, 1))))
+
+    def semantic(spark, sf):
+        emb = load(spark, sf, "embeddings")
+        pairs = ann.embedding_near_dup_pairs(
+            emb, threshold=0.35, dims=sem_dims
+        ).select(_F.col("vec_a").alias("doc_a"), _F.col("vec_b").alias("doc_b"))
+        comp = _dedup.connected_components_star(
+            emb.select(_F.col("vec_id").alias("doc_id")), pairs
+        )
+        return comp.groupBy("component").agg(
+            _F.count(_F.lit(1)).cast("long").alias("n_vectors")
+        )
+
+    return {
+        "ann_ivf_pq_topk": ivf_pq,
+        "ann_trained_ivf_multiprobe": multiprobe,
+        "semantic_dedup_clusters": semantic,
+    }
 
 
 def time_set(
