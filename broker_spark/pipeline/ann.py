@@ -130,7 +130,13 @@ def embedding_near_dup_pairs(
     Arrow out) — the pair rows that survive the threshold are the only
     rows materialized.  A joined-then-scored plan instead materializes
     every candidate pair through interpreted array expressions; measured
-    ~40x slower at sf0.1."""
+    ~40x slower at sf0.1.
+
+    Sizing rule (measured at 100x, see BENCH_SCALE.md): `dims` must grow
+    with the corpus — roughly one extra quantized dimension per 10x —
+    or cell populations grow linearly and the hottest cell's per-cell
+    work (and Arrow group) grows with them; the fixed default is sized
+    for the fixture, exactly as nlist=10 is for the IVF entries."""
     import numpy as np
     import pandas as pd
 
