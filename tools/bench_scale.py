@@ -231,10 +231,36 @@ def _scaled_ann_overrides(copies: int):
             _F.count(_F.lit(1)).cast("long").alias("n_vectors")
         )
 
+    # The S-curve's pair universe (every shingle-overlapping pair) needs
+    # the hot-posting-list guard at corpus scale — the unguarded form is
+    # documented as fixture-sized, and the 100x run confirms it (an
+    # unbounded inverted-index self-join kills the 8 GB JVM).  Guarded
+    # matches the ngram_jaccard_guarded precedent.
+    def s_curve(spark, sf):
+        return _dedup.lsh_s_curve(
+            load(spark, sf, "documents"), max_doc_freq=200 * copies
+        )
+
+    # the scaled corpus suffixes every token with _c{i}, so the encode
+    # vocabulary needs '_' and digits to keep greedy matching total — the
+    # operator (correctly) raises on an uncovered character otherwise
+    import string as _string
+
+    from broker_spark.pipeline import text as _text
+
+    wp_pieces = _text.WORDPIECE_PIECES + ["_c"] + list(_string.digits) + ["_"]
+
+    def wordpiece(spark, sf):
+        return _text.wordpiece_encode_counts(
+            load(spark, sf, "documents"), pieces=wp_pieces
+        )
+
     return {
         "ann_ivf_pq_topk": ivf_pq,
         "ann_trained_ivf_multiprobe": multiprobe,
         "semantic_dedup_clusters": semantic,
+        "lsh_s_curve": s_curve,
+        "wordpiece_encode_counts": wordpiece,
     }
 
 
