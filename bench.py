@@ -123,6 +123,7 @@ HEADLINE = [
     "split_leakage_audit",
     "curated_mix_manifest",
     "events_rolling_hour_stats",
+    "events_rolling_hour_sharded",
 ]
 
 

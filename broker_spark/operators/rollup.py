@@ -186,3 +186,68 @@ def hourly_gap_fill(
             ),
         )
     )
+
+
+def sharded_trailing_window_stats(
+    events: DataFrame,
+    value_col: str = "value",
+    window_ms: int = 3_600_000,
+    shard_ms: int = 86_400_000,
+) -> DataFrame:
+    """The SHARDED form of the trailing event-time RANGE window — the
+    100 TB fix for the global window's single-task serialization
+    (`events_rolling_hour_stats` documents the limitation; this operator
+    removes it and is oracle-checked against the SAME global-window SQL).
+
+    Construction: rows shard by a coarse time bucket (`shard_ms`, which
+    must be >= `window_ms`); every row in the trailing `window_ms` of a
+    shard boundary is ALSO copied into the next shard as a helper row, so
+    each shard's RANGE window sees exactly the context the global window
+    would.  After the window, helper copies are dropped (each row is
+    owned by its own shard).  Exactness: a row's trailing window spans at
+    most one shard boundary (window_ms <= shard_ms), and the helper
+    copies from the previous shard are precisely the rows in that span —
+    so every frame is identical to the global computation's.
+
+    Scale shape: one shuffle on the shard key (parallelism = time range /
+    shard_ms instead of 1), helper duplication bounded by
+    window_ms/shard_ms (~4% at 1h/1day).  DECIMAL window sums keep the
+    totals order-independent."""
+    from pyspark.sql.window import Window
+
+    ms = F.unix_millis(F.col("ts"))
+    own = events.select(
+        "event_id", "ts", F.col(value_col).alias("value"),
+        F.floor(ms / shard_ms).cast("long").alias("shard"),
+        F.lit(False).alias("helper"),
+    )
+    boundary = ((F.floor(ms / shard_ms) + 1) * shard_ms - ms) <= window_ms
+    helpers = (
+        events.filter(boundary)
+        .select(
+            "event_id", "ts", F.col(value_col).alias("value"),
+            (F.floor(ms / shard_ms) + 1).cast("long").alias("shard"),
+            F.lit(True).alias("helper"),
+        )
+    )
+    both = own.unionByName(helpers)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.unix_millis(F.col("ts")))
+        .rangeBetween(-window_ms, 0)
+    )
+    dec_sum = F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double")
+    cnt = F.count(F.lit(1)).over(w)
+    return (
+        both.select(
+            "event_id", "ts", "value", "helper",
+            cnt.cast("long").alias("n_prev_hour"),
+            dec_sum.alias("sum_prev_hour"),
+            (dec_sum / cnt).alias("avg_prev_hour"),
+        )
+        .filter(~F.col("helper"))
+        .select(
+            "event_id", "ts", "value", "n_prev_hour", "sum_prev_hour",
+            "avg_prev_hour",
+        )
+    )

@@ -5426,6 +5426,32 @@ def q_events_rolling_hour_stats(spark, sf_dir):
 
 
 @register(
+    "events_rolling_hour_sharded",
+    """
+    SELECT event_id, ts, value,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS sum_prev_hour,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg_prev_hour
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_events_rolling_hour_sharded(spark, sf_dir):
+    """The SHARDED trailing-window computation proved EQUAL to the global
+    RANGE window: rows shard by day, boundary rows duplicate into the
+    next shard as helper context, helpers drop after the window — and the
+    oracle is the SAME single-window SQL as `events_rolling_hour_stats`,
+    so the equality is value-checked, not argued.  This is the 100 TB
+    form: parallelism = time-range/shard instead of one task, helper
+    overhead ~window/shard (~4% at 1h/1day)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return rollup.sharded_trailing_window_stats(ev)
+
+
+@register(
     "streaming_exact_dedup_replay",
     """
     SELECT DISTINCT md5(text) AS content_hash FROM documents
@@ -5673,6 +5699,7 @@ _AUDIT_PRIORITY = [
     "lsh_s_curve",
     "ann_recall_vs_nprobe",
     "events_rolling_hour_stats",
+    "events_rolling_hour_sharded",
     "streaming_exact_dedup_replay",
     "streaming_sessionization_replay",
     "streaming_hourly_rollup_replay",

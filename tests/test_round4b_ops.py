@@ -351,3 +351,31 @@ def test_wordpiece_greedy_longest_match_and_mass_conservation(spark):
     # token character mass equals corpus character mass (no word loses chars)
     total_chars = sum(len(t) * r["n_occurrences"] for t, r in rows.items())
     assert total_chars == len("thescanscan") + len("window")
+
+
+# ---------------------------------------------------------------------------
+# sharded trailing window == global window
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_trailing_window_stitches_day_boundary(spark):
+    """Rows whose trailing hour spans a shard (day) boundary must see the
+    previous day's tail — the exact case the helper copies exist for."""
+    import datetime as dt
+
+    from broker_spark.operators.rollup import sharded_trailing_window_stats
+
+    day2 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    rows = [
+        (1, day2 - dt.timedelta(minutes=50), 10.0),  # day 1, inside next row's window
+        (2, day2 - dt.timedelta(minutes=10), 20.0),  # day 1 tail
+        (3, day2 + dt.timedelta(minutes=5), 30.0),   # day 2: window spans boundary
+        (4, day2 + dt.timedelta(minutes=70), 40.0),  # day 2: window excludes row 2
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    out = {r["event_id"]: r for r in sharded_trailing_window_stats(ev).collect()}
+    assert len(out) == 4  # helper copies dropped
+    assert out[3]["n_prev_hour"] == 3 and out[3]["sum_prev_hour"] == 60.0
+    # row 4's trailing hour starts at +10 min: rows 1-3 all fall outside
+    assert out[4]["n_prev_hour"] == 1 and out[4]["sum_prev_hour"] == 40.0
+    assert out[1]["n_prev_hour"] == 1 and out[2]["n_prev_hour"] == 2
