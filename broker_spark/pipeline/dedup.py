@@ -317,7 +317,7 @@ def ngram_containment_pairs(
     sh = _spread(docs).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
-    ).persist()
+    )
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -325,7 +325,11 @@ def ngram_containment_pairs(
             .filter(F.col("df") > max_doc_freq)
             .select("sh")
         )
-        sh = sh.join(broadcast(hot), "sh", "left_anti").persist()
+        sh = sh.join(broadcast(hot), "sh", "left_anti")
+    # ONE materialization for the three downstream reads (two join sides +
+    # sizes); localCheckpoint, not persist, so the blocks are GC-reclaimed
+    # with the result instead of pinned in the session cache (ADVICE r3)
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -463,7 +467,7 @@ def ngram_jaccard_pairs(
     """
     sh = _spread(docs).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
-    ).persist()  # referenced three times: two join sides + sizes
+    )
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -473,7 +477,10 @@ def ngram_jaccard_pairs(
         )
         # jaccard is then over the retained shingle space (numerator and
         # denominator consistently exclude stop-shingles)
-        sh = sh.join(broadcast(hot), "sh", "left_anti").persist()
+        sh = sh.join(broadcast(hot), "sh", "left_anti")
+    # ONE materialization for the three downstream reads (two join sides +
+    # sizes); localCheckpoint, not persist — GC-reclaimed, not session-pinned
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
