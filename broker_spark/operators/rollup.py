@@ -213,6 +213,13 @@ def sharded_trailing_window_stats(
     shard_ms instead of 1), helper duplication bounded by
     window_ms/shard_ms (~4% at 1h/1day).  DECIMAL window sums keep the
     totals order-independent."""
+    if window_ms > shard_ms:
+        raise ValueError(
+            "sharded_trailing_window_stats requires window_ms <= shard_ms "
+            f"(got window_ms={window_ms}, shard_ms={shard_ms}): a trailing "
+            "frame may span at most one shard boundary, else helper rows "
+            "cannot reconstruct the global frame."
+        )
     from pyspark.sql.window import Window
 
     ms = F.unix_millis(F.col("ts"))

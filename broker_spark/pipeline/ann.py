@@ -1495,7 +1495,16 @@ def recall_vs_nprobe(
     agree = ivf.join(exact, ["query_id", "cand_id"]).groupBy("nprobe").agg(
         F.count(F.lit(1)).cast("long").alias("n_agree")
     )
-    return agree.select(
+    # LEFT-join agreement counts against the full requested tier list so a
+    # tier with zero agreeing pairs reports recall=0 instead of vanishing
+    # (the catalog oracle mirrors this with a VALUES left join).
+    tiers = embeddings.sparkSession.createDataFrame(
+        [(int(n),) for n in nprobes], "nprobe int"
+    )
+    full = broadcast(tiers).join(agree, "nprobe", "left").select(
+        "nprobe", F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree")
+    )
+    return full.select(
         "nprobe",
         F.lit(n_q).cast("long").alias("n_queries"),
         F.lit(k).cast("int").alias("k"),

@@ -1118,12 +1118,17 @@ def quality_classifier_score(docs: DataFrame) -> DataFrame:
     words = words_col(F.col("text"))
     n_tokens = F.size(words).cast("double")
     n_len = F.length(F.col("text")).cast("double")
-    punct_ratio = punct_len(F.col("text")).cast("double") / n_len
+    # greatest(x, 1): an empty/degenerate doc must score, not emit a NULL
+    # (Spark Divide) vs NaN/inf (DuckDB IEEE) divergence — guard BOTH
+    # denominators identically here and in the catalog oracle SQL.
+    n_len_d = F.greatest(n_len, F.lit(1.0))
+    n_tok_d = F.greatest(n_tokens, F.lit(1.0))
+    punct_ratio = punct_len(F.col("text")).cast("double") / n_len_d
     f_len = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
     f_alpha = F.lit(1.0) - punct_ratio
     n_stop = F.size(F.filter(words, lambda x: x.isin(all_stop))).cast("double")
-    f_stop = n_stop / n_tokens
-    mean_wordlen = (n_len - (n_tokens - F.lit(1.0))) / n_tokens
+    f_stop = n_stop / n_tok_d
+    mean_wordlen = (n_len - (n_tokens - F.lit(1.0))) / n_tok_d
     f_wordlen = F.least(mean_wordlen / F.lit(10.0), F.lit(1.0))
     logit = (
         F.lit(QC_WEIGHTS["f_len"]) * f_len
@@ -1283,14 +1288,15 @@ def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
                     pos += len(p)
                     break
             else:
-                # LOUD failure, matching the oracle's contract: the
-                # recursive-CTE walk also stops cold at an uncovered
-                # character, so a silent skip here would let the two
-                # engines diverge instead of surfacing the vocabulary gap
-                raise ValueError(
-                    f"character {w[pos]!r} in word {w!r} is not covered by "
-                    "the vocabulary; add it (or its pieces) to `pieces`"
-                )
+                # TOTAL behavior, matching the oracle's contract: a
+                # character outside the vocabulary (digit, uppercase,
+                # punctuation inside a whitespace token) emits an explicit
+                # '[unk]' token and advances one position — the
+                # recursive-CTE walk does the identical coalesce, so the
+                # two engines stay comparable on unsanitized corpora
+                # instead of the job hard-failing mid-flight.
+                out.append("[unk]")
+                pos += 1
         return out
 
     # explicit functionType form: the module uses lazy annotations, which

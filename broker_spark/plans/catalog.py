@@ -4709,7 +4709,7 @@ def q_log_roundtrip_resend(spark, sf_dir):
     from broker_spark.storage.store import Storage
 
     s = events_as_stream(load(spark, sf_dir, "events"))
-    tmp = tempfile.mkdtemp(prefix="log_roundtrip_")
+    tmp = _replay_tmpdir("log_roundtrip_")
     st = Storage(spark, f"{tmp}/log", bucket_ms=86_400_000)
     st.store(s)
     out = st.request_range("view", 2, TS_2024_01_10, 0, TS_2024_01_20, 2147483647)
@@ -4717,6 +4717,28 @@ def q_log_roundtrip_resend(spark, sf_dir):
         "stream_id", "partition", "ts", "sequence_no",
         "publisher_id", "msg_chain_id", "content",
     )
+
+
+#: tmp roots created by the streaming-replay entries.  The sink parquet
+#: under each root must outlive the (lazy) returned DataFrame, so the
+#: entries cannot rmtree at return — instead every root is registered here
+#: and reclaimed at interpreter exit, so sweep/bench loops don't accumulate
+#: dead sink directories across hundreds of invocations.
+_REPLAY_TMP_ROOTS: list[str] = []
+
+
+def _replay_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _REPLAY_TMP_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _REPLAY_TMP_ROOTS]
+        )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    _REPLAY_TMP_ROOTS.append(tmp)
+    return tmp
 
 
 def _run_replay(spark, stream_df, tmp: str):
@@ -4771,7 +4793,7 @@ def q_streaming_ewma_replay(spark, sf_dir):
 
     from broker_spark.streaming import stateful
 
-    tmp = tempfile.mkdtemp(prefix="ewma_replay_")
+    tmp = _replay_tmpdir("ewma_replay_")
     hourly = rollup.rollup_level(
         load(spark, sf_dir, "events").withColumnRenamed("event_type", "key"),
         ["key"],
@@ -4827,7 +4849,7 @@ def q_streaming_lsh_replay(spark, sf_dir):
 
     from broker_spark.streaming import stateful
 
-    tmp = tempfile.mkdtemp(prefix="lsh_replay_")
+    tmp = _replay_tmpdir("lsh_replay_")
     os.makedirs(f"{tmp}/src")
     os.symlink(f"{sf_dir}/documents.parquet", f"{tmp}/src/documents.parquet")
     src = (
@@ -4865,7 +4887,7 @@ def q_streaming_alerts_replay(spark, sf_dir):
 
     import os
 
-    tmp = tempfile.mkdtemp(prefix="alerts_replay_")
+    tmp = _replay_tmpdir("alerts_replay_")
     sink, ckpt, src = f"{tmp}/sink", f"{tmp}/ckpt", f"{tmp}/src"
     # FileStreamSource requires a DIRECTORY; the fixture is a single
     # parquet file -> stage a symlink (no copy) into the replay dir
@@ -5016,9 +5038,10 @@ _QC_STOP_SQL = ", ".join(
     feat AS (
       SELECT doc_id,
              least(n_tokens / 100.0, 1.0) AS f_len,
-             1.0 - n_punct / n_len AS f_alpha,
-             n_stop / n_tokens AS f_stop,
-             least(((n_len - (n_tokens - 1.0)) / n_tokens) / 10.0, 1.0) AS f_wordlen
+             1.0 - n_punct / greatest(n_len, 1.0) AS f_alpha,
+             n_stop / greatest(n_tokens, 1.0) AS f_stop,
+             least(((n_len - (n_tokens - 1.0)) / greatest(n_tokens, 1.0)) / 10.0,
+                   1.0) AS f_wordlen
       FROM f
     ),
     s AS (
@@ -5104,7 +5127,7 @@ def q_streaming_hourly_rollup_replay(spark, sf_dir):
     import shutil
     import tempfile
 
-    tmp = tempfile.mkdtemp(prefix="rollup_replay_")
+    tmp = _replay_tmpdir("rollup_replay_")
     # projected load()-normalized copy (the ts column needs tables.py
     # normalization, so no fixture symlink); removed after the final run
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
@@ -5242,9 +5265,14 @@ _WP_VOCAB_SQL = ", ".join(
         ON substring(g.w, CAST(g.pos AS INT), length(v.piece)) = v.piece
     ),
     choice AS (
-      SELECT w, pos, max_by(piece, length(piece)) AS token,
-             CAST(max(length(piece)) AS BIGINT) AS tl
-      FROM cand GROUP BY 1, 2
+      -- LEFT join keeps uncovered positions: they encode as an explicit
+      -- '[unk]' single-char step, the same total fallback the Spark UDF
+      -- takes, so the walk never stops cold mid-word on either engine
+      SELECT g.w, g.pos,
+             COALESCE(max_by(c.piece, length(c.piece)), '[unk]') AS token,
+             CAST(COALESCE(max(length(c.piece)), 1) AS BIGINT) AS tl
+      FROM pos_grid g LEFT JOIN cand c ON c.w = g.w AND c.pos = g.pos
+      GROUP BY 1, 2
     ),
     walk(w, pos, token, tl) AS (
       SELECT w, pos, token, tl FROM choice WHERE pos = 1
@@ -5361,11 +5389,11 @@ def q_lsh_s_curve(spark, sf_dir):
               FROM ivf JOIN exact USING (query_id, cand_id) GROUP BY 1),
     nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries
            FROM embeddings WHERE vec_id < 100)
-    SELECT CAST(nprobe AS INT) AS nprobe, nq.n_queries, CAST(5 AS INT) AS k,
-           a.n_agree,
-           round(CAST(a.n_agree AS DOUBLE) / CAST(nq.n_queries * 5 AS DOUBLE), 6)
-             AS recall
-    FROM agree a, nq
+    SELECT CAST(n.nprobe AS INT) AS nprobe, nq.n_queries, CAST(5 AS INT) AS k,
+           CAST(COALESCE(a.n_agree, 0) AS BIGINT) AS n_agree,
+           round(CAST(COALESCE(a.n_agree, 0) AS DOUBLE)
+                 / CAST(nq.n_queries * 5 AS DOUBLE), 6) AS recall
+    FROM nps n LEFT JOIN agree a USING (nprobe), nq
     """,
 )
 def q_ann_recall_vs_nprobe(spark, sf_dir):
@@ -5472,7 +5500,7 @@ def q_streaming_exact_dedup_replay(spark, sf_dir):
 
     import os
 
-    tmp = tempfile.mkdtemp(prefix="sdedup_replay_")
+    tmp = _replay_tmpdir("sdedup_replay_")
     # text-only projection: stage the fixture as a symlink (no copy) and
     # declare just the text column — the established replay idiom
     os.makedirs(f"{tmp}/src")
@@ -5645,7 +5673,7 @@ def q_streaming_sessionization_replay(spark, sf_dir):
 
     from broker_spark.streaming import ingest as st_ingest
 
-    tmp = tempfile.mkdtemp(prefix="sess_replay_")
+    tmp = _replay_tmpdir("sess_replay_")
     # projected load()-normalized copy (NOT a fixture symlink: the ts
     # column needs the tables.py timestamp normalization; the staged copy
     # carries two columns only and is removed below)
