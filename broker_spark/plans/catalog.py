@@ -4415,6 +4415,43 @@ def q_tfidf_cosine_pairs(spark, sf_dir):
 
 
 @register(
+    "tfidf_cosine_pairs_guarded",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(shingles) AS term FROM shl),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM sh GROUP BY 1, 2),
+    df AS (SELECT term, df FROM (
+             SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM sh) GROUP BY 1)
+           WHERE df <= 4),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wt AS (SELECT doc_id, term, tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1) AS w
+           FROM tf JOIN df USING (term), n),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM wt GROUP BY 1),
+    dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+             FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+    SELECT doc_a, doc_b, cosine FROM (
+      SELECT doc_a, doc_b, round(dot / (x.norm * y.norm), 6) AS cosine
+      FROM dots JOIN norms x ON doc_a = x.doc_id JOIN norms y ON doc_b = y.doc_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_tfidf_cosine_pairs_guarded(spark, sf_dir):
+    """The corpus-scale CERTIFIED variant of TF-IDF cosine: `max_doc_freq`
+    ON, mirroring `dedup_ngram_jaccard_guarded`.  Shingles appearing in
+    more than max_doc_freq documents are boilerplate whose posting lists
+    make the term-key self-join quadratic while idf already ranks them
+    lowest; dropping them caps per-key join fanout.  Norms are computed
+    over the SAME retained term space on both engines, so the guarded
+    score remains a true cosine of the retained-term vectors."""
+    return text.tfidf_cosine_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.3, max_doc_freq=4
+    )
+
+
+@register(
     "vocab_coverage",
     f"""
     WITH t AS (SELECT lang, unnest({_WORDS}) AS term FROM documents),
@@ -5183,6 +5220,117 @@ def q_streaming_hourly_rollup_replay(spark, sf_dir):
 
 
 @register(
+    "streaming_hourly_rollup_replay_shuffled",
+    """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_hourly_rollup_replay_shuffled(spark, sf_dir):
+    """The OUT-OF-ORDER variant of the streaming hourly rollup: staged
+    input is 8 files each holding a pseudo-random (md5-ranged) slice of
+    the corpus across the WHOLE time span, replayed one file per
+    micro-batch — so every batch after the first delivers rows earlier
+    than the running max event time, i.e. genuinely late data.  The
+    watermark delay is sized to the full span, so every late row lands
+    INSIDE the watermark and must still be aggregated exactly; the same
+    batch SQL oracle as the in-order entry then certifies that state
+    merge under disorder loses nothing (the reference stores late data
+    via derivable buckets the same way — src/plugins/storage/Bucket.ts /
+    BucketManager late-row path).
+
+    Emission protocol: with a span-wide delay run 1 emits nothing
+    (append mode); the run-2 sentinel pushes the watermark past every
+    window end and flushes all state — the two-run sentinel protocol of
+    `streaming_sessionization_replay`, stressed with maximal disorder."""
+    import datetime
+    import math
+    import shutil
+
+    tmp = _replay_tmpdir("rollup_shuf_")
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # stage the input as 8 md5-range files: each file mixes the whole time
+    # span, so one-file-per-trigger replay maximizes cross-batch disorder
+    (
+        ev.withColumn(
+            "shuf",
+            F.md5(
+                F.concat_ws(
+                    "|", "event_type", F.col("ts").cast("string"),
+                    F.col("value").cast("string"),
+                )
+            ),
+        )
+        .repartitionByRange(8, "shuf")
+        .drop("shuf")
+        .write.parquet(f"{tmp}/in")
+    )
+    span = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    delay_hours = int(math.ceil((span["hi"] - span["lo"]).total_seconds() / 3600)) + 2
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        agg = (
+            src.withWatermark("ts", f"{delay_hours} hours")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+            .select(
+                "event_type",
+                F.floor(F.unix_millis(F.col("window.start")) / 3_600_000)
+                .cast("long")
+                .alias("bucket"),
+                "n_samples",
+                "sum_value",
+                "min_value",
+                "max_value",
+                (F.col("sum_value") / F.col("n_samples")).alias("avg_value"),
+            )
+        )
+        _run_replay(spark, agg, tmp)
+
+    run_once()
+    sentinel = [
+        (
+            "__sentinel__",
+            span["hi"] + datetime.timedelta(hours=delay_hours + 3),
+            0.0,
+        )
+    ]
+    spark.createDataFrame(sentinel, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            "event_type", "bucket", "n_samples", "sum_value",
+            "min_value", "max_value", "avg_value",
+        )
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
+@register(
     "doc_entropy_stats",
     f"""
     WITH t AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
@@ -5716,71 +5864,28 @@ def q_streaming_sessionization_replay(spark, sf_dir):
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
-    # Rotation policy (VERDICT r3 #2): the driver value-checks the first
-    # ~50 queries() entries each round.  Order = (1) entries NEW this
-    # round, (2) entries whose code CHANGED this round, (3) entries the
-    # driver has NEVER checked, (4) stalest driver rows (r1, then r2).
-    # Round-3's 50 drop to the tail: they were just certified.
-    # -- NEW in round 4 (second batch)
-    "curated_mix_manifest",
-    "wordpiece_encode_counts",
-    "lsh_s_curve",
-    "ann_recall_vs_nprobe",
-    "events_rolling_hour_stats",
-    "events_rolling_hour_sharded",
-    "streaming_exact_dedup_replay",
-    "streaming_sessionization_replay",
-    "streaming_hourly_rollup_replay",
-    "doc_entropy_stats",
-    "split_leakage_audit",
-    "bm25_topk",
-    "passage_dedup_stats",
+    # Rotation policy (VERDICT r3 #2 / r4 #1): the driver value-checks the
+    # first ~50 queries() entries each round.  Order = (1) entries NEW
+    # this round, (2) entries whose code CHANGED this round, (3) entries
+    # the driver has NEVER checked, (4) stalest driver rows.  Round-4's
+    # certified 49 drop to the tail.  No-oracle entries are exiled to the
+    # absolute tail PROGRAMMATICALLY in _audit_order() — they can only
+    # ever produce a rows-only driver row and must never burn a slot.
+    # -- NEW in round 5
+    "tfidf_cosine_pairs_guarded",
+    "streaming_hourly_rollup_replay_shuffled",
+    # -- code/oracle changed in round 5 (degenerate-input hardening)
     "quality_classifier_score",
-    "temperature_mix_allocation",
-    # -- NEW in round 4
-    "log_roundtrip_resend",
-    "streaming_alerts_replay",
-    "streaming_ewma_replay",
-    "streaming_lsh_replay",
-    "ann_rp_lsh_topk",
-    "embedding_pca_power_iter",
-    "embedding_pca_scores",
-    "tfidf_cosine_pairs",
-    "vocab_coverage",
-    "bigram_logprob_score",
-    "dedup_graph_degrees",
-    "cms_heavy_hitters",
-    "events_gap_fill",
-    "minhash_estimate_error",
-    "hard_negative_mining",
-    "semantic_dedup_clusters",
-    "domain_cap_sample",
-    "ann_ivf_pq_exact_parity",
-    "ann_ivf_pq_agreement",
-    # -- code changed in round 4 (star-CC keeper switch, localCheckpoint)
-    "dedup_cluster_keepers",
-    "dedup_components",
-    "dedup_components_star",
-    "ann_trained_ivf_multiprobe",
-    "ann_trained_ivf_topk",
-    # -- never driver-checked: TPC-H remainder
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
+    "ann_recall_vs_nprobe",
+    "wordpiece_encode_counts",
+    # -- never driver-checked (the round-4 coverage debt, closed here):
+    # TPC-H remainder
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q20_part_promotion",
     "q21_sole_returner",
     "q22_idle_customers",
-    # -- never driver-checked: relational / stream surface
+    # relational / stream surface
     "asof_click_purchase",
     "range_join_clicks_before_purchase",
     "grouping_sets_order_stats",
@@ -5791,18 +5896,17 @@ _AUDIT_PRIORITY = [
     "corpus_histogram",
     "chunk_documents",
     "source_dedup_stats",
-    # -- never driver-checked: multimodal
+    # multimodal
     "multimodal_features",
     "multimodal_metadata_stats",
     "multimodal_frame_plan",
     "multimodal_audio_chunks",
     "multimodal_image_resize",
-    # -- last driver row in round 1
+    # -- stalest driver rows (round-1/round-2 vintage)
     "doc_fingerprint",
     "doc_winnow_fingerprints",
     "language_id",
     "token_stats",
-    # -- stalest round-2 rows: the reference's core resend semantics
     "resend_last",
     "resend_last_global",
     "resend_from",
@@ -5819,7 +5923,14 @@ _AUDIT_PRIORITY = [
 def _audit_order() -> list[str]:
     head = [n for n in _AUDIT_PRIORITY if n in CATALOG]
     seen = set(head)
-    return head + [n for n in CATALOG if n not in seen]
+    ordered = head + [n for n in CATALOG if n not in seen]
+    # Permanent exile (VERDICT r4 #3): entries without an oracle can only
+    # yield `no_oracle` driver rows — order them after every
+    # oracle-checkable entry so the ~50-slot audit window never reaches
+    # them, no matter how new or recently changed they are.
+    with_oracle = [n for n in ordered if CATALOG[n].sql is not None]
+    no_oracle = [n for n in ordered if CATALOG[n].sql is None]
+    return with_oracle + no_oracle
 
 
 def queries() -> dict[str, QueryFn]:
