@@ -4315,7 +4315,23 @@ def q_hard_negative_mining(spark, sf_dir):
 @register(
     "semantic_dedup_clusters",
     f"""
-    WITH RECURSIVE c AS (SELECT vec_id, embedding, {_CELL_SQL} AS cell FROM embeddings),
+    WITH RECURSIVE gd AS (
+      -- grid-granularity sizing rule (BENCH_SCALE.md): one extra
+      -- quantized dimension per 10x corpus growth over the sf0.1 base
+      -- (2000 vectors), so cell populations stay bounded instead of
+      -- growing linearly; both engines derive dims from the same count
+      SELECT GREATEST(2, 2 + CAST(FLOOR(LOG10(COUNT(*) / 2000.0)) AS INT)) AS d
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, embedding,
+             array_to_string(
+               list_transform(embedding[1:(SELECT d FROM gd)],
+                 x -> CAST(CAST(floor(CAST(x AS DOUBLE) / 0.5) AS BIGINT)
+                           AS VARCHAR)),
+               ',') AS cell
+      FROM embeddings
+    ),
     cand AS (
       SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
              a.embedding AS av, b.embedding AS bv
@@ -4343,9 +4359,18 @@ def q_semantic_dedup_clusters(spark, sf_dir):
     near-dup pairs (grid-bucketed, BLAS-scored) -> O(log n) star CC ->
     one keeper per semantic cluster with cluster size.  Composes the two
     certified primitives; the oracle recomputes the pairs exactly and
-    resolves components with a recursive CTE."""
+    resolves components with a recursive CTE.
+
+    Grid granularity is sized DYNAMICALLY from the corpus (the BENCH_SCALE
+    rule: +1 quantized dimension per 10x over the 2000-vector base), the
+    same way nlist is sized for the IVF entries — the oracle derives the
+    identical dims from the same COUNT(*), so both engines bucket alike."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings")
-    pairs = ann.embedding_near_dup_pairs(emb, threshold=0.35).select(
+    n = emb.count()
+    dims = max(2, 2 + int(math.floor(math.log10(max(n, 1) / 2000.0))))
+    pairs = ann.embedding_near_dup_pairs(emb, threshold=0.35, dims=dims).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = dedup.connected_components_star(
@@ -5874,10 +5899,12 @@ _AUDIT_PRIORITY = [
     # -- NEW in round 5
     "tfidf_cosine_pairs_guarded",
     "streaming_hourly_rollup_replay_shuffled",
-    # -- code/oracle changed in round 5 (degenerate-input hardening)
+    # -- code/oracle changed in round 5 (degenerate-input hardening,
+    # dynamic grid sizing)
     "quality_classifier_score",
     "ann_recall_vs_nprobe",
     "wordpiece_encode_counts",
+    "semantic_dedup_clusters",
     # -- never driver-checked (the round-4 coverage debt, closed here):
     # TPC-H remainder
     "q18_large_volume_customers",
