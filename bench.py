@@ -124,6 +124,15 @@ HEADLINE = [
     "curated_mix_manifest",
     "events_rolling_hour_stats",
     "events_rolling_hour_sharded",
+    # round 5
+    "tfidf_cosine_pairs_guarded",
+    "events_value_percentiles_exact",
+    "funnel_conversion",
+    "zscore_anomaly_events",
+    "vocab_zipf_slope",
+    "repetition_top2gram_share",
+    "customer_rfm_scores",
+    "orders_market_basket",
 ]
 
 

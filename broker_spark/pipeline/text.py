@@ -1318,3 +1318,77 @@ def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
         F.sum(F.col("c") * F.col("n")).cast("long").alias("n_occurrences"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
     )
+
+
+def vocab_zipf_slope(docs: DataFrame, min_types: int = 3) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(frequency) against
+    ln(rank) over the word frequency table — the corpus-health diagnostic
+    (natural language sits near -1; templated/generated text flattens
+    toward 0, a strong synthetic-data signal for pipeline QA).
+
+    Slope uses the closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with every
+    sum accumulated in DECIMAL(28,12), so the cross-engine value is
+    order-independent and bit-comparable at 6 dp.  One explode + one
+    (lang, word) hash-agg + one lang-keyed window for ranks + one lang
+    hash-agg — nothing quadratic, no collect."""
+    terms = docs.select("lang", F.explode(words_col(F.col("text"))).alias("w"))
+    freq = terms.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("n"))
+    win = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("w").asc())
+    ranked = freq.withColumn("rank", F.row_number().over(win))
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("n").cast("double"))
+    dec = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    stats = ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        dec(x).alias("sx"),
+        dec(y).alias("sy"),
+        dec(x * y).alias("sxy"),
+        dec(x * x).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.filter(F.col("n_types") >= min_types).select(
+        "lang", "n_types", F.round(slope, 6).alias("zipf_slope")
+    )
+
+
+def repetition_top2gram_share(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signal: per document, the share of tokens
+    accounted for by the single most frequent word 2-gram (ties broken by
+    the lexicographically smallest 2-gram, so the winner is deterministic
+    on both engines).  High shares flag boilerplate/templated docs that
+    length or stopword filters miss.
+
+    One explode to (doc, bigram), one hash-agg, one doc-keyed window for
+    the argmax, one rollup — all JVM built-ins, doc-bounded state."""
+    words = words_col(F.col("text"))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.explode(bigrams).alias("bigram"),
+    )
+    counts = bg.groupBy("doc_id", "n_tokens", "bigram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("bigram").asc()
+    )
+    top = counts.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") == 1)
+    return top.select(
+        "doc_id",
+        "n_tokens",
+        F.col("bigram").alias("top_bigram"),
+        F.col("c").cast("long").alias("top_count"),
+        F.round(
+            (F.col("c") * F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
+        ).alias("top2gram_share"),
+    )

@@ -5880,6 +5880,347 @@ def q_streaming_sessionization_replay(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round-5 additions: exact percentiles, funnel, anomaly, Zipf QA,
+# repetition signal, RFM, market basket
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_value_percentiles_exact",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_value_percentiles_exact(spark, sf_dir):
+    """EXACT interpolated percentiles per event type — the
+    oracle-checkable counterpart to the no-oracle
+    `approx_value_percentiles` sketch entry (Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition, so
+    values hash-match at 6 dp).  At 100 TB the exact form is a per-key
+    sort of that key's values inside one hash-agg — fine for bounded
+    per-key cardinality; unbounded keys switch to the approx twin."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view_click_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered event-sequence funnel (view -> later click -> later
+    purchase), the product-analytics staple: per stage, users whose
+    events occur in strict temporal order — NOT merely users having all
+    three types.  Each stage is one filtered agg plus one user-keyed
+    join against the (tiny) prior-stage frame, which broadcasts; at
+    100 TB the stage frames stay ≤ |users| rows, so the chain is three
+    broadcast joins over one scan each, no wide shuffle."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    spark_ = ev.sparkSession
+    rows = [
+        ("view", v),
+        ("view_click", c),
+        ("view_click_purchase", p),
+    ]
+    out = None
+    for stage, frame in rows:
+        one = frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+@register(
+    "zscore_anomaly_events",
+    """
+    WITH hourly AS (
+      SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(CAST(avg_value AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(avg_value * avg_value AS DECIMAL(28,12))) AS DOUBLE)
+               AS s2
+      FROM hourly GROUP BY 1
+    ),
+    z AS (
+      SELECT h.event_type, h.bucket, h.avg_value,
+             (h.avg_value - s.s1 / s.n_hours)
+               / sqrt(s.s2 / s.n_hours - (s.s1 / s.n_hours) * (s.s1 / s.n_hours))
+               AS zscore
+      FROM hourly h JOIN stats s USING (event_type)
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           round(avg_value, 6) AS avg_value, round(zscore, 6) AS zscore
+    FROM z WHERE abs(zscore) > 2
+    """,
+)
+def q_zscore_anomaly_events(spark, sf_dir):
+    """Hourly anomaly detection: per event type, hours whose mean value
+    sits more than 2 population standard deviations from that type's
+    mean-of-hourly-means.  Mean and std come from DECIMAL-accumulated
+    s1/s2 sums, so both engines derive bit-identical statistics in any
+    aggregation order.  Two hash-aggs + one broadcast join of the
+    per-type stats (5 rows) — the per-hour frame never reshuffles."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.unix_millis(F.col("ts")) / 3_600_000).cast("long").alias("bucket"),
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value")
+    )
+    dec12 = lambda c: F.sum(c.cast("decimal(28,12)")).cast("double")  # noqa: E731
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        dec12(F.col("avg_value")).alias("s1"),
+        dec12(F.col("avg_value") * F.col("avg_value")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_hours")
+    std = F.sqrt(F.col("s2") / F.col("n_hours") - mean * mean)
+    return (
+        hourly.join(broadcast(stats), "event_type")
+        .withColumn("zscore", (F.col("avg_value") - mean) / std)
+        .filter(F.abs(F.col("zscore")) > 2)
+        .select(
+            "event_type",
+            "bucket",
+            F.round("avg_value", 6).alias("avg_value"),
+            F.round("zscore", 6).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "vocab_zipf_slope",
+    f"""
+    WITH t AS (SELECT lang, unnest({_WORDS}) AS w FROM documents),
+    freq AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) AS rank
+      FROM freq
+    ),
+    xy AS (SELECT lang, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+           FROM ranked),
+    s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+      FROM xy GROUP BY 1
+    )
+    SELECT lang, n_types,
+           round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM s WHERE n_types >= 3
+    """,
+)
+def q_vocab_zipf_slope(spark, sf_dir):
+    """Zipf-law OLS slope of ln(freq) vs ln(rank) per language — the
+    corpus-health QA number (natural text ~ -1; templated/generated text
+    flattens toward 0).  Closed-form slope from DECIMAL-accumulated
+    sums; identical arithmetic in the oracle."""
+    return text.vocab_zipf_slope(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_top2gram_share",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS l FROM documents),
+    bg AS (
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             unnest([array_to_string(l[i:i+1], ' ') for i in range(1, len(l))])
+               AS bigram
+      FROM w WHERE len(l) >= 2
+    ),
+    c AS (SELECT doc_id, n_tokens, bigram, CAST(COUNT(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2, 3),
+    top AS (
+      SELECT doc_id, n_tokens, bigram, c,
+             row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram) AS rk
+      FROM c
+    )
+    SELECT doc_id, n_tokens, bigram AS top_bigram, c AS top_count,
+           round(c * 2.0 / n_tokens, 6) AS top2gram_share
+    FROM top WHERE rk = 1
+    """,
+)
+def q_repetition_top2gram_share(spark, sf_dir):
+    """Gopher-style repetition signal: per document, the token share of
+    the single most frequent word 2-gram (deterministic tie-break on the
+    smaller bigram) — the boilerplate detector that length/stopword
+    filters miss."""
+    return text.repetition_top2gram_share(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "customer_rfm_scores",
+    """
+    WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), mx.maxd) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders, mx GROUP BY 1, mx.maxd
+    )
+    SELECT c_custkey, recency_days, frequency, round(monetary, 2) AS monetary,
+           CAST(ntile(5) OVER (ORDER BY recency_days ASC, c_custkey) AS INT)
+             AS r_score,
+           CAST(ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS INT)
+             AS f_score,
+           CAST(ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS INT)
+             AS m_score
+    FROM base
+    """,
+)
+def q_customer_rfm_scores(spark, sf_dir):
+    """RFM segmentation: per ordering customer, days since last order
+    (vs the corpus max date), order count, DECIMAL-exact revenue, and
+    ntile(5) quintile scores with fully deterministic (metric, custkey)
+    orderings so both engines tile identically.  One orders hash-agg +
+    three global-sort windows over the customer-bounded frame; at 100 TB
+    the windows run over |customers| rows, not |orders| — and a
+    range-partitioned sort handles that frame."""
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        o.crossJoin(broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"), "maxd")
+        .agg(
+            F.max("o_orderdate").alias("lastd"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(_dec_sum(F.col("o_totalprice"), 2), 2).alias("monetary"),
+        )
+        .select(
+            "c_custkey",
+            F.datediff(F.col("maxd"), F.col("lastd")).cast("long").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey")))
+        .cast("int")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), F.col("c_custkey")))
+        .cast("int")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("c_custkey")))
+        .cast("int")
+        .alias("m_score"),
+    )
+
+
+@register(
+    "orders_market_basket",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_orders_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought together in >= 2
+    orders, top-20.  The self-join is co-partitioned on the order key
+    (ONE shuffle; per-order fanout is bounded by the <= 7-line order
+    shape, so the pair explosion is linear in lineitem, never
+    quadratic), and the top-20 is a TakeOrdered, not a global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        pairs.filter(F.col("n_orders") >= 2)
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 #: The driver's correctness snapshot audits the first ~50 entries of
@@ -5899,6 +6240,13 @@ _AUDIT_PRIORITY = [
     # -- NEW in round 5
     "tfidf_cosine_pairs_guarded",
     "streaming_hourly_rollup_replay_shuffled",
+    "events_value_percentiles_exact",
+    "funnel_conversion",
+    "zscore_anomaly_events",
+    "vocab_zipf_slope",
+    "repetition_top2gram_share",
+    "customer_rfm_scores",
+    "orders_market_basket",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",
