@@ -133,6 +133,11 @@ HEADLINE = [
     "repetition_top2gram_share",
     "customer_rfm_scores",
     "orders_market_basket",
+    "cross_source_dup_groups",
+    "revenue_gini",
+    "embedding_dim_stats",
+    "events_equidepth_histogram",
+    "wordpiece_fertility_by_lang",
 ]
 
 

@@ -1259,21 +1259,10 @@ WORDPIECE_PIECES = [
 ]
 
 
-def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
-    """Tokenizer APPLICATION: greedy longest-match (WordPiece-style)
-    encoding of the corpus against a fixed vocabulary, rolled up to
-    per-token corpus counts — the apply-side companion to the train-side
-    `bpe_pair_counts`.  At each position the longest matching vocabulary
-    piece wins (equal-length matches at one position are the same string,
-    so the choice is unique and engine-portable); single-letter pieces
-    guarantee progress.
-
-    Scale shape: the corpus contributes ONE hash-agg to (word, count);
-    only the DISTINCT word table is encoded (an Arrow-batched pandas UDF
-    over a table bounded by vocabulary size, not corpus size) and counts
-    join back — exactly how production tokenizer jobs amortize encoding
-    over repeated words.  The oracle replays the same greedy walk as a
-    recursive CTE."""
+def _wordpiece_encoder(pieces=None):
+    """Greedy longest-match encoder closure shared by the wordpiece
+    entries: returns `one(word) -> [tokens]`, total via the '[unk]'
+    single-char fallback (see wordpiece_encode_counts)."""
     import string
 
     vocab = sorted(set(pieces or WORDPIECE_PIECES) | set(string.ascii_lowercase))
@@ -1298,6 +1287,26 @@ def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
                 out.append("[unk]")
                 pos += 1
         return out
+
+    return one
+
+
+def wordpiece_encode_counts(docs: DataFrame, pieces=None) -> DataFrame:
+    """Tokenizer APPLICATION: greedy longest-match (WordPiece-style)
+    encoding of the corpus against a fixed vocabulary, rolled up to
+    per-token corpus counts — the apply-side companion to the train-side
+    `bpe_pair_counts`.  At each position the longest matching vocabulary
+    piece wins (equal-length matches at one position are the same string,
+    so the choice is unique and engine-portable); single-letter pieces
+    guarantee progress.
+
+    Scale shape: the corpus contributes ONE hash-agg to (word, count);
+    only the DISTINCT word table is encoded (an Arrow-batched pandas UDF
+    over a table bounded by vocabulary size, not corpus size) and counts
+    join back — exactly how production tokenizer jobs amortize encoding
+    over repeated words.  The oracle replays the same greedy walk as a
+    recursive CTE."""
+    one = _wordpiece_encoder(pieces)
 
     # explicit functionType form: the module uses lazy annotations, which
     # the hint-based pandas_udf signature parser cannot resolve here
@@ -1391,4 +1400,38 @@ def repetition_top2gram_share(docs: DataFrame) -> DataFrame:
         F.round(
             (F.col("c") * F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
         ).alias("top2gram_share"),
+    )
+
+
+def wordpiece_fertility_by_lang(docs: DataFrame, pieces=None) -> DataFrame:
+    """Tokenizer fertility (pieces per word) by language — THE number a
+    multilingual tokenizer budget is planned around: languages whose
+    fertility is high relative to others are under-served by the shared
+    vocabulary and pay more sequence length per unit of text.
+
+    Scale shape mirrors `wordpiece_encode_counts`: word occurrences
+    hash-agg to (lang, word, count); only the DISTINCT word table runs
+    the encode UDF (vocabulary-bounded, Arrow-batched) and the per-word
+    piece counts broadcast-join back onto the per-language counts."""
+    one = _wordpiece_encoder(pieces)
+    n_pieces = F.pandas_udf(
+        lambda ws: ws.map(lambda w: len(one(w))), "long"
+    )
+    lw = (
+        docs.select("lang", F.explode(words_col(F.col("text"))).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_word = (
+        lw.select("w").distinct().withColumn("pieces", n_pieces(F.col("w")))
+    )
+    joined = lw.join(broadcast(per_word), "w")
+    return joined.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("n_words"),
+        F.sum(F.col("n") * F.col("pieces")).cast("long").alias("n_pieces"),
+        F.round(
+            F.sum(F.col("n") * F.col("pieces")).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("fertility"),
     )

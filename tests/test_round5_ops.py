@@ -98,3 +98,40 @@ def test_market_basket_counts_orders_not_lines(spark, tmp_path, monkeypatch):
     )
     got = catalog.CATALOG["orders_market_basket"].fn(spark, p).collect()
     assert [(r["part_a"], r["part_b"], r["n_orders"]) for r in got] == [(10, 20, 2)]
+
+
+def test_gini_zero_for_equal_revenues(spark, tmp_path, monkeypatch):
+    from broker_spark.plans import catalog
+
+    rows = [(i, 100 + i, 50.0) for i in range(10)]  # 10 customers, equal rev
+    o = spark.createDataFrame(
+        [(i, c, v) for i, (i2, c, v) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    p = str(tmp_path / "gini")
+    o.write.parquet(f"{p}/orders.parquet")
+    monkeypatch.setattr(
+        catalog, "load", lambda spark_, sf, name: spark.read.parquet(
+            f"{p}/{name}.parquet"
+        ),
+    )
+    r = catalog.CATALOG["revenue_gini"].fn(spark, p).collect()[0]
+    assert r["n_customers"] == 10
+    assert abs(r["gini"]) < 1e-9          # perfectly equal -> 0
+    assert abs(r["top10_share"] - 0.1) < 1e-9  # top decile holds 1/10
+
+
+def test_fertility_counts_pieces_per_word(spark):
+    # 'the' encodes as one piece; 'qqq' as q+q+q (single letters) = 3
+    docs = spark.createDataFrame(
+        [(1, "the the", "en"), (2, "qqq", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["lang"]: r
+        for r in text.wordpiece_fertility_by_lang(docs).collect()
+    }
+    assert got["en"]["n_words"] == 2 and got["en"]["n_pieces"] == 2
+    assert abs(got["en"]["fertility"] - 1.0) < 1e-9
+    assert got["xx"]["n_words"] == 1 and got["xx"]["n_pieces"] == 3
+    assert abs(got["xx"]["fertility"] - 3.0) < 1e-9
