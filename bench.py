@@ -138,6 +138,7 @@ HEADLINE = [
     "embedding_dim_stats",
     "events_equidepth_histogram",
     "wordpiece_fertility_by_lang",
+    "langid_confusion_matrix",
 ]
 
 

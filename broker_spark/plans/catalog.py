@@ -6469,6 +6469,38 @@ def q_wordpiece_fertility_by_lang(spark, sf_dir):
     return text.wordpiece_fertility_by_lang(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "langid_confusion_matrix",
+    f"""
+    WITH pred AS ({_langid_sql()})
+    SELECT lang AS true_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS row_share
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q_langid_confusion_matrix(spark, sf_dir):
+    """Classifier QA for the language-ID operator: the (true lang x
+    predicted lang) confusion matrix with per-true-language row shares —
+    the table that says which language pairs the stopword detector
+    confuses and how much 'und' leakage each language suffers.  One
+    scan through the certified language_id expressions + one hash-agg;
+    the row share reuses the same grouping via a window, no second
+    shuffle."""
+    pred = text.language_id(load(spark, sf_dir, "documents"))
+    counts = pred.groupBy(
+        F.col("lang").alias("true_lang"), "predicted_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = F.sum("n_docs").over(Window.partitionBy("true_lang"))
+    return counts.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / tot, 6).alias("row_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -6501,6 +6533,7 @@ _AUDIT_PRIORITY = [
     "embedding_dim_stats",
     "events_equidepth_histogram",
     "wordpiece_fertility_by_lang",
+    "langid_confusion_matrix",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",
