@@ -1355,8 +1355,12 @@ def vocab_zipf_slope(docs: DataFrame, min_types: int = 3) -> DataFrame:
         dec(x * x).alias("sxx"),
     )
     n = F.col("n_types").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    # total under ANSI mode: a single-type (or otherwise log-degenerate)
+    # language has denom == 0 and no defined slope — NULL, not a
+    # DIVIDE_BY_ZERO job failure, for callers who lower min_types
+    slope = F.when(
+        denom != 0, (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
     )
     return stats.filter(F.col("n_types") >= min_types).select(
         "lang", "n_types", F.round(slope, 6).alias("zipf_slope")
