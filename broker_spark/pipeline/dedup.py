@@ -877,3 +877,65 @@ def lsh_s_curve(
             ).alias("theory_mid_rate"),
         )
     )
+
+
+def pagerank(
+    docs: DataFrame,
+    pairs: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """PageRank over the (symmetric) near-dup candidate graph — the
+    centrality view of duplication: high-rank documents sit at the core
+    of large boilerplate families (the ones whose removal collapses the
+    most near-dup mass), a stronger prioritization signal than raw
+    degree when families chain.
+
+    PR_i(t+1) = (1-d)/N + d * sum_{j->i} PR_j(t) / deg_j over paired
+    nodes only (the symmetric edge set has no dangling nodes, so no
+    redistribution term — exactly the closed form the oracle replays).
+
+    Scale shape: per iteration ONE edge-key join of the rank vector
+    (node-sized, not corpus-sized) against the static (edges x degree)
+    frame plus one hash-agg on the target key.  Unlike CC (whose labels
+    frame appears TWICE per step, doubling the plan each round), the
+    rank chain references each previous frame once, so lineage grows
+    linearly and needs truncation only every few rounds — one
+    `localCheckpoint` per 4 iterations keeps planning flat without
+    paying an eager job per round.  Per-step neighbor sums accumulate
+    in DECIMAL(38,18), so the cross-engine value is independent of
+    aggregation order; the damping arithmetic is ordered identically to
+    the oracle SQL ((1-d)/n + d * sum)."""
+    fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
+    edges = (
+        fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    nodes = edges.select(F.col("s").alias(id_col)).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            F.col(id_col), F.lit(None).cast("double").alias("pagerank")
+        )
+    ranks = nodes.select(id_col, F.lit(1.0 / n).alias("pr"))
+    # static per-edge frame: (source, target, source degree)
+    ej = edges.join(deg, "s").localCheckpoint(eager=True)
+    base = (1 - damping) / n
+    for step in range(iters):
+        contrib = ej.join(ranks, ej["s"] == ranks[id_col]).select(
+            F.col("d").alias(id_col),
+            (F.col("pr") / F.col("deg")).alias("c"),
+        )
+        ranks = contrib.groupBy(id_col).agg(
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * F.sum(F.col("c").cast("decimal(38,18)")).cast("double")
+            ).alias("pr")
+        )
+        if (step + 1) % 4 == 0 and step + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(id_col, F.round(F.col("pr"), 6).alias("pagerank"))

@@ -6469,6 +6469,66 @@ def q_wordpiece_fertility_by_lang(spark, sf_dir):
     return text.wordpiece_fertility_by_lang(load(spark, sf_dir, "documents"))
 
 
+def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
+    """Unrolled PageRank oracle over the MinHash-LSH candidate graph:
+    the same banded-pair edge set as the CC entries, then `iters`
+    materialized (join, DECIMAL-summed agg) steps — arithmetic ordered
+    exactly as dedup.pagerank ((1-d)/n + d * CAST(SUM(DECIMAL) AS
+    DOUBLE))."""
+    head = f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ),
+    edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    deg AS MATERIALIZED (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n FROM edges),
+    r0 AS (SELECT DISTINCT s AS doc, 1.0 / nn.n AS pr FROM edges, nn)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+    r{k} AS MATERIALIZED (
+      SELECT e.d AS doc,
+             (1 - {damping}) / nn.n
+             + {damping} * CAST(SUM(CAST(p.pr / dg.deg AS DECIMAL(38,18)))
+                                AS DOUBLE) AS pr
+      FROM edges e
+      JOIN r{k - 1} p ON p.doc = e.s
+      JOIN deg dg ON dg.s = e.s, nn
+      GROUP BY e.d, nn.n
+    )"""
+        )
+    tail = f"""
+    SELECT doc AS doc_id, round(pr, 6) AS pagerank FROM r{iters}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("dedup_graph_pagerank", _pagerank_sql(0.85, 10))
+def q_dedup_graph_pagerank(spark, sf_dir):
+    """PageRank centrality over the MinHash-LSH near-dup graph (damping
+    0.85, 10 iterations) — which documents anchor the largest
+    boilerplate families.  The iterative Spark side (one edge join + one
+    DECIMAL-summed hash-agg per round, lineage-truncated) is
+    value-checked against the fully unrolled 10-step SQL twin, the same
+    certification pattern as distributed PCA."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.pagerank(docs, dedup.minhash_lsh_pairs(docs))
+
+
 @register(
     "langid_confusion_matrix",
     f"""
@@ -6534,6 +6594,7 @@ _AUDIT_PRIORITY = [
     "events_equidepth_histogram",
     "wordpiece_fertility_by_lang",
     "langid_confusion_matrix",
+    "dedup_graph_pagerank",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",

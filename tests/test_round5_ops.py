@@ -135,3 +135,20 @@ def test_fertility_counts_pieces_per_word(spark):
     assert abs(got["en"]["fertility"] - 1.0) < 1e-9
     assert got["xx"]["n_words"] == 1 and got["xx"]["n_pieces"] == 3
     assert abs(got["xx"]["fertility"] - 3.0) < 1e-9
+
+
+def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
+    from broker_spark.pipeline import dedup
+
+    # star graph: 1 is the hub of 2,3,4; isolated pair 5-6
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 6)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    got = {r["doc_id"]: r["pagerank"] for r in dedup.pagerank(docs, pairs).collect()}
+    # probability mass over paired nodes is conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+    # the hub out-ranks its spokes; spokes are symmetric
+    assert got[1] > got[2] == got[3] == got[4]
+    # the isolated pair splits its mass evenly
+    assert got[5] == got[6]
