@@ -6517,6 +6517,83 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
     return head + "".join(steps) + tail
 
 
+@register(
+    "lsh_precision_recall",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sh AS (SELECT doc_id, unnest(list_distinct(shingles)) AS sh FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    jp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b
+      FROM jp JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+      WHERE round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) >= 0.5
+    ),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+    h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM cand JOIN truth USING (doc_a, doc_b))
+    SELECT n_truth, n_candidates, n_hit,
+           round(n_hit * 1.0 / n_candidates, 6) AS precision,
+           round(n_hit * 1.0 / n_truth, 6) AS recall
+    FROM t, c, h
+    """,
+)
+def q_lsh_precision_recall(spark, sf_dir):
+    """The third LSH-quality certificate, completing the family
+    (`lsh_s_curve` = capture rate by similarity decile,
+    `minhash_estimate_error` = per-pair estimator error): PRECISION and
+    RECALL of the banded MinHash candidate set against exact-Jaccard
+    ground truth at threshold 0.5.  Ground truth is complete because a
+    pair at Jaccard >= 0.5 must share a shingle, so the inverted-index
+    join enumerates every qualifying pair without going all-pairs.
+    Three bounded count aggs + broadcast scalar attaches."""
+    docs = load(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    h = cand.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        t.crossJoin(broadcast(c))
+        .crossJoin(broadcast(h))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit") * F.lit(1.0) / F.col("n_candidates"), 6
+            ).alias("precision"),
+            F.round(F.col("n_hit") * F.lit(1.0) / F.col("n_truth"), 6).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 @register("dedup_graph_pagerank", _pagerank_sql(0.85, 10))
 def q_dedup_graph_pagerank(spark, sf_dir):
     """PageRank centrality over the MinHash-LSH near-dup graph (damping
@@ -6595,6 +6672,7 @@ _AUDIT_PRIORITY = [
     "wordpiece_fertility_by_lang",
     "langid_confusion_matrix",
     "dedup_graph_pagerank",
+    "lsh_precision_recall",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",
