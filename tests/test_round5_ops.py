@@ -152,3 +152,68 @@ def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
     assert got[1] > got[2] == got[3] == got[4]
     # the isolated pair splits its mass evenly
     assert got[5] == got[6]
+
+
+class TestRealDecoders:
+    """The WAV/BMP decoders must PARSE, not pattern-match: wrong headers
+    raise, byte order matters, and the BMP bottom-up row flip is
+    observable."""
+
+    def test_wav_roundtrip_preserves_samples_and_rate(self):
+        from broker_spark.pipeline.multimodal import decode_wav, synth_wav
+
+        samples = [0, 100, -100, 32767, -32768, 7]
+        st = decode_wav(synth_wav(samples, sample_rate=16000))
+        assert st["sample_rate"] == 16000
+        assert st["n_samples"] == 6
+        assert st["peak"] == 32768
+        assert st["duration_ms"] == 6 * 1000 // 16000
+
+    def test_wav_rejects_non_riff(self):
+        import pytest as _pt
+
+        from broker_spark.pipeline.multimodal import decode_wav
+
+        with _pt.raises(Exception):  # wave.Error: not a RIFF file
+            decode_wav(b"not a wav at all")
+
+    def test_bmp_row_flip_is_real(self):
+        from broker_spark.pipeline.multimodal import decode_bmp, synth_bmp
+
+        # 2x2 image, distinct rows: top row bright, bottom row dark.
+        top = bytes([10, 20, 30, 40, 50, 60])       # two BGR pixels
+        bottom = bytes([200, 210, 220, 230, 240, 250])
+        st = decode_bmp(synth_bmp(top + bottom, 2, 2))
+        assert (st["width"], st["height"], st["n_pixels"]) == (2, 2, 4)
+        # channel means over all four pixels (order-independent check)
+        assert st["mean_b"] == (10 + 40 + 200 + 230) / 4
+        # a decoder that FORGETS the bottom-up flip still gets means
+        # right, so also check via a 1x2 asymmetric reconstruction:
+        one = decode_bmp(synth_bmp(bytes([1, 2, 3, 9, 9, 9]), 1, 2))
+        # rows are [1,2,3] (top) and [9,9,9] (bottom): mean_b=(1+9)/2
+        assert one["mean_b"] == 5.0
+
+    def test_bmp_rejects_compressed_or_wrong_depth(self):
+        import struct
+
+        import pytest as _pt
+
+        from broker_spark.pipeline.multimodal import decode_bmp, synth_bmp
+
+        payload = bytearray(synth_bmp(bytes(12), 2, 2))
+        # flip bpp to 8 in the info header
+        struct.pack_into("<H", payload, 14 + 14, 8)
+        with _pt.raises(NotImplementedError):
+            decode_bmp(bytes(payload))
+        with _pt.raises(NotImplementedError):
+            decode_bmp(b"PNG\x00whatever")
+
+    def test_wav_odd_row_padding_bmp(self):
+        from broker_spark.pipeline.multimodal import decode_bmp, synth_bmp
+
+        # width=3 -> row stride 9 bytes, padded to 12: decoder must skip
+        # the 3 pad bytes per row or the channel means shift
+        px = bytes(range(27))  # 3x3 BGR
+        st = decode_bmp(synth_bmp(px, 3, 3))
+        assert st["n_pixels"] == 9
+        assert st["mean_b"] == sum(range(0, 27, 3)) / 9
