@@ -6470,6 +6470,110 @@ def q_wordpiece_fertility_by_lang(spark, sf_dir):
 
 
 @register(
+    "streaming_funnel_replay",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+    SELECT 'view' AS stage, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'view_click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 'view_click_purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+    """,
+)
+def q_streaming_funnel_replay(spark, sf_dir):
+    """The STREAMING funnel certificate — CEP-style multi-stage sequence
+    detection as arbitrary keyed state (applyInPandasWithState +
+    EventTimeTimeout), fed OUT-OF-ORDER input: 6 md5-ranged files
+    replayed 2 per micro-batch, so stage events arrive in no particular
+    order and the per-user state must buffer sufficient statistics
+    rather than stream a running minimum.  Evaluation is deferred to the
+    watermark passing a flush timestamp; the same batch SQL oracle as
+    `funnel_conversion` certifies the strict view->click->purchase
+    temporal semantics survived disorder, state round-trips, and the
+    timeout path.
+
+    Three-run sentinel protocol (EventTimeTimeout fires against the
+    PREVIOUS batch's watermark): run 1 ingests the data, the run-2
+    sentinel advances the end-of-run watermark past the flush point, and
+    the run-3 sentinel's batch — now carrying that watermark — times
+    every user state out and emits."""
+    import datetime
+    import math
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("funnel_replay_")
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    (
+        ev.withColumn(
+            "shuf",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("user_id").cast("string"),
+                    F.col("ts").cast("string"), "event_type",
+                )
+            ),
+        )
+        .repartitionByRange(6, "shuf")
+        .drop("shuf")
+        .write.parquet(f"{tmp}/in")
+    )
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    delay_hours = (
+        int(math.ceil((span["hi"] - span["lo"]).total_seconds() / 3600)) + 2
+    )
+    flush_ms = int(
+        (span["hi"] + datetime.timedelta(hours=1)).timestamp() * 1000
+    )
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(f"{tmp}/in")
+            .withWatermark("ts", f"{delay_hours} hours")
+        )
+        _run_replay(spark, stateful.streaming_funnel(src, flush_ms), tmp)
+
+    run_once()
+    for margin_h in (2, 3):  # sentinel A advances the watermark; B flushes
+        sentinel = [
+            (
+                -1,
+                span["hi"] + datetime.timedelta(hours=delay_hours + margin_h),
+                "view",
+            )
+        ]
+        spark.createDataFrame(sentinel, ev.schema).write.mode("append").parquet(
+            f"{tmp}/in"
+        )
+        run_once()
+    users = spark.read.parquet(f"{tmp}/sink").filter(F.col("user_id") >= 0)
+    spark_rows = [
+        ("view", users.filter(F.col("t_view_us").isNotNull())),
+        ("view_click", users.filter(F.col("t_click_us").isNotNull())),
+        ("view_click_purchase", users.filter(F.col("t_purchase_us").isNotNull())),
+    ]
+    out = None
+    for stage, frame in spark_rows:
+        one = frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        out = one if out is None else out.unionByName(one)
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
+@register(
     "multimodal_wav_roundtrip",
     """
     WITH b AS (
@@ -6742,6 +6846,7 @@ _AUDIT_PRIORITY = [
     "lsh_precision_recall",
     "multimodal_wav_roundtrip",
     "multimodal_bmp_roundtrip",
+    "streaming_funnel_replay",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",

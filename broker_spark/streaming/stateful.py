@@ -214,3 +214,101 @@ def streaming_threshold_alerts(keyed: DataFrame, threshold: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- streaming funnel (CEP-style multi-stage sequence detection) ------------
+
+_FUNNEL_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("t_view_us", LongType(), True),
+        StructField("t_click_us", LongType(), True),
+        StructField("t_purchase_us", LongType(), True),
+    ]
+)
+
+#: state per user: min view time + ALL click/purchase times (microseconds).
+#: Buffering the candidate times is what makes the operator correct under
+#: ARBITRARY arrival order: the first-stage minimum can only decrease as
+#: late views arrive, which can retroactively make earlier clicks
+#: eligible — an incremental "min click after current t1" scalar would
+#: have already discarded them.  State is bounded by the user's own
+#: click/purchase history, not the stream.
+from pyspark.sql.types import ArrayType  # noqa: E402  (module-local add)
+
+_FUNNEL_STATE = StructType(
+    [
+        StructField("min_view_us", LongType(), True),
+        StructField("clicks_us", ArrayType(LongType()), True),
+        StructField("purchases_us", ArrayType(LongType()), True),
+    ]
+)
+
+
+def _funnel_func(flush_ts_ms: int):
+    def func(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            mv, clicks, purchases = state.get if state.exists else (None, [], [])
+            t2 = min(
+                (int(c) for c in (clicks or []) if mv is not None and c > mv),
+                default=None,
+            )
+            t3 = min(
+                (int(p) for p in (purchases or []) if t2 is not None and p > t2),
+                default=None,
+            )
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "t_view_us": [mv],
+                    "t_click_us": [t2],
+                    "t_purchase_us": [t3],
+                }
+            )
+            return
+        mv, clicks, purchases = state.get if state.exists else (None, [], [])
+        clicks = list(clicks or [])
+        purchases = list(purchases or [])
+        for pdf in pdfs:
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                us = int(ts.value // 1_000)  # ns -> µs, full event precision
+                if et == "view":
+                    mv = us if mv is None else min(mv, us)
+                elif et == "click":
+                    clicks.append(us)
+                elif et == "purchase":
+                    purchases.append(us)
+        state.update((mv, clicks, purchases))
+        # evaluation is DEFERRED to the watermark passing flush_ts: the
+        # funnel is only decidable once no earlier event can still arrive.
+        # Clamped above the current watermark — a key first seen AFTER the
+        # flush point (the replay sentinels) cannot legally time out in
+        # the past.
+        state.setTimeoutTimestamp(
+            max(flush_ts_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        return
+
+    return func
+
+
+def streaming_funnel(events: DataFrame, flush_ts_ms: int) -> DataFrame:
+    """Streaming view->click->purchase funnel with STRICT temporal
+    ordering (the batch `funnel_conversion` semantics) as arbitrary
+    keyed state: per user, buffer the sufficient statistics under any
+    arrival order, and emit one row per user when the event-time
+    watermark passes `flush_ts_ms` (GroupStateTimeout.EventTimeTimeout)
+    — the CEP-style multi-stage sequence detection every product
+    analytics stack runs, here with exactly-once state in the
+    checkpoint.
+
+    `events` must be a streaming DataFrame with (user_id long,
+    ts timestamp [watermarked], event_type string)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_func(flush_ts_ms),
+        outputStructType=_FUNNEL_OUTPUT,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -217,3 +217,58 @@ class TestRealDecoders:
         st = decode_bmp(synth_bmp(px, 3, 3))
         assert st["n_pixels"] == 9
         assert st["mean_b"] == sum(range(0, 27, 3)) / 9
+
+
+def test_streaming_funnel_buffers_survive_late_first_stage(spark, tmp_path):
+    """The reason funnel state buffers click times: a LATE view that
+    lowers t1 must retroactively admit an earlier click.  Delivered as
+    two micro-batches — batch 1 carries the click (no view yet), batch 2
+    the earlier view — the user still completes view->click."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from broker_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+    src = str(tmp_path / "in")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, event_type string"
+    b1 = [(1, t0 + dt.timedelta(minutes=10), "click")]
+    b2 = [(1, t0, "view")]
+    flush_ms = int((t0 + dt.timedelta(hours=1)).timestamp() * 1000)
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            stateful.streaming_funnel(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .withWatermark("ts", "30 days"),
+                flush_ms,
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(b1)
+    run(b2)
+    # two sentinel runs: advance the watermark past flush, then fire
+    for days in (40, 41):
+        run([(-1, t0 + dt.timedelta(days=days), "view")])
+    rows = {
+        r["user_id"]: r
+        for r in spark.read.parquet(sink).filter(F.col("user_id") >= 0).collect()
+    }
+    assert rows[1]["t_view_us"] == int(t0.timestamp() * 1_000_000)
+    # the click arrived BEFORE the view in stream order but after it in
+    # event time: buffered state admits it
+    assert rows[1]["t_click_us"] == int(
+        (t0 + dt.timedelta(minutes=10)).timestamp() * 1_000_000
+    )
