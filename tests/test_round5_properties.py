@@ -162,3 +162,149 @@ def test_equidepth_tiles_match_ntile_reference(spark, tmp_path_factory, vals):
         t: (c, pytest.approx(lo), pytest.approx(hi))
         for t, (c, lo, hi) in tiles.items()
     }
+
+
+# -- funnel state machine: arrival-order invariance -------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in driving _funnel_func directly."""
+
+    def __init__(self):
+        self._val = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = v
+
+    def remove(self):
+        self._val = None
+
+    def setTimeoutTimestamp(self, ts):
+        pass
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+
+def _drive_funnel(batches):
+    """Feed event batches through the real _funnel_func state logic and
+    return the emitted (t_view, t_click, t_purchase) for user 1."""
+    import pandas as pd
+
+    from broker_spark.streaming.stateful import _funnel_func
+
+    func = _funnel_func(flush_ts_ms=10**15)
+    state = _FakeState()
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([ts for ts, _ in batch], unit="us"),
+                "event_type": [et for _, et in batch],
+            }
+        )
+        list(func((1,), iter([pdf]), state) or [])
+    state.hasTimedOut = True
+    out = list(func((1,), iter([]), state))
+    row = out[0].iloc[0]
+
+    def _n(v):
+        return None if pd.isna(v) else int(v)
+
+    return (_n(row["t_view_us"]), _n(row["t_click_us"]), _n(row["t_purchase_us"]))
+
+
+def _funnel_reference(events):
+    """Pure-python strict-order funnel on the full event list."""
+    views = sorted(ts for ts, et in events if et == "view")
+    t1 = views[0] if views else None
+    t2 = min(
+        (ts for ts, et in events if et == "click" and t1 is not None and ts > t1),
+        default=None,
+    )
+    t3 = min(
+        (ts for ts, et in events if et == "purchase" and t2 is not None and ts > t2),
+        default=None,
+    )
+    return (t1, t2, t3)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1_000_000, max_value=2_000_000),
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=200, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy, st.randoms())
+def test_funnel_state_is_arrival_order_invariant(evts, rnd):
+    # shuffle the events and split them into random micro-batches: the
+    # buffered state must produce the batch reference regardless
+    shuffled = list(evts)
+    rnd.shuffle(shuffled)
+    batches, i = [], 0
+    while i < len(shuffled):
+        j = i + rnd.randint(1, max(1, len(shuffled) - i))
+        batches.append(shuffled[i:j])
+        i = j
+    assert _drive_funnel(batches) == _funnel_reference(evts)
+
+
+# -- pagerank vs pure-python power iteration --------------------------------
+
+
+def _pr_reference(edges, damping=0.85, iters=10):
+    """Pure-python PageRank with the operator's exact arithmetic shape."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    n = len(nodes)
+    deg = {u: sum(1 for a, _ in sym if a == u) for u in nodes}
+    pr = {u: 1.0 / n for u in nodes}
+    base = (1 - damping) / n
+    for _ in range(iters):
+        nxt = {}
+        for u in nodes:
+            s = sum(pr[a] / deg[a] for a, b in sym if b == u)
+            nxt[u] = base + damping * s
+        pr = nxt
+    return {u: round(v, 6) for u, v in pr.items()}
+
+
+edge_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edge_strategy)
+def test_pagerank_matches_power_iteration_reference(spark, edges):
+    from broker_spark.pipeline import dedup
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    ).distinct()
+    docs = spark.createDataFrame([(i,) for i in range(13)], "doc_id long")
+    got = {
+        r["doc_id"]: r["pagerank"] for r in dedup.pagerank(docs, pairs).collect()
+    }
+    ref = _pr_reference(edges)
+    assert set(got) == set(ref)
+    for u in ref:
+        assert got[u] == pytest.approx(ref[u], abs=2e-6)
