@@ -6765,6 +6765,84 @@ def q_lsh_precision_recall(spark, sf_dir):
     )
 
 
+def _pagerank_keepers_sql(damping: float = 0.85, iters: int = 10) -> str:
+    """CC labels (recursive CTE) + unrolled PageRank over the SAME edge
+    set, then the per-component centrality argmax — the composed oracle
+    for centrality-based keeper selection.  Ordering uses round(pr, 6)
+    to match the operator's rounded output exactly."""
+    steps = [
+        """,
+    deg AS MATERIALIZED (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n FROM edges),
+    r0 AS (SELECT DISTINCT s AS doc, 1.0 / nn.n AS pr FROM edges, nn)"""
+    ]
+    for k in range(1, iters + 1):
+        steps.append(
+            f""",
+    r{k} AS MATERIALIZED (
+      SELECT e.d AS doc,
+             (1 - {damping}) / nn.n
+             + {damping} * CAST(SUM(CAST(p.pr / dg.deg AS DECIMAL(38,18)))
+                                AS DOUBLE) AS pr
+      FROM edges e
+      JOIN r{k - 1} p ON p.doc = e.s
+      JOIN deg dg ON dg.s = e.s, nn
+      GROUP BY e.d, nn.n
+    )"""
+        )
+    tail = f""",
+    j AS (SELECT c.doc_id, c.component, round(r.pr, 6) AS pr
+          FROM comp c JOIN r{iters} r ON r.doc = c.doc_id),
+    sizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM j GROUP BY 1),
+    k AS (SELECT component, doc_id, pr,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY pr DESC, doc_id) AS rk
+          FROM j)
+    SELECT k.component, sizes.n_docs, k.doc_id AS keeper_doc_id,
+           k.pr AS keeper_rank
+    FROM k JOIN sizes USING (component) WHERE rk = 1
+    """
+    return _CC_SQL_PREFIX + "".join(steps) + tail
+
+
+@register("dedup_pagerank_keepers", _pagerank_keepers_sql(0.85, 10))
+def q_dedup_pagerank_keepers(spark, sf_dir):
+    """CENTRALITY-based keeper selection: per near-dup component, keep
+    the document with the highest PageRank (tie: smaller id) — the
+    principled alternative to min-id keepers when a family's canonical
+    member should be its hub, not its oldest id.  Composes the two
+    certified iterative operators (star CC + PageRank) over ONE shared
+    edge set; the oracle replays both (recursive CTE + 10 unrolled
+    steps) and takes the same rounded argmax."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    comp = dedup.connected_components_star(
+        docs.select("doc_id"), pairs
+    )
+    pr = dedup.pagerank(docs, pairs)
+    j = comp.join(pr, "doc_id").select("doc_id", "component", "pagerank")
+    sizes = j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("pagerank").desc(), F.col("doc_id").asc()
+    )
+    keeper = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("pagerank").alias("keeper_rank"),
+        )
+    )
+    return keeper.join(sizes, "component").select(
+        "component", "n_docs", "keeper_doc_id", "keeper_rank"
+    )
+
+
 @register("dedup_graph_pagerank", _pagerank_sql(0.85, 10))
 def q_dedup_graph_pagerank(spark, sf_dir):
     """PageRank centrality over the MinHash-LSH near-dup graph (damping
@@ -6847,6 +6925,7 @@ _AUDIT_PRIORITY = [
     "multimodal_wav_roundtrip",
     "multimodal_bmp_roundtrip",
     "streaming_funnel_replay",
+    "dedup_pagerank_keepers",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",
