@@ -139,6 +139,7 @@ HEADLINE = [
     "events_equidepth_histogram",
     "wordpiece_fertility_by_lang",
     "langid_confusion_matrix",
+    "int8_quant_error_stats",
 ]
 
 

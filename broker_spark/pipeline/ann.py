@@ -394,6 +394,39 @@ def quantize_int8(
     )
 
 
+def int8_quant_error_stats(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reconstruction-error table for the symmetric int8 quantizer: per
+    vector, quantize -> dequantize (code_i * scale) -> max absolute error
+    and relative L2 error — the accuracy half of the compression
+    trade-off, EXACT and oracle-checkable (unlike the engine-internal PQ
+    distortion sketch, this arithmetic is pure column expressions both
+    engines replay identically).
+
+    The scale denominator is floored at 1e-12 (identically in the
+    oracle) so an all-zero vector yields zero error instead of an ANSI
+    divide-by-zero failure.  One scan, no shuffle."""
+    v = _as_double(F.col(vec_col))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.greatest(max_abs / F.lit(127.0), F.lit(1e-12))
+    deq = F.transform(
+        v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("double") * scale
+    )
+    err = F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    sum_sq = lambda arr: F.aggregate(  # noqa: E731 — left-to-right fold
+        arr, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return embeddings.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("scale"),
+        F.round(F.array_max(err), 6).alias("max_abs_err"),
+        F.round(F.sqrt(sum_sq(err) / sum_sq(v)), 6).alias("rel_l2_err"),
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_clusters: int = 10,

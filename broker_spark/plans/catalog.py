@@ -1570,6 +1570,42 @@ def q_embedding_quantize_int8(spark, sf_dir):
     return ann.quantize_int8(load(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "int8_quant_error_stats",
+    """
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+               FROM embeddings),
+    s AS (SELECT vec_id, dv,
+                 greatest(
+                   list_aggregate(list_transform(dv, x -> abs(x)), 'max')
+                     / 127.0,
+                   1e-12) AS scale
+          FROM v),
+    d AS (SELECT vec_id, scale, dv,
+                 list_transform(dv,
+                   x -> CAST(floor(x / scale + 0.5) AS BIGINT) * scale) AS deq
+          FROM s),
+    e AS (SELECT vec_id, scale, dv,
+                 list_transform(range(1, len(dv) + 1),
+                                i -> abs(dv[i] - deq[i])) AS err
+          FROM d)
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_aggregate(err, 'max'), 6) AS max_abs_err,
+           round(sqrt(list_sum(list_transform(err, x -> x * x))
+                      / list_sum(list_transform(dv, x -> x * x))), 6)
+             AS rel_l2_err
+    FROM e
+    """,
+)
+def q_int8_quant_error_stats(spark, sf_dir):
+    """The accuracy half of int8 compression: per-vector max absolute
+    and relative L2 reconstruction error of the symmetric quantizer —
+    EXACT and oracle-replayed (the counterpart the engine-internal PQ
+    distortion sketch cannot have).  One scan, pure column folds."""
+    return ann.int8_quant_error_stats(load(spark, sf_dir, "embeddings"))
+
+
 def _lloyd_sql(dim: int = 64, k: int = 10) -> str:
     """Deterministic Lloyd's k-means (2 assignments, 1 rounded update) as
     unrolled CTEs — the oracle for ann.kmeans_train/trained_ivf_topk.
@@ -6926,6 +6962,7 @@ _AUDIT_PRIORITY = [
     "multimodal_bmp_roundtrip",
     "streaming_funnel_replay",
     "dedup_pagerank_keepers",
+    "int8_quant_error_stats",
     # -- code/oracle changed in round 5 (degenerate-input hardening,
     # dynamic grid sizing)
     "quality_classifier_score",
