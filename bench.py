@@ -140,6 +140,14 @@ HEADLINE = [
     "wordpiece_fertility_by_lang",
     "langid_confusion_matrix",
     "int8_quant_error_stats",
+    # round-5 second session
+    "table_profile_documents",
+    "events_hopping_rollup",
+    "compaction_plan",
+    "zorder_layout_keys",
+    "hll_distinct_users_daily",
+    "weighted_sample_docs",
+    "dedup_graph_triangles",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Table profiling: per-column completeness / cardinality / range audit.
+
+The reference exposes per-bucket record/byte metadata as its operational
+"what is in this store" surface (src/plugins/storage/Bucket.ts getters,
+src/plugins/storage/BucketManager.ts bucket accounting); a training-data
+pipeline needs the same answer per COLUMN before any filter/dedup stage —
+null rates decide imputation vs drop, distinct counts decide broadcast
+vs shuffle joins, min/max bounds feed partition-pruning predicates.
+
+Spark-first: ONE aggregation pass computes every column's statistics
+(count/nulls/distinct/min/max as native-type aggregates), then the single
+result row is exploded into one row per column JVM-side — no per-column
+scans, no collect.  Catalyst compiles the multi-distinct aggregate into a
+single Expand + partial-agg plan, so the input is still read exactly once.
+
+At 100 TB: the scan is the whole cost and it is one scan; the shuffle
+carries only the expanded partial aggregates (rows x n_cols, with
+map-side combine), and the explode runs on a 1-row frame.  Swap
+`count_distinct` for `approx_count_distinct` when a 2% cardinality
+estimate is acceptable and the Expand multiplier matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """One row per column: n_rows, n_nulls, n_distinct (exact, nulls
+    excluded), min/max rendered as strings (computed on the native type,
+    cast after aggregation so numeric columns order numerically)."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("r")).select("r.*")

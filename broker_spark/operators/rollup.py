@@ -55,6 +55,47 @@ def rollup_level(
     )
 
 
+def hopping_level(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    window_ms: int,
+    slide_ms: int,
+) -> DataFrame:
+    """Hopping (sliding) window rollup: per (keys, window) count/sum over
+    overlapping windows of `window_ms` advancing every `slide_ms` — the
+    smoothing companion to the tumbling `rollup_level` (a reading every
+    slide covering the trailing window, e.g. "last hour, refreshed every
+    15 min").
+
+    Spark-first: native `F.window(ts, window, slide)` — Catalyst expands
+    each row into window_ms/slide_ms window assignments BEFORE the
+    partial aggregation, so map-side combine still collapses per
+    (keys, window) ahead of the single shuffle.  The same expression runs
+    unmodified under Structured Streaming with a watermark (the tumbling
+    form of which is certified by `streaming_hourly_rollup_replay`).
+
+    At 100 TB the fan-out factor is window/slide: keep it small (4 here)
+    or switch to the tumbling level + a trailing window-over-buckets
+    (`sharded_trailing_window_stats`) when slides get fine."""
+    if window_ms % slide_ms != 0:
+        raise ValueError("window_ms must be a multiple of slide_ms")
+    w = F.window("ts", f"{window_ms // 1000} seconds", f"{slide_ms // 1000} seconds")
+    return (
+        df.groupBy(w.alias("w"), *key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            *key_cols,
+            F.unix_millis(F.col("w.start")).alias("window_start"),
+            "n_samples",
+            "sum_value",
+        )
+    )
+
+
 def cascade(
     df: DataFrame,
     key_cols: list[str],

@@ -29,6 +29,90 @@ from pyspark.sql.functions import broadcast
 DEFAULT_DEPTH = 3
 DEFAULT_WIDTH = 1024
 
+# -- deterministic HyperLogLog ------------------------------------------------
+#: 2^12 registers — ~1.6% standard error; register index = first 3 md5 hex
+#: chars, rank input = the next 12 (48 bits).
+HLL_P = 12
+HLL_M = 1 << HLL_P
+HLL_RANK_BITS = 48
+#: rho ranges over [0, 49] (0 = empty register), so scaling the indicator
+#: sum by 2^49 makes every term 2^(49 - rho) an exact BIGINT power of two.
+HLL_SUM_SCALE = HLL_RANK_BITS + 1
+#: alpha_m * m^2 * 2^49 for the raw estimate E = NUMERATOR / S where
+#: S = sum_j 2^(49 - M_j) is held as an EXACT BIGINT (every term is an
+#: integer power of two), so cross-engine float divergence is impossible
+#: until the one final division.  Flajolet et al., "HyperLogLog" (2007).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_RAW_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SUM_SCALE)
+#: below 2.5m the raw estimator biases high -> linear counting on the
+#: empty-register count.
+HLL_SMALL_RANGE = 2.5 * HLL_M
+
+
+def hll_register_maxes(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per (group, register): max rank.  This is THE data pass — one
+    groupBy with map-side partial max, shuffle volume <= partitions x
+    groups x m rows no matter how many input rows.
+
+    Everything is JVM built-ins on md5 hex (portable across engines —
+    the DuckDB oracle replays the identical arithmetic): register =
+    first 12 bits, rank rho = leading-zeros-plus-one of the next 48."""
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    vhex = F.substring(h, 4, 12)
+    v = F.conv(vhex, 16, 10).cast("long")
+    # bit_length(v) == length of the binary string with leading zeros
+    # dropped (conv base-2 drops them); rho = 48 - bit_length + 1.
+    rho = F.when(v == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.conv(vhex, 16, 2))
+    )
+    return (
+        df.select(*group_cols, bucket.alias("register"), rho.alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").cast("int").alias("m"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Deterministic HLL distinct estimate per group, value-reproducible
+    across engines (same md5-derived registers, exact-integer power sum,
+    one final division): group_cols..., n_empty_registers, hll_estimate.
+
+    Empty registers contribute 2^48 to the sum (rho 0), so the full m-row
+    register grid is materialized per group — a broadcast fan-out of
+    m=4096 rows per group, trivial beside the data pass."""
+    maxes = hll_register_maxes(df, key_col, group_cols)
+    spark = df.sparkSession
+    grid = df.select(*group_cols).distinct().crossJoin(
+        broadcast(
+            spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
+        )
+    )
+    full = grid.join(maxes, [*group_cols, "register"], "left").withColumn(
+        "m0", F.coalesce(F.col("m"), F.lit(0))
+    )
+    per_group = full.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_SUM_SCALE} - m0)"))
+        .cast("long")
+        .alias("power_sum"),
+        F.sum(F.when(F.col("m0") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty_registers"),
+    )
+    raw = F.lit(HLL_RAW_NUMERATOR) / F.col("power_sum").cast("double")
+    est = F.when(
+        (raw <= F.lit(HLL_SMALL_RANGE)) & (F.col("n_empty_registers") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("n_empty_registers").cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, "n_empty_registers", est.alias("hll_estimate")
+    )
+
 
 def _cms_cell(key: Column, row: int, width: int) -> Column:
     """Row `row`'s counter index for `key`: xxhash64 seeded by the row id

@@ -137,6 +137,51 @@ def hash_sample(docs: DataFrame, threshold: int = 6554, id_col: str = "doc_id") 
     )
 
 
+#: md5-prefix uniform: 12 hex chars = 48 bits of the digest.
+_U48_DENOM = float(1 << 48)
+
+
+def weighted_draw_key(id_col: Column, weight: Column) -> Column:
+    """Deterministic weighted-sampling key u^(1/w) (Efraimidis-Spirakis
+    A-ES): u is a md5-derived uniform in (0, 1], w the row's weight.
+    Taking the k LARGEST keys draws a weighted sample without
+    replacement — inclusion probability proportional to w — yet the draw
+    is a pure function of the row id: reproducible across runs, engines,
+    and partitionings (unlike rand()-based weighted sampling).
+    Weights are floored at 1 so degenerate rows stay total."""
+    u = (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 12), 16, 10).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U48_DENOM)
+    return F.pow(u, F.lit(1.0) / F.greatest(weight.cast("double"), F.lit(1.0)))
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 20,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k by the A-ES key: a deterministic weighted sample (longer /
+    higher-quality docs proportionally likelier), the quality-weighted
+    counterpart of `hash_sample`.  orderBy().limit(k) plans as
+    TakeOrderedAndProject — each partition keeps its local top-k, the
+    driver merges k rows per partition; no global sort, no single-task
+    window, scale-safe at any corpus size."""
+    keyed = docs.withColumn(
+        "draw_key", weighted_draw_key(F.col(id_col), F.col(weight_col))
+    )
+    top = keyed.orderBy(F.desc("draw_key"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("draw_key"), F.asc(id_col))
+    return top.select(
+        id_col,
+        "lang",
+        weight_col,
+        F.round("draw_key", 6).alias("draw_key"),
+        F.row_number().over(w).alias("draw_rank"),
+    )
+
+
 def stratified_sample(
     docs: DataFrame, k: int = 10, group_col: str = "lang", id_col: str = "doc_id"
 ) -> DataFrame:

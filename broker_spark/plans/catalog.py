@@ -6927,6 +6927,419 @@ def q_langid_confusion_matrix(spark, sf_dir):
 
 
 #: The driver's correctness snapshot audits the first ~50 entries of
+# ---------------------------------------------------------------------------
+# Round-5 second-session additions: storage maintenance planning (compaction
+# bin packing, z-order layout), a value-level-verified deterministic HLL,
+# weighted deterministic sampling, hopping windows, column profiling,
+# triangle census, and the stream-stream join replay certificate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_profile_documents",
+    """
+    SELECT 'doc_id' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT text) AS BIGINT),
+           CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def q_table_profile_documents(spark, sf_dir):
+    """Per-column completeness/cardinality/range profile of `documents` in
+    ONE scan (multi-column aggregate -> explode of the single result row):
+    the pre-flight audit every pipeline stage consults — null rates gate
+    imputation, distinct counts pick broadcast vs shuffle joins, min/max
+    feed pruning predicates.  The oracle unions five per-column scans;
+    Spark pays one."""
+    from broker_spark.operators.profile import table_profile
+
+    return table_profile(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_hopping_rollup",
+    """
+    WITH hops AS (SELECT unnest([0, 1, 2, 3]) AS k),
+    e AS (SELECT event_type, epoch_ms(ts) AS tms, value FROM events)
+    SELECT event_type,
+           (tms // 900000) * 900000 - k * 900000 AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM e CROSS JOIN hops
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hopping_rollup(spark, sf_dir):
+    """Hopping-window rollup (1 h window sliding every 15 min) via native
+    `F.window(ts, window, slide)` — each event lands in exactly
+    window/slide = 4 overlapping windows, which the oracle replays as an
+    explicit 4-offset fan-out.  The smoothing companion of the tumbling
+    `events_hourly_rollup`; identical code runs under Structured
+    Streaming with a watermark."""
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return rollup.hopping_level(ev, ["event_type"], "value", 3_600_000, 900_000)
+
+
+@register(
+    "compaction_plan",
+    f"""
+    WITH s AS ({EVENTS_AS_STREAM_SQL}),
+    b AS (
+      SELECT stream_id, partition, epoch_ms(ts) // 86400000 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM s GROUP BY 1, 2, 3
+    )
+    SELECT stream_id, partition, bucket, n_records,
+           CAST(COALESCE(SUM(n_records) OVER (
+                  PARTITION BY stream_id, partition ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50
+                AS BIGINT) AS group_id
+    FROM b
+    """,
+)
+def q_compaction_plan(spark, sf_dir):
+    """The compaction PLANNER: per (stream, partition), assign each daily
+    bucket to an output group by greedy in-order bin packing toward ~50
+    records per rewritten file — the decision `compact_partitions` makes
+    implicitly via maxRecordsPerFile, materialized as a schedulable plan
+    (mirrors the reference's bucket records/size targets,
+    src/plugins/storage/BucketManager.ts:50-51).  Input is bucket
+    METADATA (one row per bucket), so at 100 TB this plans billions of
+    events from millions of metadata rows: one count shuffle + one
+    window over (keys, bucket)."""
+    from broker_spark.storage.writer import plan_compaction_groups
+
+    s = events_as_stream(load(spark, sf_dir, "events"))
+    counts = (
+        s.groupBy(
+            "stream_id",
+            "partition",
+            F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_records"))
+    )
+    return plan_compaction_groups(
+        counts, ["stream_id", "partition"], "bucket", "n_records", target_records=50
+    )
+
+
+from broker_spark.storage.layout import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+
+@register(
+    "zorder_layout_keys",
+    f"""
+    WITH e AS (
+      SELECT CAST(user_id % 1024 AS BIGINT) AS x,
+             CAST((epoch_ms(ts) // 3600000) % 1024 AS BIGINT) AS y
+      FROM events
+    ),
+    z AS (SELECT x, y, {_zorder_key_sql('x', 'y', 10)} AS z FROM e)
+    SELECT z >> 8 AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+    FROM z GROUP BY 1
+    """,
+)
+def q_zorder_layout_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (user bucket, hour bucket),
+    audited per coarse tile: interleaving the two dimensions' bits into
+    one sort key makes a linear file order locality-preserving in BOTH,
+    so parquet min/max stats prune on either predicate — the lakehouse
+    OPTIMIZE ZORDER BY primitive, as a pure codegen'd bit expression (no
+    UDF).  The oracle replays the identical 10+10-bit interleave
+    generated from the same Python loop."""
+    from broker_spark.storage.layout import zorder_tiles
+
+    ev = load(spark, sf_dir, "events")
+    x = (F.col("user_id") % 1024).cast("long")
+    y = (F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long") % 1024).cast(
+        "long"
+    )
+    return zorder_tiles(ev, x, y, bits=10, tile_shift=8)
+
+
+def _hll_sql() -> str:
+    from broker_spark.pipeline import sketch
+
+    scale = sketch.HLL_SUM_SCALE
+    return f"""
+    WITH e AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT day,
+             CAST(CAST(concat('0x', substring(h, 1, 3)) AS BIGINT) AS INT) AS register,
+             CAST(concat('0x', substring(h, 4, 12)) AS BIGINT) AS v
+      FROM e
+    ),
+    rho AS (
+      SELECT day, register,
+             CASE WHEN v = 0 THEN {scale}
+                  ELSE {scale} - length(bin(v)) END AS rho
+      FROM r
+    ),
+    maxes AS (SELECT day, register, CAST(MAX(rho) AS INT) AS m FROM rho GROUP BY 1, 2),
+    days AS (SELECT DISTINCT day FROM e),
+    grid AS (
+      SELECT day, g.register
+      FROM days CROSS JOIN (SELECT unnest(range({sketch.HLL_M})) AS register) g
+    ),
+    full_regs AS (
+      SELECT grid.day, grid.register, COALESCE(m, 0) AS m0
+      FROM grid LEFT JOIN maxes ON grid.day = maxes.day AND grid.register = maxes.register
+    ),
+    pg AS (
+      SELECT day,
+             CAST(SUM(CAST(1 AS BIGINT) << ({scale} - m0)) AS BIGINT) AS power_sum,
+             CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_registers
+      FROM full_regs GROUP BY 1
+    ),
+    est AS (
+      SELECT day, n_empty_registers,
+             CASE WHEN ({sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE))
+                       <= {sketch.HLL_SMALL_RANGE!r}
+                   AND n_empty_registers > 0
+                  THEN {float(sketch.HLL_M)!r}
+                       * ln({float(sketch.HLL_M)!r} / CAST(n_empty_registers AS DOUBLE))
+                  ELSE {sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE)
+             END AS est
+      FROM pg
+    ),
+    ex AS (
+      SELECT epoch_ms(ts) // 86400000 AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT ex.day, n_exact, round(est, 6) AS hll_estimate,
+           round((est - n_exact) / n_exact, 6) AS rel_error, n_empty_registers
+    FROM ex JOIN est ON ex.day = est.day
+    """
+
+
+@register("hll_distinct_users_daily", _hll_sql())
+def q_hll_distinct_users_daily(spark, sf_dir):
+    """Deterministic HyperLogLog daily-distinct-users, VALUE-LEVEL
+    verified: unlike `approx_distinct_users_daily` (Spark's HLL++ sketch,
+    rows-only — state isn't bit-portable), this HLL is built from md5
+    registers both engines can replay exactly, and its indicator sum is
+    held as an exact BIGINT (every term a power of two), so the estimate
+    is reproducible to the last bit until one final division.  The data
+    pass is one groupBy (day, register) max — shuffle bounded by days x
+    4096 rows per input partition regardless of event count.  At this
+    fixture's cardinality (~150 users/day) the linear-counting branch is
+    exercised; the raw-estimator branch is property-tested at 200k keys
+    in tests.  Exact distinct + relative error attached per day as the
+    certificate."""
+    from broker_spark.pipeline import sketch
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+    )
+    est = sketch.hll_estimate(ev, "user_id", ["day"])
+    exact = ev.groupBy("day").agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.join(est, "day").select(
+        "day",
+        "n_exact",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+        "n_empty_registers",
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             pow((CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                       AS BIGINT) + 1.0) / 281474976710656.0,
+                 1.0 / greatest(CAST(n_chars AS DOUBLE), 1.0)) AS k
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars, round(k, 6) AS draw_key,
+             CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS INT) AS draw_rank
+      FROM keyed
+    )
+    SELECT * FROM r WHERE draw_rank <= 20
+    """,
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic WEIGHTED sampling (Efraimidis-Spirakis A-ES): key =
+    u^(1/w) with a md5-derived uniform, top-k by key — inclusion odds
+    proportional to n_chars, yet the draw is a pure function of doc_id
+    (stable across runs, engines, partitionings).  Plans as
+    TakeOrderedAndProject: per-partition local top-k, k-row driver merge,
+    no global sort — the scale-safe shape for 'sample 10k docs from 10B
+    by quality weight'."""
+    return text.weighted_sample(load(spark, sf_dir, "documents"), k=20)
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    ),
+    ec AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    wc AS (SELECT CAST(COALESCE(SUM(degree * (degree - 1) // 2), 0) AS BIGINT)
+             AS n_wedges FROM deg),
+    directed AS (
+      SELECT CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND p.doc_a < p.doc_b)
+                  THEN p.doc_a ELSE p.doc_b END AS src,
+             CASE WHEN da.degree < db.degree
+                    OR (da.degree = db.degree AND p.doc_a < p.doc_b)
+                  THEN p.doc_b ELSE p.doc_a END AS dst
+      FROM pairs p
+      JOIN deg da ON p.doc_a = da.doc_id
+      JOIN deg db ON p.doc_b = db.doc_id
+    ),
+    wedge AS (
+      SELECT x.dst AS doc_a, y.dst AS doc_b
+      FROM directed x JOIN directed y ON x.src = y.src AND x.dst < y.dst
+    ),
+    tc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM wedge JOIN pairs USING (doc_a, doc_b)
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM ec, wc, tc
+    """,
+)
+def q_dedup_graph_triangles(spark, sf_dir):
+    """Triangle census of the LSH candidate graph (degree-oriented wedge
+    closure, O(m^1.5) — hub-safe) with the global clustering coefficient:
+    high clustering = clique-like duplicate clusters (aggressive keeper
+    collapse is safe), low = chain-like templating (transitive dedup
+    over-merges).  Same edge set as `dedup_graph_degrees`/pagerank."""
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return dedup.triangle_stats(pairs)
+
+
+@register(
+    "streaming_join_replay",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, p.purchase_id, p.value
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+    """,
+)
+def q_streaming_join_replay(spark, sf_dir):
+    """The STREAM-STREAM JOIN executed as a real streaming query and
+    value-checked against the plain batch join: clicks joined to
+    purchases by the same user within the following 6 hours — the
+    attribution shape.  Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can size and evict
+    the dual join state; inner-join matches emit eagerly (no
+    watermark-gated holdback), so one availableNow pass needs no
+    sentinel flush.  Completes the streaming-certificate family with
+    the last uncovered stateful surface: dual-sided join state."""
+    import shutil
+
+    tmp = _replay_tmpdir("join_replay_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id", "event_id", "value"
+    )
+    ev.write.parquet(f"{tmp}/in")
+
+    def side(event_type, cols):
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{tmp}/in")
+            .filter(F.col("event_type") == event_type)
+            .select(*cols)
+        )
+
+    clicks = side(
+        "click",
+        [
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        ],
+    ).withWatermark("click_ts", "1 hour")
+    purchases = side(
+        "purchase",
+        [
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        ],
+    ).withWatermark("purchase_ts", "1 hour")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+        "inner",
+    ).select("user_id", "click_id", "purchase_id", "value")
+    sink = _run_replay(spark, joined, tmp)
+    out = spark.read.parquet(sink).select("user_id", "click_id", "purchase_id", "value")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -6940,7 +7353,17 @@ _AUDIT_PRIORITY = [
     # certified 49 drop to the tail.  No-oracle entries are exiled to the
     # absolute tail PROGRAMMATICALLY in _audit_order() — they can only
     # ever produce a rows-only driver row and must never burn a slot.
-    # -- NEW in round 5
+    # -- NEW in round 5, second session (riskiest: never checked by anyone
+    # but this session's selfcheck)
+    "table_profile_documents",
+    "events_hopping_rollup",
+    "compaction_plan",
+    "zorder_layout_keys",
+    "hll_distinct_users_daily",
+    "weighted_sample_docs",
+    "dedup_graph_triangles",
+    "streaming_join_replay",
+    # -- NEW in round 5, first session
     "tfidf_cosine_pairs_guarded",
     "streaming_hourly_rollup_replay_shuffled",
     "events_value_percentiles_exact",
@@ -6963,12 +7386,6 @@ _AUDIT_PRIORITY = [
     "streaming_funnel_replay",
     "dedup_pagerank_keepers",
     "int8_quant_error_stats",
-    # -- code/oracle changed in round 5 (degenerate-input hardening,
-    # dynamic grid sizing)
-    "quality_classifier_score",
-    "ann_recall_vs_nprobe",
-    "wordpiece_encode_counts",
-    "semantic_dedup_clusters",
     # -- never driver-checked (the round-4 coverage debt, closed here):
     # TPC-H remainder
     "q18_large_volume_customers",
@@ -6993,6 +7410,14 @@ _AUDIT_PRIORITY = [
     "multimodal_frame_plan",
     "multimodal_audio_chunks",
     "multimodal_image_resize",
+    # -- code/oracle changed in round 5 session 1 (degenerate-input
+    # hardening, dynamic grid sizing) — r4-driver-green before the change,
+    # hardening covered by regression tests, so ranked below the
+    # never-checked block to keep it inside the ~50-slot window
+    "quality_classifier_score",
+    "ann_recall_vs_nprobe",
+    "wordpiece_encode_counts",
+    "semantic_dedup_clusters",
     # -- stalest driver rows (round-1/round-2 vintage)
     "doc_fingerprint",
     "doc_winnow_fingerprints",

@@ -19,6 +19,7 @@ order (src/storage/Storage.ts:111).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from broker_spark.schema import (
     DEFAULT_BUCKET_MS,
@@ -83,6 +84,42 @@ def compact_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def plan_compaction_groups(
+    counts: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    count_col: str,
+    target_records: int,
+) -> DataFrame:
+    """The PLANNING half of compaction: assign each small unit (bucket /
+    file) to an output group so every group holds ~`target_records` rows.
+
+    Greedy in-order bin packing: within each (key_cols) partition, units
+    are taken in `order_col` order and a unit joins group
+    floor(records_before_it / target) — so groups respect the clustering
+    order (merged files stay range-disjoint on the sort key, preserving
+    min/max pruning) and every group except the last is >= target once
+    closed.  This is the same decision `compact_partitions` makes
+    implicitly via maxRecordsPerFile; materializing it as a plan lets an
+    orchestrator schedule/parallelize rewrites per group and skip
+    already-right-sized partitions.
+
+    One window over (keys, order) — a single shuffle on key_cols, state
+    per row O(1).  At 100 TB the input here is bucket METADATA (one row
+    per bucket, ~millions of rows for billions of events), not data."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    records_before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    return counts.withColumn(
+        "group_id", F.floor(records_before / F.lit(target_records)).cast("long")
+    )
 
 
 def write_bucketed_table(

@@ -1,0 +1,268 @@
+"""Round-5 second-session operators: hand-computed cases + properties for
+table profiling, hopping windows, compaction planning, z-order locality,
+the deterministic HLL (both estimator branches), weighted sampling, and
+the triangle census."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.operators import rollup
+from broker_spark.operators.profile import table_profile
+from broker_spark.pipeline import dedup, sketch, text
+from broker_spark.storage.layout import zorder_key, zorder_tiles
+from broker_spark.storage.writer import plan_compaction_groups
+
+
+# -- table profile -----------------------------------------------------------
+
+
+def test_table_profile_counts_nulls_distincts_and_ranges(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "z")], "id long, tag string"
+    )
+    prof = {r["column_name"]: r for r in table_profile(df).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["id"]["min_value"] == "1" and prof["id"]["max_value"] == "4"
+    assert prof["tag"]["n_nulls"] == 1
+    assert prof["tag"]["n_distinct"] == 2  # nulls excluded
+    assert prof["tag"]["min_value"] == "a" and prof["tag"]["max_value"] == "z"
+
+
+# -- hopping windows ---------------------------------------------------------
+
+
+def test_hopping_level_assigns_each_row_to_window_over_slide_windows(spark):
+    base = dt.datetime(2024, 1, 1, 12, 7)  # mid-slide, not aligned
+    df = spark.createDataFrame(
+        [("a", base, 10.0)], "event_type string, ts timestamp, value double"
+    )
+    out = rollup.hopping_level(df, ["event_type"], "value", 3_600_000, 900_000)
+    rows = sorted(out.collect(), key=lambda r: r["window_start"])
+    assert len(rows) == 4  # window/slide = 4 overlapping windows
+    starts = [r["window_start"] for r in rows]
+    tms = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    assert starts == [(tms // 900_000) * 900_000 - k * 900_000 for k in (3, 2, 1, 0)]
+    for r in rows:
+        assert r["window_start"] <= tms < r["window_start"] + 3_600_000
+        assert r["n_samples"] == 1 and r["sum_value"] == 10.0
+
+
+def test_hopping_level_rejects_non_divisible_slide(spark):
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError):
+        rollup.hopping_level(df, ["event_type"], "value", 3_600_000, 700_000)
+
+
+# -- compaction planning -----------------------------------------------------
+
+
+def test_compaction_groups_pack_in_order_toward_target(spark):
+    counts = spark.createDataFrame(
+        [("s", 0, b, n) for b, n in [(1, 30), (2, 30), (3, 30), (4, 30), (5, 100)]],
+        "stream_id string, partition int, bucket long, n_records long",
+    )
+    out = plan_compaction_groups(
+        counts, ["stream_id", "partition"], "bucket", "n_records", 50
+    )
+    got = {r["bucket"]: r["group_id"] for r in out.collect()}
+    # cumsum-before: 0,30,60,90,120 -> //50 -> 0,0,1,1,2
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+
+
+def test_compaction_groups_are_contiguous_and_filled(spark):
+    import random
+
+    rng = random.Random(7)
+    counts = spark.createDataFrame(
+        [("s", 0, b, rng.randint(1, 40)) for b in range(60)],
+        "stream_id string, partition int, bucket long, n_records long",
+    )
+    rows = sorted(
+        plan_compaction_groups(
+            counts, ["stream_id", "partition"], "bucket", "n_records", 100
+        ).collect(),
+        key=lambda r: r["bucket"],
+    )
+    gids = [r["group_id"] for r in rows]
+    assert gids == sorted(gids)  # in-order packing never reopens a group
+    assert gids[0] == 0
+    # floor-cumsum invariant: everything packed BEFORE group g totals
+    # >= g * target, so no group opens while earlier ones are underfull
+    from collections import defaultdict
+
+    per = defaultdict(int)
+    for r in rows:
+        per[r["group_id"]] += r["n_records"]
+    for g in range(1, max(gids) + 1):
+        assert sum(per[i] for i in range(g)) >= g * 100
+
+
+# -- z-order -----------------------------------------------------------------
+
+
+def _py_morton(x: int, y: int, bits: int = 10) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_pure_python_interleave(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1023), (512, 7)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), 10).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _py_morton(x, y)
+
+
+def test_zorder_tiles_have_bounded_rectangles(spark):
+    # a full 64x64 grid: every coarse tile (z >> 8) must cover at most a
+    # 16x16 rectangle — the locality property that makes min/max pruning
+    # work on BOTH dimensions after a z-order layout.
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    tiles = zorder_tiles(df, F.col("x"), F.col("y"), bits=10, tile_shift=8).collect()
+    assert len(tiles) == 16  # 4096 points / 256 per tile
+    for t in tiles:
+        assert t["x_max"] - t["x_min"] <= 15
+        assert t["y_max"] - t["y_min"] <= 15
+        assert t["n_rows"] == 256
+
+
+# -- deterministic HLL -------------------------------------------------------
+
+
+def _py_hll(keys) -> float:
+    regs = [0] * sketch.HLL_M
+    for k in keys:
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        b = int(h[:3], 16)
+        v = int(h[3:15], 16)
+        rho = sketch.HLL_SUM_SCALE if v == 0 else sketch.HLL_SUM_SCALE - v.bit_length()
+        regs[b] = max(regs[b], rho)
+    s = sum(1 << (sketch.HLL_SUM_SCALE - m) for m in regs)
+    raw = sketch.HLL_RAW_NUMERATOR / float(s)
+    zeros = regs.count(0)
+    if raw <= sketch.HLL_SMALL_RANGE and zeros > 0:
+        return sketch.HLL_M * math.log(sketch.HLL_M / zeros)
+    return raw
+
+
+def test_hll_small_range_matches_pure_python_and_is_accurate(spark):
+    keys = list(range(500))
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long").withColumn(
+        "g", F.lit(1)
+    )
+    row = sketch.hll_estimate(df, "user_id", ["g"]).collect()[0]
+    assert row["hll_estimate"] == pytest.approx(_py_hll(keys), abs=1e-9)
+    assert abs(row["hll_estimate"] - 500) / 500 < 0.10
+
+
+def test_hll_raw_branch_within_sketch_error_at_200k_keys(spark):
+    n = 200_000  # >> 2.5m = 10240 -> raw estimator branch
+    df = spark.range(n).select(F.col("id").alias("user_id"), F.lit(1).alias("g"))
+    row = sketch.hll_estimate(df, "user_id", ["g"]).collect()[0]
+    # raw branch really taken: far too few empty registers for linear counting
+    assert row["n_empty_registers"] == 0 or row["hll_estimate"] > sketch.HLL_SMALL_RANGE
+    # 1.04/sqrt(4096) ~ 1.6% std error; allow 5 sigma
+    assert abs(row["hll_estimate"] - n) / n < 0.08
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    once = spark.range(1000).select(F.col("id").alias("user_id"), F.lit(1).alias("g"))
+    thrice = once.unionAll(once).unionAll(once)
+    a = sketch.hll_estimate(once, "user_id", ["g"]).collect()[0]["hll_estimate"]
+    b = sketch.hll_estimate(thrice, "user_id", ["g"]).collect()[0]["hll_estimate"]
+    assert a == b
+
+
+# -- weighted sampling -------------------------------------------------------
+
+
+def _py_draw_key(doc_id: int, w: int) -> float:
+    u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) + 1.0) / float(
+        1 << 48
+    )
+    return u ** (1.0 / max(float(w), 1.0))
+
+
+def test_weighted_sample_matches_pure_python_draw(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "src", (i % 5) * 100) for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = text.weighted_sample(docs, k=10).collect()
+    expect = sorted(
+        ((_py_draw_key(i, (i % 5) * 100), i) for i in range(50)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [r["doc_id"] for r in got] == [i for _, i in expect]
+    assert [r["draw_rank"] for r in got] == list(range(1, 11))
+    for r, (k, _) in zip(got, expect):
+        assert r["draw_key"] == pytest.approx(round(k, 6), abs=1e-9)
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row with overwhelming weight is (essentially) always drawn
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1 if i else 10_000_000) for i in range(200)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    top = text.weighted_sample(docs, k=5).collect()
+    assert 0 in {r["doc_id"] for r in top}
+
+
+# -- triangle census ---------------------------------------------------------
+
+
+def test_triangle_stats_on_known_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    row = dedup.triangle_stats(pairs).collect()[0]
+    assert row["n_edges"] == 4
+    assert row["n_triangles"] == 1
+    # wedges: C(2,2)+C(2,2)+C(3,2)+C(1,2) = 1+1+3+0 = 5
+    assert row["n_wedges"] == 5
+    assert row["clustering_coeff"] == pytest.approx(round(3.0 * 1 / 5, 6))
+
+
+def test_triangle_stats_empty_graph(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    row = dedup.triangle_stats(pairs).collect()[0]
+    assert (
+        row["n_edges"],
+        row["n_wedges"],
+        row["n_triangles"],
+        row["clustering_coeff"],
+    ) == (0, 0, 0, 0.0)
+
+
+def test_triangle_stats_counts_each_triangle_once_in_clique(spark):
+    # K5: C(5,3)=10 triangles, C(5,2)=10 edges, wedges = 5*C(4,2)=30
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    row = dedup.triangle_stats(pairs).collect()[0]
+    assert row["n_edges"] == 10
+    assert row["n_triangles"] == 10
+    assert row["n_wedges"] == 30
+    assert row["clustering_coeff"] == pytest.approx(1.0)
