@@ -1491,3 +1491,43 @@ def wordpiece_fertility_by_lang(docs: DataFrame, pieces=None) -> DataFrame:
             6,
         ).alias("fertility"),
     )
+
+
+def pareto_frontier(
+    docs: DataFrame, x_col: str = "n_chars"
+) -> DataFrame:
+    """Skyline of the corpus in (length, lexical richness) space: docs
+    for which NO other doc is >= on both axes and > on at least one —
+    the candidate set "longest AND most lexically diverse", the 2-D
+    generalization of every top-k-by-one-score curation rule.
+
+    Scale shape: never the O(n^2) dominance anti-join.  Collapse to one
+    row per distinct x (max y per x — anything below is dominated
+    within its own column), then a running max over STRICTLY GREATER x
+    (window on the compact per-x frame) marks the frontier: a point
+    survives iff its best y beats every y at larger x.  The window runs
+    over |distinct x| rows, not |docs|; the only full-data pass is the
+    per-x max aggregation.  Docs join back on (x, y) so ties on both
+    axes all surface."""
+    richness = F.size(F.array_distinct(F.split(F.col("text"), " ")))
+    pts = docs.select(
+        "doc_id", F.col(x_col).alias("x"), richness.alias("y")
+    )
+    per_x = pts.groupBy("x").agg(F.max("y").alias("best_y"))
+    w = (
+        Window.orderBy(F.desc("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_x.withColumn("max_above", F.max("best_y").over(w))
+        .filter(F.col("max_above").isNull() | (F.col("best_y") > F.col("max_above")))
+        .select("x", F.col("best_y").alias("y"))
+    )
+    return (
+        pts.join(broadcast(frontier), ["x", "y"])
+        .select(
+            "doc_id",
+            F.col("x").alias("n_chars_dim"),
+            F.col("y").alias("n_distinct_words"),
+        )
+    )

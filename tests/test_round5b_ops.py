@@ -266,3 +266,86 @@ def test_triangle_stats_counts_each_triangle_once_in_clique(spark):
     assert row["n_triangles"] == 10
     assert row["n_wedges"] == 30
     assert row["clustering_coeff"] == pytest.approx(1.0)
+
+
+# -- decayed scores / PMI / KS / pareto --------------------------------------
+
+
+def test_decayed_scores_weight_by_integer_weeks(spark):
+    from broker_spark.operators.stats import decayed_user_scores
+
+    base = dt.datetime(2024, 1, 29)  # max day anchor
+    rows = [
+        (1, base, 10.0),                       # age 0 weeks -> w=1
+        (1, base - dt.timedelta(days=7), 8.0), # age 1 week  -> w=0.5
+        (2, base - dt.timedelta(days=20), 4.0),# age 2 weeks -> w=0.25
+    ]
+    ev = spark.createDataFrame(
+        [(i, t, u, "click", v, "{}") for i, (u, t, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["user_id"]: r for r in decayed_user_scores(ev).collect()}
+    assert got[1]["decayed_score"] == pytest.approx(10.0 + 8.0 * 0.5)
+    assert got[2]["decayed_score"] == pytest.approx(4.0 * 0.25)
+    assert got[1]["n_events"] == 2
+
+
+def test_event_pmi_positive_for_cooccurring_negative_for_repelling(spark):
+    from broker_spark.operators.stats import event_pmi_pairs
+
+    day = dt.datetime(2024, 1, 1)
+    # a+b always together (4 contexts); c alone in 4 other contexts,
+    # except ONE context shared with a -> pmi(a,b) high, pmi(a,c) low
+    rows = []
+    for u in range(4):
+        rows += [(u, "a", day), (u, "b", day)]
+    for u in range(4, 8):
+        rows += [(u, "c", day)]
+    rows += [(0, "c", day + dt.timedelta(days=1)), (0, "a", day + dt.timedelta(days=1))]
+    ev = spark.createDataFrame(
+        [(i, t, u, et, 1.0, "{}") for i, (u, et, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {(r["type_a"], r["type_b"]): r for r in event_pmi_pairs(ev).collect()}
+    # N=9 contexts; c_a=5, c_b=4, c_ab=4 -> pmi = ln(4*9/20) > 0
+    assert got[("a", "b")]["pmi"] == pytest.approx(round(math.log(36 / 20), 6))
+    # c_c=5, c_ac=1 -> pmi = ln(9/25) < 0
+    assert got[("a", "c")]["pmi"] == pytest.approx(round(math.log(9 / 25), 6))
+
+
+def test_ks_two_sample_known_distributions(spark):
+    from broker_spark.operators.stats import ks_two_sample
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: D = 0.5 attained first at v=2
+    rows = [(v, "A") for v in (1, 2, 3, 4)] + [(v, "B") for v in (3, 4, 5, 6)]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    row = ks_two_sample(df, "v", "grp", "A").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (4, 4)
+    assert row["ks_stat"] == pytest.approx(0.5)
+    assert row["ks_at"] == 2
+
+
+def test_ks_two_sample_identical_distributions_is_zero(spark):
+    from broker_spark.operators.stats import ks_two_sample
+
+    rows = [(v, g) for v in (1, 2, 3) for g in ("A", "B")]
+    df = spark.createDataFrame(rows, "v long, grp string")
+    row = ks_two_sample(df, "v", "grp", "A").collect()[0]
+    assert row["ks_stat"] == 0.0
+
+
+def test_pareto_frontier_excludes_dominated_keeps_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s", 10),   # (10, 3) frontier
+            (2, "a b", "en", "s", 20),     # (20, 2) frontier
+            (3, "a", "en", "s", 15),       # (15, 1) dominated by doc 2
+            (4, "x y z", "en", "s", 10),   # (10, 3) tie with doc 1
+            (5, "a b c d", "en", "s", 5),  # (5, 4) frontier
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"] for r in text.pareto_frontier(docs).collect()}
+    assert got == {1, 2, 4, 5}
