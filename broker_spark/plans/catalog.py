@@ -7550,6 +7550,111 @@ def q_streaming_hopping_rollup_replay(spark, sf_dir):
     return out
 
 
+@register(
+    "streaming_late_drop_replay",
+    """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_late_drop_replay(spark, sf_dir):
+    """The DROP side of watermark semantics, certified: rows arriving
+    BEYOND the watermark must be excluded — deterministically — while
+    everything inside aggregates exactly.  (The shuffled-rollup entry
+    certifies the keep side: late-but-inside rows still count.  The
+    reference keeps late data via derivable buckets but its metrics
+    rollups ignore out-of-window samples the same way —
+    src/plugins/storage/BucketManager.ts late-row path vs
+    src/StreamMetrics.ts windowing.)
+
+    Protocol: the fixture is staged as THREE files replayed one per
+    micro-batch — file 0 the bulk of the on-time rows (ts >= 2024-01-15),
+    file 1 a single on-time "tick" row (the global max-ts event), file 2
+    the first fortnight (stragglers).  The tick batch matters because of
+    Spark's watermark PROPAGATION model (SPARK-40925): a stateful
+    operator filters late INPUT against the watermark as of the END OF
+    THE PREVIOUS batch, while EVICTING state against the current one —
+    so stragglers one batch behind the bulk would still be aggregated
+    and flushed (that loss-less-under-disorder behavior is what the
+    shuffled-rollup entry certifies).  Two batches behind, the late
+    filter's threshold has caught up to max_ts - 1 h and every file-2
+    row's window end sits weeks below it: dropped, deterministically.
+    mtimes are pinned so the file source replays in that order; the
+    sentinel run then flushes the final open hour.  Oracle: the batch
+    rollup over ts >= the cutoff only."""
+    import os
+    import shutil
+
+    tmp = _replay_tmpdir("late_drop_")
+    cutoff = "2024-01-15 00:00:00"
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    max_ts_row = ev.orderBy(F.desc("ts")).limit(1)
+    ontime = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")).exceptAll(
+        max_ts_row
+    )
+    stale = ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    os.makedirs(f"{tmp}/in")
+    ontime.coalesce(1).write.parquet(f"{tmp}/w0")
+    max_ts_row.coalesce(1).write.parquet(f"{tmp}/w1")
+    stale.coalesce(1).write.parquet(f"{tmp}/w2")
+    for i, w in enumerate(("w0", "w1", "w2")):
+        part = next(
+            p for p in os.listdir(f"{tmp}/{w}") if p.endswith(".parquet")
+        )
+        dst = f"{tmp}/in/file{i}.parquet"
+        shutil.move(f"{tmp}/{w}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+        shutil.rmtree(f"{tmp}/{w}", ignore_errors=True)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(F.col("value").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                F.floor(F.unix_millis(F.col("w.start")) / 3_600_000)
+                .cast("long")
+                .alias("bucket"),
+                "n_samples",
+                "sum_value",
+            )
+        )
+        _run_replay(spark, agg, tmp)
+
+    run_once()
+    sentinel = [
+        ("__sentinel__", max_ts + __import__("datetime").timedelta(hours=4), 0.0)
+    ]
+    spark.createDataFrame(sentinel, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("event_type") != "__sentinel__")
+        .select("event_type", "bucket", "n_samples", "sum_value")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -7630,6 +7735,7 @@ _AUDIT_PRIORITY = [
     "ks_drift_sources",
     "pareto_frontier_docs",
     "streaming_hopping_rollup_replay",
+    "streaming_late_drop_replay",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

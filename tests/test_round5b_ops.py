@@ -349,3 +349,24 @@ def test_pareto_frontier_excludes_dominated_keeps_ties(spark):
     )
     got = {r["doc_id"] for r in text.pareto_frontier(docs).collect()}
     assert got == {1, 2, 4, 5}
+
+
+# -- late-drop streaming certificate -----------------------------------------
+
+
+def test_streaming_late_drop_excludes_pre_cutoff_windows(spark):
+    """The two-batch-behind stragglers must be DROPPED (Spark's late
+    filter uses the previous batch's watermark — SPARK-40925), so no
+    window before the 2024-01-15 cutoff may appear, while on-time hours
+    aggregate exactly."""
+    from broker_spark.plans import catalog
+
+    out = catalog.CATALOG["streaming_late_drop_replay"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    cutoff_bucket = 1_705_276_800_000 // 3_600_000  # 2024-01-15 00:00 UTC
+    assert rows, "replay produced no windows"
+    assert min(r["bucket"] for r in rows) >= cutoff_bucket
+    # the on-time half really did aggregate (not everything was dropped)
+    assert sum(r["n_samples"] for r in rows) > 100
