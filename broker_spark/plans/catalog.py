@@ -7655,6 +7655,106 @@ def q_streaming_late_drop_replay(spark, sf_dir):
     return out
 
 
+@register(
+    "streaming_outer_join_replay",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id,
+           COALESCE(p.purchase_id, -1) AS purchase_id, p.value
+    FROM c LEFT JOIN p
+      ON c.user_id = p.p_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+    """,
+)
+def q_streaming_outer_join_replay(spark, sf_dir):
+    """The stream-stream LEFT OUTER join, certified: matched pairs emit
+    eagerly like the inner entry, but the null-padded UNMATCHED clicks
+    can only emit once the watermark proves no purchase can still
+    arrive inside their 6 h window — the eviction-driven emission path
+    where outer-join state bugs live.  Sentinel rows must pass BOTH
+    sides' event-type filters (watermarks are computed downstream of
+    them), so the flush run appends one far-future click AND one
+    purchase under an impossible user id; the click sentinel itself
+    stays unflushed in state (nothing ever outlives it), so it never
+    reaches the sink.  Oracle: the plain batch LEFT JOIN."""
+    import shutil
+
+    tmp = _replay_tmpdir("ojoin_replay_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id", "event_id", "value"
+    )
+    ev.write.parquet(f"{tmp}/in")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def side(event_type, cols):
+        return (
+            spark.readStream.schema(ev.schema)
+            .parquet(f"{tmp}/in")
+            .filter(F.col("event_type") == event_type)
+            .select(*cols)
+        )
+
+    def run_once():
+        clicks = side(
+            "click",
+            [
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            ],
+        ).withWatermark("click_ts", "1 hour")
+        purchases = side(
+            "purchase",
+            [
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("value"),
+            ],
+        ).withWatermark("purchase_ts", "1 hour")
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            # -1 sentinel for "no purchase": keeps the id column NON-NULL
+            # BIGINT so pandas-mediated compares can't promote it to float
+            F.coalesce(F.col("purchase_id"), F.lit(-1).cast("long")).alias(
+                "purchase_id"
+            ),
+            "value",
+        )
+        _run_replay(spark, joined, tmp)
+
+    run_once()
+    far = max_ts + __import__("datetime").timedelta(hours=12)
+    sentinels = [("click", far, -1, -1, 0.0), ("purchase", far, -1, -2, 0.0)]
+    spark.createDataFrame(sentinels, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "click_id", "purchase_id", "value")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -7736,6 +7836,7 @@ _AUDIT_PRIORITY = [
     "pareto_frontier_docs",
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
+    "streaming_outer_join_replay",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

@@ -370,3 +370,23 @@ def test_streaming_late_drop_excludes_pre_cutoff_windows(spark):
     assert min(r["bucket"] for r in rows) >= cutoff_bucket
     # the on-time half really did aggregate (not everything was dropped)
     assert sum(r["n_samples"] for r in rows) > 100
+
+
+def test_streaming_outer_join_emits_unmatched_clicks_with_sentinel_id(spark):
+    """Every click must appear at least once; clicks with no purchase in
+    their 6 h window carry the -1 no-match sentinel."""
+    from broker_spark.plans import catalog
+
+    out = catalog.CATALOG["streaming_outer_join_replay"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert rows
+    unmatched = [r for r in rows if r["purchase_id"] == -1]
+    matched = [r for r in rows if r["purchase_id"] != -1]
+    assert unmatched, "outer join emitted no null-padded rows"
+    for r in unmatched:
+        assert r["value"] is None
+    # matched pairs match the inner-join certificate's semantics
+    for r in matched:
+        assert r["value"] is not None
