@@ -49,25 +49,30 @@ HLL_RAW_NUMERATOR = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_SUM_SCALE)
 HLL_SMALL_RANGE = 2.5 * HLL_M
 
 
+def hll_register_rho(key: Column) -> tuple[Column, Column]:
+    """(register, rho) for one key — the shared expression pair behind
+    the batch AND streaming HLL paths (and the thing the DuckDB oracle
+    replays verbatim): register = first 12 md5 bits, rank rho =
+    leading-zeros-plus-one of the next 48.  bit_length(v) == length of
+    the binary string with leading zeros dropped (conv base-2 drops
+    them); rho = 48 - bit_length + 1."""
+    h = F.md5(key.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
+    vhex = F.substring(h, 4, 12)
+    v = F.conv(vhex, 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
+        F.lit(HLL_RANK_BITS + 1) - F.length(F.conv(vhex, 16, 2))
+    )
+    return bucket, rho
+
+
 def hll_register_maxes(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
     """Per (group, register): max rank.  This is THE data pass — one
     groupBy with map-side partial max, shuffle volume <= partitions x
-    groups x m rows no matter how many input rows.
-
-    Everything is JVM built-ins on md5 hex (portable across engines —
-    the DuckDB oracle replays the identical arithmetic): register =
-    first 12 bits, rank rho = leading-zeros-plus-one of the next 48."""
-    h = F.md5(F.col(key_col).cast("string"))
-    bucket = F.conv(F.substring(h, 1, 3), 16, 10).cast("int")
-    vhex = F.substring(h, 4, 12)
-    v = F.conv(vhex, 16, 10).cast("long")
-    # bit_length(v) == length of the binary string with leading zeros
-    # dropped (conv base-2 drops them); rho = 48 - bit_length + 1.
-    rho = F.when(v == 0, F.lit(HLL_RANK_BITS + 1)).otherwise(
-        F.lit(HLL_RANK_BITS + 1) - F.length(F.conv(vhex, 16, 2))
-    )
+    groups x m rows no matter how many input rows."""
+    bucket, rho = hll_register_rho(F.col(key_col))
     return (
         df.select(*group_cols, bucket.alias("register"), rho.alias("rho"))
         .groupBy(*group_cols, "register")
@@ -75,19 +80,16 @@ def hll_register_maxes(
     )
 
 
-def hll_estimate(
-    df: DataFrame, key_col: str, group_cols: list[str]
+def hll_estimate_from_maxes(
+    maxes: DataFrame, groups: DataFrame, group_cols: list[str]
 ) -> DataFrame:
-    """Deterministic HLL distinct estimate per group, value-reproducible
-    across engines (same md5-derived registers, exact-integer power sum,
-    one final division): group_cols..., n_empty_registers, hll_estimate.
-
-    Empty registers contribute 2^48 to the sum (rho 0), so the full m-row
-    register grid is materialized per group — a broadcast fan-out of
-    m=4096 rows per group, trivial beside the data pass."""
-    maxes = hll_register_maxes(df, key_col, group_cols)
-    spark = df.sparkSession
-    grid = df.select(*group_cols).distinct().crossJoin(
+    """Finish the estimate from a (group, register, m) register table —
+    shared by the batch path and the streaming replay (whose register
+    maxes come out of a streaming aggregation's state store).  `groups`
+    supplies the full group list so groups whose registers are all empty
+    still estimate (as 0-ish via linear counting)."""
+    spark = maxes.sparkSession
+    grid = groups.crossJoin(
         broadcast(
             spark.range(HLL_M).select(F.col("id").cast("int").alias("register"))
         )
@@ -111,6 +113,22 @@ def hll_estimate(
     ).otherwise(raw)
     return per_group.select(
         *group_cols, "n_empty_registers", est.alias("hll_estimate")
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Deterministic HLL distinct estimate per group, value-reproducible
+    across engines (same md5-derived registers, exact-integer power sum,
+    one final division): group_cols..., n_empty_registers, hll_estimate.
+
+    Empty registers contribute 2^49 to the sum (rho 0), so the full m-row
+    register grid is materialized per group — a broadcast fan-out of
+    m=4096 rows per group, trivial beside the data pass."""
+    maxes = hll_register_maxes(df, key_col, group_cols)
+    return hll_estimate_from_maxes(
+        maxes, df.select(*group_cols).distinct(), group_cols
     )
 
 

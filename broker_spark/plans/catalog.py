@@ -7755,6 +7755,84 @@ def q_streaming_outer_join_replay(spark, sf_dir):
     return out
 
 
+@register("streaming_hll_replay", _hll_sql())
+def q_streaming_hll_replay(spark, sf_dir):
+    """The deterministic HLL's data pass executed as a real STREAMING
+    aggregation: per-(day-window, register) max-rho runs through the
+    state store under a watermark (availableNow replay, sentinel flush),
+    then the estimate is finished from the flushed register table by the
+    SAME exact-integer estimator as the batch path — and the whole chain
+    value-matches the SAME DuckDB oracle as `hll_distinct_users_daily`.
+    This is the mergeability property HLL exists for, certified: register
+    maxes accumulated incrementally by streaming state equal the batch
+    registers bit-for-bit, so a 100 TB pipeline can keep per-day sketches
+    hot in a streaming job and still reconcile exactly with batch
+    recomputation.  (The exact-distinct column is attached batch-side —
+    it is the certificate's yardstick, not part of the sketch.)"""
+    import shutil
+
+    from broker_spark.pipeline import sketch
+
+    tmp = _replay_tmpdir("hll_replay_")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    ev.write.parquet(f"{tmp}/in")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once():
+        src = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        bucket, rho = sketch.hll_register_rho(F.col("user_id"))
+        maxes = (
+            src.withWatermark("ts", "0 seconds")
+            .select("ts", bucket.alias("register"), rho.alias("rho"))
+            .groupBy(F.window("ts", "86400 seconds").alias("w"), F.col("register"))
+            .agg(F.max("rho").cast("int").alias("m"))
+            .select(
+                F.floor(F.unix_millis(F.col("w.start")) / 86_400_000)
+                .cast("long")
+                .alias("day"),
+                "register",
+                "m",
+            )
+        )
+        _run_replay(spark, maxes, tmp)
+
+    run_once()
+    sentinel_ts = max_ts + __import__("datetime").timedelta(days=2)
+    spark.createDataFrame([(sentinel_ts, -1)], ev.schema).write.mode(
+        "append"
+    ).parquet(f"{tmp}/in")
+    run_once()
+    sentinel_day = (
+        spark.createDataFrame([(sentinel_ts,)], "ts timestamp")
+        .select(F.floor(F.unix_millis("ts") / 86_400_000).cast("long").alias("d"))
+        .collect()[0][0]
+    )
+    maxes = spark.read.parquet(f"{tmp}/sink").filter(F.col("day") != sentinel_day)
+    days = ev.select(
+        F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias("day")
+    ).distinct()
+    est = sketch.hll_estimate_from_maxes(maxes, days, ["day"])
+    exact = (
+        ev.withColumn(
+            "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    out = exact.join(est, "day").select(
+        "day",
+        "n_exact",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+        "n_empty_registers",
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -7837,6 +7915,7 @@ _AUDIT_PRIORITY = [
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
     "streaming_outer_join_replay",
+    "streaming_hll_replay",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the
