@@ -148,6 +148,10 @@ HEADLINE = [
     "hll_distinct_users_daily",
     "weighted_sample_docs",
     "dedup_graph_triangles",
+    "user_decayed_scores",
+    "event_pmi_pairs",
+    "ks_drift_sources",
+    "pareto_frontier_docs",
 ]
 
 
