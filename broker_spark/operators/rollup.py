@@ -80,7 +80,7 @@ def hopping_level(
     (`sharded_trailing_window_stats`) when slides get fine."""
     if window_ms % slide_ms != 0:
         raise ValueError("window_ms must be a multiple of slide_ms")
-    w = F.window("ts", f"{window_ms // 1000} seconds", f"{slide_ms // 1000} seconds")
+    w = F.window("ts", f"{window_ms} milliseconds", f"{slide_ms} milliseconds")
     return (
         df.groupBy(w.alias("w"), *key_cols)
         .agg(

@@ -21,10 +21,11 @@ def decayed_user_scores(
     events: DataFrame, half_life_weeks: int = 1
 ) -> DataFrame:
     """Recency-weighted engagement score per user: each event contributes
-    value * 0.5^(age_weeks / half_life_weeks), ages measured back from
-    the corpus max day.
+    value * 0.5^k where k = floor(age_days / (7 * half_life_weeks)) is
+    the event's age in WHOLE half-lives, measured back from the corpus
+    max day — i.e. half-life-granular step decay, not continuous decay.
 
-    Exactness: ages are INTEGER week counts, so 0.5^k is an exact power
+    Exactness: ages are INTEGER half-life counts, so 0.5^k is an exact power
     of two and each weight is one exact double multiply; the weighted
     sum is carried as DECIMAL(28,12) (order-independent) and only cast
     to double at the end — the estimate is bit-identical no matter how
@@ -120,7 +121,10 @@ def ks_two_sample(
     count); the ECDF running sums then run over that compact frame.  The
     ECDF ordinates are exact integer ratios, so both engines compute
     identical doubles.  Output: one row — n_a, n_b, ks_stat, and the
-    smallest value attaining it."""
+    smallest value attaining it.  If either group is EMPTY the statistic
+    is undefined and the result has zero rows (the ECDF ratio is NULL,
+    so every gap row filters out) — callers gating on drift should treat
+    an empty result as "nothing to compare", not "no drift"."""
     flagged = df.select(
         F.col(value_col).alias("v"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("in_a"),
@@ -138,11 +142,13 @@ def ks_two_sample(
         "v",
         "n_a",
         "n_b",
-        (
-            F.sum("na_v").over(w).cast("double") / F.col("n_a").cast("double")
+        # try_divide: an empty group makes the ECDF (and so KS) undefined
+        # -> NULL -> zero output rows, instead of an ANSI divide-by-zero
+        F.try_divide(
+            F.sum("na_v").over(w).cast("double"), F.col("n_a").cast("double")
         ).alias("fa"),
-        (
-            F.sum("nb_v").over(w).cast("double") / F.col("n_b").cast("double")
+        F.try_divide(
+            F.sum("nb_v").over(w).cast("double"), F.col("n_b").cast("double")
         ).alias("fb"),
     )
     gap = ecdf.select(

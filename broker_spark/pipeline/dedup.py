@@ -960,7 +960,17 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     graph where boilerplate hubs are guaranteed.  Three shuffles (degree
     agg, wedge self-join, closing-edge join); output is one row.
     """
-    e = pairs.select("doc_a", "doc_b").distinct()
+    # canonicalize defensively: callers should pass doc_a < doc_b, but a
+    # reversed or doubled edge would otherwise inflate degrees and hide
+    # triangles whose closing edge is stored backwards
+    e = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
     nodes = e.select(F.col("doc_a").alias("doc_id")).unionAll(
         e.select(F.col("doc_b").alias("doc_id"))
     )

@@ -127,8 +127,11 @@ def hll_estimate(
     register grid is materialized per group — a broadcast fan-out of
     m=4096 rows per group, trivial beside the data pass."""
     maxes = hll_register_maxes(df, key_col, group_cols)
+    # every group with any key has >= 1 non-empty register (rho >= 1
+    # always), so the group list is derivable from the metadata-sized
+    # register table — no second scan of df
     return hll_estimate_from_maxes(
-        maxes, df.select(*group_cols).distinct(), group_cols
+        maxes, maxes.select(*group_cols).distinct(), group_cols
     )
 
 

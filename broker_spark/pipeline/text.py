@@ -161,6 +161,7 @@ def weighted_sample(
     k: int = 20,
     weight_col: str = "n_chars",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
     """Top-k by the A-ES key: a deterministic weighted sample (longer /
     higher-quality docs proportionally likelier), the quality-weighted
@@ -175,7 +176,7 @@ def weighted_sample(
     w = Window.orderBy(F.desc("draw_key"), F.asc(id_col))
     return top.select(
         id_col,
-        "lang",
+        *keep_cols,
         weight_col,
         F.round("draw_key", 6).alias("draw_key"),
         F.row_number().over(w).alias("draw_rank"),

@@ -7592,7 +7592,11 @@ def q_streaming_late_drop_replay(spark, sf_dir):
     tmp = _replay_tmpdir("late_drop_")
     cutoff = "2024-01-15 00:00:00"
     ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
-    max_ts_row = ev.orderBy(F.desc("ts")).limit(1)
+    # materialize the tick row ONCE — ev has no unique key, so evaluating
+    # a nondeterministic limit(1) twice (exceptAll + the w1 write) could
+    # pick different max-ts ties and double-count/drop a row
+    tick = ev.orderBy(F.desc("ts")).limit(1).collect()[0]
+    max_ts_row = spark.createDataFrame([tuple(tick)], ev.schema)
     ontime = ev.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp")).exceptAll(
         max_ts_row
     )
@@ -7808,9 +7812,9 @@ def q_streaming_hll_replay(spark, sf_dir):
         .collect()[0][0]
     )
     maxes = spark.read.parquet(f"{tmp}/sink").filter(F.col("day") != sentinel_day)
-    days = ev.select(
-        F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias("day")
-    ).distinct()
+    # every observed day has >= 1 non-empty register, so the day list is
+    # derivable from the metadata-sized register sink — no input rescan
+    days = maxes.select("day").distinct()
     est = sketch.hll_estimate_from_maxes(maxes, days, ["day"])
     exact = (
         ev.withColumn(

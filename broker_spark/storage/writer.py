@@ -117,8 +117,16 @@ def plan_compaction_groups(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     records_before = F.coalesce(F.sum(count_col).over(w), F.lit(0))
-    return counts.withColumn(
-        "group_id", F.floor(records_before / F.lit(target_records)).cast("long")
+    # integer division (not double floor) so a partition whose cumulative
+    # count exceeds 2^53 records still groups exactly, matching the
+    # oracle's // to the last row
+    return (
+        counts.withColumn("_records_before", records_before)
+        .withColumn(
+            "group_id",
+            F.expr(f"_records_before div {int(target_records)}").cast("long"),
+        )
+        .drop("_records_before")
     )
 
 

@@ -390,3 +390,45 @@ def test_streaming_outer_join_emits_unmatched_clicks_with_sentinel_id(spark):
     # matched pairs match the inner-join certificate's semantics
     for r in matched:
         assert r["value"] is not None
+
+
+# -- review-fix regressions --------------------------------------------------
+
+
+def test_triangle_stats_normalizes_reversed_and_doubled_edges(spark):
+    # (1,2),(3,1),(2,3) reversed/mixed + a doubled edge: still ONE triangle
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 3), (2, 1)], "doc_a long, doc_b long"
+    )
+    row = dedup.triangle_stats(pairs).collect()[0]
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 3
+    assert row["clustering_coeff"] == pytest.approx(1.0)
+
+
+def test_ks_two_sample_empty_group_returns_no_rows(spark):
+    from broker_spark.operators.stats import ks_two_sample
+
+    df = spark.createDataFrame([(1, "B"), (2, "B")], "v long, grp string")
+    assert ks_two_sample(df, "v", "grp", "A").collect() == []
+
+
+def test_hopping_level_supports_sub_second_slides(spark):
+    # 6 s window / 1.5 s slide — the old whole-second truncation would
+    # have built a 1 s slide (6 windows); milliseconds keep it exact (4)
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 1, 1, 0, 0, 2), 1.0)],
+        "event_type string, ts timestamp, value double",
+    )
+    rows = rollup.hopping_level(df, ["event_type"], "value", 6_000, 1_500).collect()
+    assert len(rows) == 4
+
+
+def test_weighted_sample_without_lang_column(spark):
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(1, 9)], "doc_id long, n_chars long"
+    )
+    rows = text.weighted_sample(df, k=3, keep_cols=()).collect()
+    assert len(rows) == 3
+    assert [r["draw_rank"] for r in rows] == [1, 2, 3]
