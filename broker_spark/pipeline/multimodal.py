@@ -384,3 +384,172 @@ def bmp_roundtrip_stats(docs: DataFrame) -> DataFrame:
         "doc_id long, width int, height int, n_pixels int,"
         " mean_b double, mean_g double, mean_r double",
     )
+
+
+def synth_png(pixels_rgb: bytes, width: int, height: int) -> bytes:
+    """REAL 8-bit RGB PNG (non-interlaced) from raw RGB bytes: correct
+    signature, IHDR/IDAT/IEND chunks with CRC32s, zlib-compressed
+    scanlines.  Each row r is written with filter type r % 5, so a
+    decoder must implement ALL five PNG filters (None/Sub/Up/Average/
+    Paeth) to reconstruct the image — no filter path goes untested."""
+    import struct
+    import zlib
+
+    bpp = 3
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw_rows = [
+        pixels_rgb[r * width * bpp : (r + 1) * width * bpp] for r in range(height)
+    ]
+    out = bytearray()
+    prior = bytes(width * bpp)
+    for r, row in enumerate(raw_rows):
+        ft = r % 5
+        filt = bytearray()
+        for i, x in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt.append((x - pred) & 0xFF)
+        out += bytes([ft]) + bytes(filt)
+        prior = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode (stdlib struct + zlib, no image libraries): chunk
+    walk with CRC32 verification, IHDR parse, multi-IDAT concatenation,
+    zlib inflate, and full scanline defiltering (all five filter types
+    incl. Paeth).  Supports what this pipeline synthesizes — 8-bit RGB,
+    non-interlaced; anything else raises, no silent fakes."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG payload")
+    pos, width, height, idat = 8, None, None, b""
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise NotImplementedError(f"bad CRC in {tag!r} chunk")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG is supported"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if width is None or not idat:
+        raise NotImplementedError("missing IHDR/IDAT")
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, width * 3
+    px = bytearray()
+    prior = bytes(stride)
+    for r in range(height):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        recon = bytearray()
+        for i, x in enumerate(line):
+            a = recon[i - bpp] if i >= bpp else 0
+            b = prior[i]
+            c = prior[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            else:
+                raise NotImplementedError(f"unknown filter type {ft}")
+            recon.append((x + pred) & 0xFF)
+        px += recon
+        prior = bytes(recon)
+    n = width * height
+    mean = lambda ch: round(sum(px[i] for i in range(ch, len(px), 3)) / n, 6)  # noqa: E731
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "mean_r": mean(0),
+        "mean_g": mean(1),
+        "mean_b": mean(2),
+    }
+
+
+def png_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Synthesize-then-DECODE certificate for the real PNG path: 60
+    md5-derived bytes become a genuine 4x5 8-bit RGB PNG whose five rows
+    use the five scanline filters (None/Sub/Up/Average/Paeth), written
+    with real CRCs and zlib-compressed IDAT by `synth_png`, then parsed
+    back by `decode_png` (chunk walk + CRC verify + inflate + full
+    defilter).  Channel means are order-independent, so the oracle
+    recomputes them straight from the hex digests — any filter-undo,
+    CRC, or inflate mistake hash-mismatches immediately."""
+
+    def _rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text.encode("utf-8")
+                px = (
+                    _hl.md5(t).digest()
+                    + _hl.md5(t + b"x").digest()
+                    + _hl.md5(t + b"y").digest()
+                    + _hl.md5(t + b"z").digest()
+                )[:60]
+                stats = decode_png(synth_png(px, 4, 5))
+                out["doc_id"].append(doc_id)
+                out["width"].append(stats["width"])
+                out["height"].append(stats["height"])
+                out["n_pixels"].append(stats["n_pixels"])
+                out["mean_r"].append(stats["mean_r"])
+                out["mean_g"].append(stats["mean_g"])
+                out["mean_b"].append(stats["mean_b"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _rt,
+        "doc_id long, width int, height int, n_pixels int,"
+        " mean_r double, mean_g double, mean_b double",
+    )

@@ -7837,6 +7837,42 @@ def q_streaming_hll_replay(spark, sf_dir):
     return out
 
 
+@register(
+    "multimodal_png_roundtrip",
+    """
+    WITH h AS (SELECT doc_id,
+                      md5(text) || md5(text || 'x') || md5(text || 'y')
+                        || md5(text || 'z') AS hx
+               FROM documents),
+    b AS (SELECT doc_id,
+                 [CAST(concat('0x', substring(hx, 2*i + 1, 2)) AS INT)
+                  for i in range(0, 60)] AS bs
+          FROM h)
+    SELECT doc_id, CAST(4 AS INT) AS width, CAST(5 AS INT) AS height,
+           CAST(20 AS INT) AS n_pixels,
+           round(list_sum([bs[3*i + 1] for i in range(0, 20)]) / 20.0, 6)
+             AS mean_r,
+           round(list_sum([bs[3*i + 2] for i in range(0, 20)]) / 20.0, 6)
+             AS mean_g,
+           round(list_sum([bs[3*i + 3] for i in range(0, 20)]) / 20.0, 6)
+             AS mean_b
+    FROM b
+    """,
+)
+def q_multimodal_png_roundtrip(spark, sf_dir):
+    """REAL compressed-image decode certificate: 60 md5-derived bytes
+    become a genuine 4x5 8-bit RGB PNG — zlib-compressed IDAT, CRC32'd
+    chunks, and one of each of the five scanline filters (None/Sub/Up/
+    Average/Paeth) across its five rows — then decode_png walks the
+    chunks, verifies CRCs, inflates, and defilters inside mapInPandas.
+    The oracle recomputes the channel means from the hex digests, so any
+    filter-undo, CRC, or inflate mistake hash-mismatches.  With WAV and
+    BMP this closes the 'compressed formats remain stubbed' caveat for
+    every container the standard library can express (PNG's DEFLATE is
+    stdlib zlib); only JPEG/MP3-class codecs stay environment-bound."""
+    return multimodal.png_roundtrip_stats(load(spark, sf_dir, "documents"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -7860,6 +7896,7 @@ _AUDIT_PRIORITY = [
     "weighted_sample_docs",
     "dedup_graph_triangles",
     "streaming_join_replay",
+    "multimodal_png_roundtrip",
     # -- NEW in round 5, first session
     "tfidf_cosine_pairs_guarded",
     "streaming_hourly_rollup_replay_shuffled",

@@ -432,3 +432,38 @@ def test_weighted_sample_without_lang_column(spark):
     rows = text.weighted_sample(df, k=3, keep_cols=()).collect()
     assert len(rows) == 3
     assert [r["draw_rank"] for r in rows] == [1, 2, 3]
+
+
+# -- real PNG decode ---------------------------------------------------------
+
+
+def test_png_roundtrip_exercises_all_five_filters():
+    from broker_spark.pipeline.multimodal import decode_png, synth_png
+
+    px = bytes(range(60))  # deterministic gradient, 4x5 RGB
+    payload = synth_png(px, 4, 5)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # five rows -> filter bytes 0..4 all present in the filtered stream
+    import zlib
+
+    raw = zlib.decompress(payload[payload.index(b"IDAT") + 4 : -16])
+    assert {raw[r * 13] for r in range(5)} == {0, 1, 2, 3, 4}
+    stats = decode_png(payload)
+    assert (stats["width"], stats["height"], stats["n_pixels"]) == (4, 5, 20)
+    for ch, key in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+        assert stats[key] == round(sum(px[i] for i in range(ch, 60, 3)) / 20, 6)
+
+
+def test_png_decode_rejects_corrupt_crc_and_foreign_bytes():
+    import struct
+
+    import pytest as _pytest
+
+    from broker_spark.pipeline.multimodal import decode_png, synth_png
+
+    payload = bytearray(synth_png(bytes(60), 4, 5))
+    payload[40] ^= 0xFF  # flip a byte inside IDAT -> CRC must catch it
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        decode_png(bytes(payload))
+    with _pytest.raises(NotImplementedError, match="not a PNG"):
+        decode_png(b"GIF89a" + bytes(20))
