@@ -7893,7 +7893,6 @@ _AUDIT_PRIORITY = [
     "compaction_plan",
     "zorder_layout_keys",
     "hll_distinct_users_daily",
-    "weighted_sample_docs",
     "dedup_graph_triangles",
     "streaming_join_replay",
     "multimodal_png_roundtrip",
@@ -7949,6 +7948,7 @@ _AUDIT_PRIORITY = [
     # window must reach every never-driver-checked entry) outranks
     # freshness for these; they are selfcheck-verified at both SFs and
     # queue at the head of round 6's window if the driver misses them.
+    "weighted_sample_docs",
     "user_decayed_scores",
     "event_pmi_pairs",
     "ks_drift_sources",
