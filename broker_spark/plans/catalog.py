@@ -7873,6 +7873,95 @@ def q_multimodal_png_roundtrip(spark, sf_dir):
     return multimodal.png_roundtrip_stats(load(spark, sf_dir, "documents"))
 
 
+def _hll_total_sql() -> str:
+    from broker_spark.pipeline import sketch
+
+    scale = sketch.HLL_SUM_SCALE
+    return f"""
+    WITH e AS (SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events),
+    r AS (
+      SELECT CAST(CAST(concat('0x', substring(h, 1, 3)) AS BIGINT) AS INT)
+               AS register,
+             CAST(concat('0x', substring(h, 4, 12)) AS BIGINT) AS v
+      FROM e
+    ),
+    rho AS (
+      SELECT register,
+             CASE WHEN v = 0 THEN {scale}
+                  ELSE {scale} - length(bin(v)) END AS rho
+      FROM r
+    ),
+    maxes AS (SELECT register, CAST(MAX(rho) AS INT) AS m FROM rho GROUP BY 1),
+    grid AS (SELECT unnest(range({sketch.HLL_M})) AS register),
+    full_regs AS (
+      SELECT grid.register, COALESCE(m, 0) AS m0
+      FROM grid LEFT JOIN maxes ON grid.register = maxes.register
+    ),
+    pg AS (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << ({scale} - m0)) AS BIGINT)
+               AS power_sum,
+             CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty_registers
+      FROM full_regs
+    ),
+    est AS (
+      SELECT n_empty_registers,
+             CASE WHEN ({sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE))
+                       <= {sketch.HLL_SMALL_RANGE!r}
+                   AND n_empty_registers > 0
+                  THEN {float(sketch.HLL_M)!r}
+                       * ln({float(sketch.HLL_M)!r}
+                            / CAST(n_empty_registers AS DOUBLE))
+                  ELSE {sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE)
+             END AS est
+      FROM pg
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events)
+    SELECT n_exact, round(est, 6) AS hll_estimate,
+           round((est - n_exact) / n_exact, 6) AS rel_error, n_empty_registers
+    FROM ex, est
+    """
+
+
+@register("hll_monthly_merge", _hll_total_sql())
+def q_hll_monthly_merge(spark, sf_dir):
+    """Sketch ROLLUP BY MERGE — the property HLL exists for in an OLAP
+    engine: the month's distinct-user estimate is computed by merging
+    the DAILY register tables (per-register max across days), never
+    rescanning the raw events.  Because register max is associative and
+    commutative, the merged registers equal the direct whole-month
+    registers exactly, so this entry shares its oracle shape with
+    `hll_distinct_users_daily` minus the day grouping — and a mistake in
+    the merge (wrong key, lost register, min instead of max) hash-
+    mismatches.  At 100 TB this is the difference between answering
+    "distinct users this quarter" from 90 tiny sketch tables vs a
+    quarter-long scan."""
+    from broker_spark.pipeline import sketch
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+    )
+    daily = sketch.hll_register_maxes(ev, "user_id", ["day"])
+    merged = (
+        daily.groupBy("register")
+        .agg(F.max("m").cast("int").alias("m"))
+        .withColumn("g", F.lit(1))
+    )
+    groups = merged.select("g").distinct()
+    est = sketch.hll_estimate_from_maxes(merged, groups, ["g"])
+    exact = ev.agg(F.count_distinct("user_id").alias("n_exact")).withColumn(
+        "g", F.lit(1)
+    )
+    return exact.join(est, "g").select(
+        "n_exact",
+        F.round("hll_estimate", 6).alias("hll_estimate"),
+        F.round(
+            (F.col("hll_estimate") - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_error"),
+        "n_empty_registers",
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -7953,6 +8042,7 @@ _AUDIT_PRIORITY = [
     "event_pmi_pairs",
     "ks_drift_sources",
     "pareto_frontier_docs",
+    "hll_monthly_merge",
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
     "streaming_outer_join_replay",

@@ -467,3 +467,23 @@ def test_png_decode_rejects_corrupt_crc_and_foreign_bytes():
         decode_png(bytes(payload))
     with _pytest.raises(NotImplementedError, match="not a PNG"):
         decode_png(b"GIF89a" + bytes(20))
+
+
+def test_hll_merge_of_partial_sketches_equals_direct_sketch(spark):
+    """Register-max merge is lossless: the estimate from merged per-part
+    sketches equals the single-pass estimate over the union."""
+    a = spark.range(0, 800).select(F.col("id").alias("user_id"), F.lit("p1").alias("part"))
+    b = spark.range(400, 1200).select(F.col("id").alias("user_id"), F.lit("p2").alias("part"))
+    df = a.unionAll(b)
+    direct = sketch.hll_estimate(
+        df.withColumn("g", F.lit(1)), "user_id", ["g"]
+    ).collect()[0]["hll_estimate"]
+    partial = sketch.hll_register_maxes(df, "user_id", ["part"])
+    merged = (
+        partial.groupBy("register").agg(F.max("m").cast("int").alias("m"))
+        .withColumn("g", F.lit(1))
+    )
+    via_merge = sketch.hll_estimate_from_maxes(
+        merged, merged.select("g").distinct(), ["g"]
+    ).collect()[0]["hll_estimate"]
+    assert via_merge == direct
