@@ -56,3 +56,36 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("r")).select("r.*")
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level reconciliation between two table snapshots: classify
+    every key as added / removed / changed / unchanged — the primitive
+    behind "what did this crawl refresh actually do to the corpus" and
+    CDC-style snapshot auditing.
+
+    Each side collapses its compare columns to ONE md5 fingerprint
+    before the join, so the full-outer join shuffles keys + 32-byte
+    hashes, never the payload — at 100 TB the diff moves fingerprint
+    metadata, not documents.  Returns key_cols + change_type."""
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        h = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+            )
+        )
+        return df.select(*key_cols, h.alias(alias))
+
+    j = fp(old, "_h_old").join(fp(new, "_h_new"), key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*key_cols, change.alias("change_type"))

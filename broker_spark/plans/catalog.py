@@ -7962,6 +7962,126 @@ def q_hll_monthly_merge(spark, sf_dir):
     )
 
 
+@register(
+    "events_sessionization_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+             CASE event_type WHEN 'click' THEN 1800000000
+                             WHEN 'view' THEN 600000000
+                             WHEN 'purchase' THEN 3600000000
+                             ELSE 1200000000 END AS gap_us
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, ts, tus, gap_us,
+             MAX(tus + gap_us) OVER (PARTITION BY user_id
+               ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM g
+    ),
+    m AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR tus >= prev_end
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts, tus, gap_us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id, min(ts) AS session_start,
+           make_timestamp(MAX(tus + gap_us)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_sessionization_dynamic_gap(spark, sf_dir):
+    """Sessionization with PER-EVENT gaps via native
+    `session_window(ts, gap_expr)`: a purchase keeps its session alive
+    for an hour, a view only ten minutes — the behavior-dependent
+    timeout real engagement analytics use, and a capability the fixed
+    30-minute entry can't express.  Session semantics are interval
+    MERGING, not prev-row chaining, so the oracle derives islands from
+    the running max of (ts + gap) over all preceding events — a break
+    happens only when an event starts at-or-after every earlier event's
+    window end (half-open windows, microsecond precision).  Runs
+    unmodified under Structured Streaming with a watermark (the fixed-
+    gap streaming form is certified by
+    `streaming_sessionization_replay`)."""
+    ev = load(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "click", "30 minutes")
+        .when(F.col("event_type") == "view", "10 minutes")
+        .when(F.col("event_type") == "purchase", "60 minutes")
+        .otherwise("20 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "snapshot_diff_counts",
+    """
+    WITH v2a AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v2b AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            WHERE doc_id % 11 = 0),
+    v2 AS (SELECT * FROM v2a UNION ALL SELECT * FROM v2b),
+    o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+    n AS (SELECT doc_id, md5(text) AS hn FROM v2),
+    j AS (
+      SELECT CASE WHEN ho IS NULL THEN 'added'
+                  WHEN hn IS NULL THEN 'removed'
+                  WHEN ho <> hn THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY 1
+    """,
+)
+def q_snapshot_diff_counts(spark, sf_dir):
+    """Snapshot reconciliation: diff the corpus against a simulated
+    re-crawl (every 7th doc dropped, every 5th edited, every 11th
+    re-added under a new id) and count rows per change class — the
+    "what did this refresh actually do" audit that gates corpus swaps.
+    `table_diff` fingerprints the compare columns to one md5 per row
+    BEFORE the full-outer join, so the shuffle moves keys + 32-byte
+    hashes, never document payloads."""
+    from broker_spark.operators.profile import table_diff
+
+    docs = load(spark, sf_dir, "documents")
+    v2a = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    v2b = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    v2 = v2a.unionByName(v2b)
+    diff = table_diff(docs.select("doc_id", "text"), v2, ["doc_id"], ["text"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -8043,6 +8163,8 @@ _AUDIT_PRIORITY = [
     "ks_drift_sources",
     "pareto_frontier_docs",
     "hll_monthly_merge",
+    "events_sessionization_dynamic_gap",
+    "snapshot_diff_counts",
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
     "streaming_outer_join_replay",

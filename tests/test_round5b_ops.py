@@ -487,3 +487,63 @@ def test_hll_merge_of_partial_sketches_equals_direct_sketch(spark):
         merged, merged.select("g").distinct(), ["g"]
     ).collect()[0]["hll_estimate"]
     assert via_merge == direct
+
+
+# -- dynamic-gap sessionization / snapshot diff ------------------------------
+
+
+def test_dynamic_gap_sessions_merge_by_interval_not_prev_row(spark):
+    """A long-gap event keeps the session open past a short-gap event's
+    timeout: purchase(t0, 60m) -> view(t0+40m, 10m) -> click(t0+55m)
+    stays ONE session because the purchase's window still covers the
+    click, even though the view's own 10 min window lapsed."""
+    from broker_spark.plans import catalog
+
+    base = dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        (1, base, 7, "purchase", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=40), 7, "view", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=55), 7, "click", 1.0, "{}"),
+        # next event at t0+100m: beyond click's 30m (ends 85m) -> new session
+        (4, base + dt.timedelta(minutes=100), 7, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as p:
+        ev.write.parquet(f"{p}/events.parquet")
+        orig = catalog.load
+        catalog.load = lambda s_, sf, name: spark.read.parquet(f"{sf}/{name}.parquet")
+        try:
+            out = sorted(
+                catalog.CATALOG["events_sessionization_dynamic_gap"]
+                .fn(spark, p)
+                .collect(),
+                key=lambda r: r["session_start"],
+            )
+        finally:
+            catalog.load = orig
+    assert [r["n_events"] for r in out] == [3, 1]
+    # session end = max over members of (ts + own gap): the click's
+    # 12:55 + 30 min = 13:25 outlasts the purchase's 13:00
+    assert out[0]["session_end"] == base + dt.timedelta(minutes=85)
+
+
+def test_table_diff_classifies_all_four_states(spark):
+    from broker_spark.operators.profile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, payload string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "id long, payload string"
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in table_diff(old, new, ["id"], ["payload"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
