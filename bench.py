@@ -152,6 +152,9 @@ HEADLINE = [
     "event_pmi_pairs",
     "ks_drift_sources",
     "pareto_frontier_docs",
+    "hll_monthly_merge",
+    "events_sessionization_dynamic_gap",
+    "snapshot_diff_counts",
 ]
 
 
