@@ -72,11 +72,16 @@ def table_diff(
     Each side collapses its compare columns to ONE md5 fingerprint
     before the join, so the full-outer join shuffles keys + 32-byte
     hashes, never the payload — at 100 TB the diff moves fingerprint
-    metadata, not documents.  Returns key_cols + change_type."""
+    metadata, not documents.  The fingerprint is md5 of the row's JSON
+    encoding (nulls kept): JSON escaping is injective, so NULL vs
+    empty-string and separator-straddling values can never collide the
+    way a plain delimiter concat would.  Returns key_cols +
+    change_type."""
     def fp(df: DataFrame, alias: str) -> DataFrame:
         h = F.md5(
-            F.concat_ws(
-                "\x1f", *[F.col(c).cast("string") for c in compare_cols]
+            F.to_json(
+                F.struct(*[F.col(c) for c in compare_cols]),
+                {"ignoreNullFields": "false"},
             )
         )
         return df.select(*key_cols, h.alias(alias))

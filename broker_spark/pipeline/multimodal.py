@@ -386,6 +386,25 @@ def bmp_roundtrip_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _png_predict(ft: int, a: int, b: int, c: int) -> int:
+    """The PNG filter predictor for filter type `ft` given left (a),
+    up (b), and up-left (c) neighbors — shared by the encoder's filter
+    loop and the decoder's defilter loop so the two can never drift."""
+    if ft == 0:
+        return 0
+    if ft == 1:
+        return a
+    if ft == 2:
+        return b
+    if ft == 3:
+        return (a + b) // 2
+    if ft == 4:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+    raise NotImplementedError(f"unknown filter type {ft}")
+
+
 def synth_png(pixels_rgb: bytes, width: int, height: int) -> bytes:
     """REAL 8-bit RGB PNG (non-interlaced) from raw RGB bytes: correct
     signature, IHDR/IDAT/IEND chunks with CRC32s, zlib-compressed
@@ -396,6 +415,10 @@ def synth_png(pixels_rgb: bytes, width: int, height: int) -> bytes:
     import zlib
 
     bpp = 3
+    if len(pixels_rgb) != width * height * bpp:
+        raise ValueError(
+            f"need exactly {width * height * bpp} RGB bytes, got {len(pixels_rgb)}"
+        )
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         crc = zlib.crc32(tag + body) & 0xFFFFFFFF
@@ -414,19 +437,7 @@ def synth_png(pixels_rgb: bytes, width: int, height: int) -> bytes:
             a = row[i - bpp] if i >= bpp else 0
             b = prior[i]
             c = prior[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) // 2
-            else:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            filt.append((x - pred) & 0xFF)
+            filt.append((x - _png_predict(ft, a, b, c)) & 0xFF)
         out += bytes([ft]) + bytes(filt)
         prior = row
     return (
@@ -450,7 +461,11 @@ def decode_png(payload: bytes) -> dict:
         raise NotImplementedError("not a PNG payload")
     pos, width, height, idat = 8, None, None, b""
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise NotImplementedError("truncated PNG (chunk header)")
         (ln,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + ln > len(payload):
+            raise NotImplementedError("truncated PNG (chunk body)")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
@@ -473,6 +488,8 @@ def decode_png(payload: bytes) -> dict:
         raise NotImplementedError("missing IHDR/IDAT")
     raw = zlib.decompress(idat)
     bpp, stride = 3, width * 3
+    if len(raw) != height * (stride + 1):
+        raise NotImplementedError("truncated PNG (pixel data)")
     px = bytearray()
     prior = bytes(stride)
     for r in range(height):
@@ -483,21 +500,7 @@ def decode_png(payload: bytes) -> dict:
             a = recon[i - bpp] if i >= bpp else 0
             b = prior[i]
             c = prior[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                pred = 0
-            elif ft == 1:
-                pred = a
-            elif ft == 2:
-                pred = b
-            elif ft == 3:
-                pred = (a + b) // 2
-            elif ft == 4:
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-            else:
-                raise NotImplementedError(f"unknown filter type {ft}")
-            recon.append((x + pred) & 0xFF)
+            recon.append((x + _png_predict(ft, a, b, c)) & 0xFF)
         px += recon
         prior = bytes(recon)
     n = width * height

@@ -7974,7 +7974,7 @@ def q_hll_monthly_merge(spark, sf_dir):
       FROM events
     ),
     o AS (
-      SELECT user_id, ts, tus, gap_us,
+      SELECT user_id, event_id, ts, tus, gap_us,
              MAX(tus + gap_us) OVER (PARTITION BY user_id
                ORDER BY tus, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
@@ -7987,7 +7987,7 @@ def q_hll_monthly_merge(spark, sf_dir):
     ),
     s AS (
       SELECT user_id, ts, tus, gap_us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM m
     )
@@ -8037,7 +8037,7 @@ def q_events_sessionization_dynamic_gap(spark, sf_dir):
              CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
       FROM documents WHERE doc_id % 7 <> 0
     ),
-    v2b AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    v2b AS (SELECT -doc_id - 1 AS doc_id, text FROM documents
             WHERE doc_id % 11 = 0),
     v2 AS (SELECT * FROM v2a UNION ALL SELECT * FROM v2b),
     o AS (SELECT doc_id, md5(text) AS ho FROM documents),
@@ -8072,8 +8072,10 @@ def q_snapshot_diff_counts(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
+    # negated key for the "re-added" rows: can never alias a real
+    # (non-negative) doc_id at any corpus scale
     v2b = docs.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (-F.col("doc_id") - 1).alias("doc_id"), "text"
     )
     v2 = v2a.unionByName(v2b)
     diff = table_diff(docs.select("doc_id", "text"), v2, ["doc_id"], ["text"])

@@ -547,3 +547,31 @@ def test_table_diff_classifies_all_four_states(spark):
         for r in table_diff(old, new, ["id"], ["payload"]).collect()
     }
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_png_synth_validates_buffer_and_decode_rejects_truncation():
+    import pytest as _pytest
+
+    from broker_spark.pipeline.multimodal import decode_png, synth_png
+
+    with _pytest.raises(ValueError, match="RGB bytes"):
+        synth_png(bytes(50), 4, 5)
+    payload = synth_png(bytes(60), 4, 5)
+    with _pytest.raises(NotImplementedError, match="truncated"):
+        decode_png(payload[:30])
+
+
+def test_table_diff_null_and_separator_values_do_not_collide(spark):
+    from broker_spark.operators.profile import table_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a\x1fb", "c")], "id long, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b\x1fc")], "id long, a string, b string"
+    )
+    got = {
+        r["id"]: r["change_type"]
+        for r in table_diff(old, new, ["id"], ["a", "b"]).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
