@@ -164,3 +164,76 @@ def ks_two_sample(
             F.min("v").alias("ks_at"),
         )
     )
+
+
+def cusum_daily_alarms(
+    events: DataFrame,
+    slack_frac: float = 0.1,
+    alarm_frac: float = 0.5,
+) -> DataFrame:
+    """CUSUM control chart over daily event-rate series, per type: the
+    MEMORYFUL complement to `zscore_anomaly_events` — a small persistent
+    shift accumulates until it alarms even though no single day is a
+    z-score outlier.  s_t = max(0, s_{t-1} + x_t - mu - k) with slack
+    k = slack_frac * mu and alarm at s_t > alarm_frac * mu (Page 1954).
+
+    The per-key mean rides the DECIMAL-exact sum (order-independent), so
+    both engines fold the recurrence over identical doubles in the same
+    order — oracle-reproducible like the EWMA entry's recursive CTE.
+    Iterative -> applyInPandas per key (the EWMA pattern): the recurrence
+    runs over the DAILY frame (days x types rows), never raw events, and
+    parallelizes across keys."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    daily = (
+        events.withColumn(
+            "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    mu = daily.groupBy("event_type").agg(
+        (
+            F.sum(F.col("n_events").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    joined = daily.join(broadcast(mu), "event_type")
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", LongType()),
+            StructField("n_events", LongType()),
+            StructField("cusum", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+
+    def _one_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        m = float(pdf["mu"].iloc[0])
+        k, h = slack_frac * m, alarm_frac * m
+        s, out_s, out_a = 0.0, [], []
+        for x in pdf["n_events"]:
+            s = max(0.0, s + (float(x) - m - k))
+            out_s.append(round(s, 6))
+            out_a.append(s > h)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "n_events": pdf["n_events"],
+                "cusum": out_s,
+                "alarm": out_a,
+            }
+        )
+
+    return joined.groupBy("event_type").applyInPandas(_one_key, schema)

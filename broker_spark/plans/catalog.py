@@ -8084,6 +8084,107 @@ def q_snapshot_diff_counts(spark, sf_dir):
     )
 
 
+@register(
+    "cusum_daily_alarms",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    mu AS (
+      SELECT event_type,
+             CAST(SUM(CAST(n_events AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS m
+      FROM daily GROUP BY 1
+    ),
+    numbered AS (
+      SELECT d.event_type, d.day, d.n_events, mu.m,
+             row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS rn
+      FROM daily d JOIN mu ON d.event_type = mu.event_type
+    ),
+    cs(event_type, day, n_events, m, s, rn) AS (
+      SELECT event_type, day, n_events, m,
+             greatest(0.0, 0.0 + (n_events - m - 0.1 * m)), rn
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.day, n.n_events, n.m,
+             greatest(0.0, c.s + (n.n_events - n.m - 0.1 * n.m)), n.rn
+      FROM numbered n JOIN cs c ON n.event_type = c.event_type AND n.rn = c.rn + 1
+    )
+    SELECT event_type, day, n_events, round(s, 6) AS cusum,
+           s > 0.5 * m AS alarm
+    FROM cs
+    """,
+)
+def q_cusum_daily_alarms(spark, sf_dir):
+    """CUSUM changepoint detection over daily rates per event type — the
+    MEMORYFUL anomaly detector (a persistent small shift accumulates to
+    an alarm even when no single day is a z-score outlier; Page 1954).
+    The recurrence s_t = max(0, s_{t-1} + x_t - mu - 0.1*mu) folds over
+    the compact daily frame via applyInPandas per key (the EWMA
+    pattern), and the oracle replays it as a recursive CTE with the
+    identical fold order, so the chart is value-reproducible."""
+    from broker_spark.operators.stats import cusum_daily_alarms
+
+    return cusum_daily_alarms(load(spark, sf_dir, "events"))
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 2 AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           round(1.0 - levenshtein(da.text, db.text)
+                       / greatest(length(da.text), length(db.text), 1), 6)
+             AS edit_similarity
+    FROM pairs p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    """,
+)
+def q_dedup_edit_distance_pairs(spark, sf_dir):
+    """CHARACTER-level verification of the LSH candidate pairs: exact
+    Levenshtein distance + normalized similarity per candidate — the
+    rerank lens token-level Jaccard can't provide (insertions inside
+    words, punctuation edits).  Levenshtein is O(len_a * len_b) per
+    pair, which is exactly why it runs ONLY over the LSH candidate set
+    (the sketch-prune-then-exact pattern every dedup family here uses),
+    never all-pairs; the distance itself is a JVM built-in, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    lev = F.levenshtein("text_a", "text_b")
+    return (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("edit_distance"),
+            F.round(
+                F.lit(1.0)
+                - lev
+                / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)),
+                6,
+            ).alias("edit_similarity"),
+        )
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -8167,6 +8268,8 @@ _AUDIT_PRIORITY = [
     "hll_monthly_merge",
     "events_sessionization_dynamic_gap",
     "snapshot_diff_counts",
+    "cusum_daily_alarms",
+    "dedup_edit_distance_pairs",
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
     "streaming_outer_join_replay",

@@ -575,3 +575,45 @@ def test_table_diff_null_and_separator_values_do_not_collide(spark):
         for r in table_diff(old, new, ["id"], ["a", "b"]).collect()
     }
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_cusum_accumulates_persistent_shift_into_alarm(spark):
+    from broker_spark.operators.stats import cusum_daily_alarms
+
+    # 10 quiet days at 10 events, then 5 shifted days at 14: no single
+    # day is extreme, but the shift accumulates past 0.5*mu
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d in range(15):
+        n = 10 if d < 10 else 14
+        for _ in range(n):
+            rows.append((eid, base + dt.timedelta(days=d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = sorted(cusum_daily_alarms(ev).collect(), key=lambda r: r["day"])
+    # pure-python replay
+    mu = (10 * 10 + 5 * 14) / 15.0
+    s, expect = 0.0, []
+    for d in range(15):
+        x = 10 if d < 10 else 14
+        s = max(0.0, s + (x - mu - 0.1 * mu))
+        expect.append((round(s, 6), s > 0.5 * mu))
+    assert [(r["cusum"], r["alarm"]) for r in out] == expect
+    assert not out[9]["alarm"] and out[-1]["alarm"]  # alarms only after the shift
+
+
+def test_edit_distance_similarity_bounds(spark):
+    from broker_spark.plans import catalog
+
+    out = catalog.CATALOG["dedup_edit_distance_pairs"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["edit_similarity"] <= 1
+        assert r["edit_distance"] >= 0
