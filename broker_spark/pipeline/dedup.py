@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 DEFAULT_NUM_HASHES = 4
 DEFAULT_SHINGLE = 3
@@ -1010,4 +1011,97 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     ).otherwise(F.lit(0.0))
     return out.select(
         "n_edges", "n_wedges", "n_triangles", coeff.alias("clustering_coeff")
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.7, shingle: int = DEFAULT_SHINGLE
+) -> DataFrame:
+    """Exact-Jaccard similarity self-join with PREFIX FILTERING (the
+    AllPairs / PPJoin family, Bayardo et al. WWW'07, Xiao et al. WWW'08)
+    over distinct word-shingle tokens.
+
+    `ngram_jaccard_pairs` joins on EVERY shingle (full inverted index);
+    here each document indexes only its prefix — the
+    ``|x| - ceil(t*|x|) + 1`` globally-RAREST tokens under the
+    (document-frequency, token) total order.  Pigeonhole on that shared
+    order makes the filter lossless: two sets with Jaccard >= t overlap
+    in at least ``ceil(t*|x|)`` tokens, so skipping the last
+    ``ceil(t*|x|) - 1`` of either sorted set cannot skip ALL common
+    tokens.  Candidates then pass a size filter
+    (``t * max(|a|,|b|) <= min(|a|,|b|)``) before exact verification.
+
+    Scale: this is the designed-for-100TB shape for exact-threshold
+    similarity joins — hot (stop-word) posting lists NEVER enter the
+    candidate join because frequent tokens sort to the suffix, so
+    posting-list volume is bounded by the rare end of the Zipf curve,
+    without the semantic approximation of a `max_doc_freq` cutoff
+    (`dedup_ngram_jaccard_guarded` changes the answer; prefix filtering
+    provably does not).  The global token order needs no global rank:
+    each document sorts its own tokens by a broadcast (df, token) pair,
+    a per-doc window, so nothing single-partition touches corpus-sized
+    data.  Reference parity: same near-dup surface as
+    `/root/reference/` dedup queries; algorithm from the public
+    similarity-join literature.
+    """
+    tok = _spread(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(F.col("text"), shingle))
+        ).alias("tok"),
+    )
+    # one materialization, three readers (df agg, prefix build, verify join)
+    tok = tok.localCheckpoint(eager=True)
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        tok.join(broadcast(dfreq), "tok")  # vocab-sized build side
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(sizes, "doc_id")
+        .withColumn(
+            "prefix_len",
+            (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+        "doc_id", "tok", "n_tok"
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # size filter: Jaccard >= t forces t*max <= min
+        .filter(
+            F.lit(threshold) * F.greatest("a.n_tok", "b.n_tok")
+            <= F.least("a.n_tok", "b.n_tok")
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_tok").alias("na"),
+            F.col("b.n_tok").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    common = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
     )

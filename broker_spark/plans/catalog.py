@@ -8185,6 +8185,275 @@ def q_dedup_edit_distance_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_prefix_filter_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS common
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, common,
+           round(common * 1.0 / (x.n_tok + y.n_tok - common), 6) AS jaccard
+    FROM pairs JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+    WHERE round(common * 1.0 / (x.n_tok + y.n_tok - common), 6) >= 0.7
+    """,
+)
+def q_dedup_prefix_filter_pairs(spark, sf_dir):
+    """Prefix-filtered exact-Jaccard similarity join (AllPairs/PPJoin):
+    each doc indexes only its |x|-ceil(t|x|)+1 globally-RAREST shingles,
+    so boilerplate posting lists never enter the candidate join — the
+    lossless alternative to `dedup_ngram_jaccard_guarded`'s max_doc_freq
+    cutoff.  The oracle is the FULL inverted-index join (every shingle),
+    so a green hash is a machine-checked proof that the prefix filter
+    dropped no qualifying pair."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@register(
+    "scd2_user_event_type",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+      FROM ordered
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+      FROM marked
+    ),
+    grouped AS (
+      SELECT user_id, run_id, event_type, MIN(ts) AS effective_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, effective_from,
+           lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS effective_to,
+           lead(effective_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+             AS is_current,
+           n_events
+    FROM grouped
+    """,
+)
+def q_scd2_user_event_type(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event-type log into effective-dated runs (gaps-and-islands: lag
+    change marker -> running-sum run id -> one agg -> lead for the
+    closing date).  Every window partitions by user_id, so no global
+    sort touches corpus-sized data."""
+    from broker_spark.operators.changelog import scd2_intervals
+
+    return scd2_intervals(load(spark, sf_dir, "events"))
+
+
+@register(
+    "cdc_apply_final_state",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events
+    ),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    ),
+    n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops FROM log GROUP BY 1)
+    SELECT l.user_id, l.ts AS updated_at, round(l.value, 6) AS value, n.n_ops
+    FROM last l JOIN n ON l.user_id = n.user_id
+    WHERE l.rn = 1 AND l.op = 'upsert'
+    """,
+)
+def q_cdc_apply_final_state(spark, sf_dir):
+    """CDC changelog replay to current state: events become an ordered
+    upsert/delete log on user_id ('error' = tombstone), and the final
+    table keeps each key's last operation iff it is an upsert — the
+    merge-on-read shape (one per-key window, one hash shuffle)."""
+    from broker_spark.operators.changelog import cdc_apply_final_state
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return cdc_apply_final_state(ev)
+
+
+@register(
+    "bucketed_join_order_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bucketed_join_order_revenue(spark, sf_dir):
+    """Revenue per order priority over BUCKETED orders x lineitem: both
+    sides stored pre-hash-partitioned and per-file sorted on the order
+    key, so the SortMergeJoin runs with NO Exchange on either side
+    (asserted by tests/test_plan_properties.py) — the pay-the-shuffle-
+    once-at-write-time layout that amortizes the dominant repeated cost
+    of a 100 TB fact-table workload.  Oracle runs the same join over the
+    plain parquet views; a green hash certifies the bucketed layout
+    changes the physical plan only."""
+    from broker_spark.storage.bucketed import bucketed_join
+
+    joined = bucketed_join(spark, sf_dir)
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    d = F.col("l_discount").cast("decimal(12,2)")
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(p * (F.lit(1).cast("decimal(12,2)") - d))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "streaming_cdc_upsert_replay",
+    """
+    WITH log AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+      FROM events
+    ),
+    last AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM log
+    ),
+    n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops FROM log GROUP BY 1)
+    SELECT l.user_id, l.ts AS updated_at, round(l.value, 6) AS value, n.n_ops
+    FROM last l JOIN n ON l.user_id = n.user_id
+    WHERE l.rn = 1 AND l.op = 'upsert'
+    """,
+)
+def q_streaming_cdc_upsert_replay(spark, sf_dir):
+    """STREAMING CDC upsert through `foreachBatch`: the events changelog
+    arrives as a multi-file stream (availableNow, one file per
+    micro-batch) and each batch MERGES into a keyed state table — read
+    current state, union the batch's per-key winners, keep max-(ts,
+    event_id) per key with delete tombstones, atomic-swap the state dir.
+    A batch-id high-water mark makes the merge idempotent under
+    foreachBatch's at-least-once contract (the guard a production sink
+    needs; with Delta/Iceberg the swap becomes MERGE INTO).  Certified
+    hash-equal to the batch window oracle: replaying the log through
+    per-batch merges lands on the identical final state."""
+    import os
+    import shutil
+
+    tmp = _replay_tmpdir("cdc_replay_")
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    # stage the changelog as 4 time-ordered files -> 4 sequential batches
+    src = f"{tmp}/src"
+    n_files = 4
+    (
+        ev.withColumn(
+            "_slice",
+            F.ntile(n_files).over(Window.orderBy("ts", "event_id")),
+        )
+        .repartitionByRange(n_files, "_slice")
+        .sortWithinPartitions("ts", "event_id")
+        .drop("_slice")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    state = f"{tmp}/state"
+    hwm_path = f"{tmp}/applied_batch"
+
+    def _merge_batch(batch, batch_id):
+        # idempotence guard: foreachBatch is at-least-once
+        if os.path.exists(hwm_path):
+            with open(hwm_path) as f:
+                if batch_id <= int(f.read().strip()):
+                    return
+        sess = batch.sparkSession
+        winner = F.max_by(
+            F.struct("ts", "event_id", "value", "op"), F.struct("ts", "event_id")
+        )
+        merged = batch.groupBy("user_id").agg(
+            winner.alias("w"), F.count(F.lit(1)).cast("long").alias("n_ops")
+        )
+        if os.path.exists(state):
+            cur = sess.read.parquet(state).select(
+                "user_id",
+                F.struct("ts", "event_id", "value", "op").alias("w"),
+                "n_ops",
+            )
+            merged = (
+                cur.unionByName(merged)
+                .groupBy("user_id")
+                .agg(
+                    F.max_by("w", F.struct("w.ts", "w.event_id")).alias("w"),
+                    F.sum("n_ops").cast("long").alias("n_ops"),
+                )
+            )
+        out = merged.select(
+            "user_id", "w.ts", "w.event_id", "w.value", "w.op", "n_ops"
+        )
+        nxt = f"{tmp}/state_next"
+        out.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(state, ignore_errors=True)
+        os.rename(nxt, state)
+        with open(hwm_path, "w") as f:
+            f.write(str(batch_id))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, value double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.read.parquet(state)
+        .filter(F.col("op") == "upsert")
+        .select(
+            "user_id",
+            F.col("ts").alias("updated_at"),
+            F.round("value", 6).alias("value"),
+            "n_ops",
+        )
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -8274,6 +8543,13 @@ _AUDIT_PRIORITY = [
     "streaming_late_drop_replay",
     "streaming_outer_join_replay",
     "streaming_hll_replay",
+    # -- NEW in round 5 session 3: same placement rationale — below the
+    # never-checked block so the driver window still reaches it
+    "dedup_prefix_filter_pairs",
+    "scd2_user_event_type",
+    "cdc_apply_final_state",
+    "bucketed_join_order_revenue",
+    "streaming_cdc_upsert_replay",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the
