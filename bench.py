@@ -155,6 +155,14 @@ HEADLINE = [
     "hll_monthly_merge",
     "events_sessionization_dynamic_gap",
     "snapshot_diff_counts",
+    # round-5 third session
+    "dedup_prefix_filter_pairs",
+    "scd2_user_event_type",
+    "cdc_apply_final_state",
+    "bucketed_join_order_revenue",
+    "rollup_incremental_merge",
+    "events_trailing_distinct_users",
+    "table_fingerprint_documents",
 ]
 
 

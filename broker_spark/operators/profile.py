@@ -94,3 +94,46 @@ def table_diff(
         .otherwise("unchanged")
     )
     return j.select(*key_cols, change.alias("change_type"))
+
+
+def table_fingerprint(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Order-independent integrity fingerprint per group + a grand-total
+    row: n_rows and a commutative digest (SUM of the first 48 bits of
+    each row's md5, exact in the DECIMAL domain).
+
+    Addition is commutative and associative, so the digest is identical
+    regardless of partitioning, task order, or merge tree — the property
+    that lets two 100 TB replicas (or a table before/after a migration)
+    be compared by shipping ONE row per group instead of re-sorting
+    either side.  48 bits per row keeps the sum exact in DECIMAL(38,0)
+    out to ~10^24 rows.  The id|content concat is injective because the
+    id is numeric (cannot contain the separator).  Spark's ROLLUP
+    produces the per-group rows and the grand total in one pass."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(id_col), F.col(content_col))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        df.withColumn("_h", h)
+        .rollup(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("_h").cast("decimal(38,0)").alias("digest"),
+        )
+        .select(
+            F.coalesce(F.col(group_col), F.lit("ALL")).alias(group_col),
+            "n_rows",
+            # string, not numeric: the digest exceeds float64's exact-
+            # integer range, and any consumer that round-trips through
+            # doubles (pandas, JSON) would corrupt it silently
+            F.col("digest").cast("string").alias("digest"),
+        )
+    )

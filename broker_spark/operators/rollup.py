@@ -299,3 +299,70 @@ def sharded_trailing_window_stats(
             "avg_prev_hour",
         )
     )
+
+
+def merge_rollup_partials(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental materialized-view maintenance: merge two PARTIAL
+    rollups (each shaped like `rollup_level` output: n_samples,
+    sum_value, min_value, max_value per key+bucket) into the rollup of
+    the union of their inputs.
+
+    Count/sum/min/max are commutative monoids, so the merged aggregate
+    is exact — a daily refresh recomputes ONLY the delta partition and
+    merges it with the stored base, never rescanning the history.  At
+    100 TB this is the difference between a bounded nightly job and a
+    full-table rescan; the certificate entry proves merge(base, delta)
+    is hash-identical to the full recompute.  avg is re-derived from the
+    merged sum/count (it is NOT mergeable directly)."""
+    cols = base.columns
+    keys = [c for c in cols if c not in
+            ("n_samples", "sum_value", "min_value", "max_value", "avg_value")]
+    both = base.select(cols).unionByName(delta.select(cols))
+    return (
+        both.groupBy(*keys)
+        .agg(
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.sum(F.col("sum_value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .withColumn("avg_value", F.col("sum_value") / F.col("n_samples"))
+    )
+
+
+def trailing_distinct_users(
+    events: DataFrame,
+    window_hours: int = 24,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Distinct users over a trailing `window_hours` window, evaluated at
+    every hour that has at least one event.
+
+    COUNT(DISTINCT) is not window-frameable, so the scalable shape is
+    the hopping-window expand: each (hour, user) contributes to the
+    `window_hours` buckets it influences (a bounded 24x fan-out of the
+    DEDUPLICATED hour-user pairs, not the raw events), then one
+    hash-agg counts distinct users per bucket.  Per-bucket state is the
+    user set of one window — the same bound a streaming sliding-window
+    distinct would hold — and no per-key history is ever sorted."""
+    hours = events.select(
+        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(3_600_000))
+        .cast("long")
+        .alias("h"),
+        F.col(user_col).alias("user_id"),
+    ).distinct()
+    hops = hours.select(
+        F.explode(
+            F.sequence(F.col("h"), F.col("h") + F.lit(window_hours - 1))
+        ).alias("bucket"),
+        "user_id",
+    ).distinct()
+    actual = hours.select(F.col("h").alias("bucket")).distinct()
+    return (
+        hops.join(actual, "bucket")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

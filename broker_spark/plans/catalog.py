@@ -8454,6 +8454,79 @@ def q_streaming_cdc_upsert_replay(spark, sf_dir):
     return out
 
 
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance certificate: the hourly
+    rollup computed as base (events before 2024-01-15) MERGED with a
+    delta partial (events from 2024-01-15 on), against the full-recompute
+    oracle.  count/sum/min/max are commutative monoids, so the nightly
+    refresh touches only the delta — the merged result is proven
+    hash-identical to rescanning history."""
+    ev = load(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    base = rollup.rollup_level(
+        ev.filter(ms < TS_2024_01_15), ["event_type"], "value", 3_600_000
+    )
+    delta = rollup.rollup_level(
+        ev.filter(ms >= TS_2024_01_15), ["event_type"], "value", 3_600_000
+    )
+    return rollup.merge_rollup_partials(base, delta)
+
+
+@register(
+    "events_trailing_distinct_users",
+    """
+    WITH eh AS (SELECT DISTINCT epoch_ms(ts) // 3600000 AS h, user_id FROM events),
+    hrs AS (SELECT DISTINCT h FROM eh)
+    SELECT hrs.h AS bucket, CAST(COUNT(DISTINCT eh.user_id) AS BIGINT) AS n_users
+    FROM hrs JOIN eh ON eh.h BETWEEN hrs.h - 23 AND hrs.h
+    GROUP BY 1
+    """,
+)
+def q_events_trailing_distinct_users(spark, sf_dir):
+    """Distinct users over a trailing 24 h window at every active hour —
+    the sliding-window DISTINCT (not frameable as a window function).
+    Scalable shape: bounded 24x expand of the deduplicated (hour, user)
+    pairs, then one hash-agg; the oracle evaluates the same semantics as
+    an inequality join, fine at oracle scale, quadratic at corpus
+    scale — which is exactly why the expand shape exists."""
+    return rollup.trailing_distinct_users(load(spark, sf_dir, "events"))
+
+
+@register(
+    "table_fingerprint_documents",
+    """
+    SELECT coalesce(source, 'ALL') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 12)
+                         AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS digest
+    FROM documents GROUP BY ROLLUP(source)
+    """,
+)
+def q_table_fingerprint_documents(spark, sf_dir):
+    """Order-independent integrity fingerprint of the corpus, per source
+    + grand total: SUM (exact, DECIMAL domain) of each row's 48-bit md5
+    slice.  Addition commutes, so the digest is invariant to
+    partitioning and merge order — two 100 TB replicas compare by
+    exchanging one row per source.  Cross-engine: md5, substring and
+    hex-parse agree bit-for-bit between Spark and DuckDB."""
+    from broker_spark.operators.profile import table_fingerprint
+
+    return table_fingerprint(
+        load(spark, sf_dir, "documents"), "source", "doc_id", "text"
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -8550,6 +8623,9 @@ _AUDIT_PRIORITY = [
     "cdc_apply_final_state",
     "bucketed_join_order_revenue",
     "streaming_cdc_upsert_replay",
+    "rollup_incremental_merge",
+    "events_trailing_distinct_users",
+    "table_fingerprint_documents",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

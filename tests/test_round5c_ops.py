@@ -161,3 +161,121 @@ def test_bucketed_join_has_no_exchange_on_either_side(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+# -- incremental rollup merge ------------------------------------------------
+
+
+def test_merge_rollup_partials_equals_full_recompute(spark):
+    from broker_spark.operators import rollup
+
+    rows = [
+        (1, "a", _ts(1, 10), 5.0),
+        (2, "a", _ts(1, 40), 7.0),
+        (3, "a", _ts(2, 5), 1.0),
+        (4, "b", _ts(1, 0), 4.0),
+        (5, "b", _ts(3, 0), 9.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    base = rollup.rollup_level(
+        ev.filter(F.col("event_id") <= 2), ["event_type"], "value", 3_600_000
+    )
+    delta = rollup.rollup_level(
+        ev.filter(F.col("event_id") > 2), ["event_type"], "value", 3_600_000
+    )
+    merged = rollup.merge_rollup_partials(base, delta)
+    full = rollup.rollup_level(ev, ["event_type"], "value", 3_600_000)
+    key = lambda r: (r["event_type"], r["bucket"])
+    m = {key(r): r for r in merged.collect()}
+    f = {key(r): r for r in full.collect()}
+    assert set(m) == set(f)
+    for k in f:
+        for c in ("n_samples", "sum_value", "min_value", "max_value", "avg_value"):
+            assert m[k][c] == f[k][c], (k, c)
+
+
+def test_merge_rollup_with_empty_delta_is_identity(spark):
+    from broker_spark.operators import rollup
+
+    ev = spark.createDataFrame(
+        [(1, "a", _ts(1), 2.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    base = rollup.rollup_level(ev, ["event_type"], "value", 3_600_000)
+    merged = rollup.merge_rollup_partials(base, base.limit(0))
+    [r] = merged.collect()
+    assert r["n_samples"] == 1 and r["sum_value"] == 2.0 and r["avg_value"] == 2.0
+
+
+# -- trailing distinct users -------------------------------------------------
+
+
+def test_trailing_distinct_users_counts_window_not_hour(spark):
+    from broker_spark.operators import rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0), 100),
+            (2, dt.datetime(2024, 1, 1, 5), 200),
+            (3, dt.datetime(2024, 1, 2, 2), 100),  # 26h after hour 0
+        ],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r["bucket"]: r["n_users"] for r in
+           rollup.trailing_distinct_users(ev).collect()}
+    h0 = dt.datetime(2024, 1, 1).timestamp() * 1000 // 3_600_000
+    # hour 0: only user 100; hour 5: users 100+200; hour 26: user 100
+    # (hour 0's visit left the 24h window; hour 5's user 200 has not)
+    assert out[h0] == 1
+    assert out[h0 + 5] == 2
+    assert out[h0 + 26] == 2  # users 200 (h5, still inside) and 100 (h26)
+    assert set(out) == {h0, h0 + 5, h0 + 26}  # only hours with events
+
+
+def test_trailing_distinct_does_not_double_count_across_hours(spark):
+    from broker_spark.operators import rollup
+
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), 7), (2, dt.datetime(2024, 1, 1, 3), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = {r["bucket"]: r["n_users"] for r in
+           rollup.trailing_distinct_users(ev).collect()}
+    assert set(out.values()) == {1}  # same user twice is one user
+
+
+# -- table fingerprint -------------------------------------------------------
+
+
+def test_table_fingerprint_is_partition_order_invariant(spark):
+    from broker_spark.operators.profile import table_fingerprint
+
+    rows = [(i, f"text {i}", "s" + str(i % 3)) for i in range(50)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    b = (
+        spark.createDataFrame(list(reversed(rows)), a.schema)
+        .repartition(7)
+    )
+    fa = {r["source"]: (r["n_rows"], r["digest"]) for r in
+          table_fingerprint(a, "source", "doc_id", "text").collect()}
+    fb = {r["source"]: (r["n_rows"], r["digest"]) for r in
+          table_fingerprint(b, "source", "doc_id", "text").collect()}
+    assert fa == fb
+    assert fa["ALL"][0] == 50
+
+
+def test_table_fingerprint_detects_single_row_change(spark):
+    from broker_spark.operators.profile import table_fingerprint
+
+    rows = [(i, f"text {i}", "s") for i in range(10)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    rows[4] = (4, "text 4 CHANGED", "s")
+    b = spark.createDataFrame(rows, a.schema)
+    da = table_fingerprint(a, "source", "doc_id", "text").collect()
+    db = table_fingerprint(b, "source", "doc_id", "text").collect()
+    assert {r["source"]: r["digest"] for r in da} != {
+        r["source"]: r["digest"] for r in db
+    }
+    assert all(r["digest"].isdigit() for r in da)  # string digest, no exponent

@@ -53,6 +53,11 @@ AUDITED = [
     "ks_drift_sources",            # per-value collapse + compact ECDF window
     "multimodal_png_roundtrip",    # mapInPandas real PNG inflate/defilter
     "hll_monthly_merge",           # sketch rollup: daily register merge
+    # round-5 session 3
+    "dedup_prefix_filter_pairs",   # prefix-filtered similarity self-join
+    "scd2_user_event_type",        # gaps-and-islands keyed windows
+    "cdc_apply_final_state",       # last-op-wins changelog replay
+    "bucketed_join_order_revenue", # co-located bucketed SortMergeJoin
 ]
 
 
