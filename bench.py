@@ -163,6 +163,12 @@ HEADLINE = [
     "rollup_incremental_merge",
     "events_trailing_distinct_users",
     "table_fingerprint_documents",
+    "event_path_trigrams",
+    "chisq_source_lang",
+    "acf_daily_counts",
+    "benford_first_digit",
+    "events_key_skew",
+    "hll_click_purchase_overlap",
 ]
 
 

@@ -137,3 +137,56 @@ def table_fingerprint(
             F.col("digest").cast("string").alias("digest"),
         )
     )
+
+
+def key_skew_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-planning skew audit: for each candidate shuffle/join key,
+    the key-frequency profile that decides whether that key needs
+    salting or AQE skew handling — n_keys, max/avg per-key count, the
+    skew factor (max_count / avg_count, i.e. how much the hottest
+    partition-of-one-key exceeds the mean), and the hottest key itself.
+
+    This is the measurement behind `salted_stream_totals`' design note:
+    salting is only justified when skew_factor is large, and at 100 TB
+    you cannot eyeball that — one per-key agg per candidate (map-side
+    combined, output bounded by the key domain) answers it.  avg and the
+    factor are exact BIGINT ratios, so both engines compute identical
+    doubles.  The hottest key rides the same single agg via
+    min_by(key, (-cnt, key)) — no second pass, no single-partition
+    window over the key domain.  One row per audited key column."""
+    parts = []
+    for c in key_cols:
+        per = df.groupBy(F.col(c).cast("string").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        # min_by on (-cnt, key): max count, then the SMALLEST key among
+        # ties — deterministic without a second pass over `per`.
+        parts.append(
+            per.agg(
+                F.lit(c).alias("key_col"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.max("cnt").cast("long").alias("max_count"),
+                F.min_by("k", F.struct(-F.col("cnt"), F.col("k"))).alias(
+                    "top_key"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "key_col",
+        "n_rows",
+        "n_keys",
+        "max_count",
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys").cast("double"), 6
+        ).alias("avg_count"),
+        F.round(
+            (F.col("max_count") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("skew_factor"),
+        "top_key",
+    )

@@ -237,3 +237,170 @@ def cusum_daily_alarms(
         )
 
     return joined.groupBy("event_type").applyInPandas(_one_key, schema)
+
+
+def event_path_trigrams(events: DataFrame, min_count: int = 1) -> DataFrame:
+    """Consecutive event-type TRIGRAMS per user over the deterministic
+    (ts, event_id) order — the second-order extension of the transition
+    matrix (`event_transition_matrix` is first-order), the primitive
+    behind path mining ("view -> click -> purchase happens N times") and
+    higher-order Markov baselines for sequence models.
+
+    One window shuffle on user_id produces both lags; the result agg is
+    bounded by |types|^3 regardless of corpus size, so at 100 TB the
+    only scan-sized cost is the user-key shuffle the sessionization
+    family already pays."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("t2", F.lag("event_type", 1).over(w))
+        .withColumn("t1", F.lag("event_type", 2).over(w))
+        .filter(F.col("t1").isNotNull())
+        .groupBy(
+            F.col("t1").alias("type_1"),
+            F.col("t2").alias("type_2"),
+            F.col("event_type").alias("type_3"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .filter(F.col("n_paths") >= min_count)
+    )
+
+
+def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the drift gate companion to `ks_two_sample` (KS covers
+    numeric distributions; this covers categorical ones, e.g. "did the
+    source mix shift across languages after this crawl refresh").
+
+    Exactness discipline: each cell's statistic is computed from the
+    INTEGER identity (N*o - rt*ct)^2 / (N*rt*ct) — numerator and
+    denominator are exact DECIMAL(38,0) products of counts, so both
+    engines divide identical values; the per-cell doubles are rounded at
+    6 dp and summed in DECIMAL (order-free).  Scale shape: one
+    contingency agg bounded by |A|x|B| cells; marginals derive from the
+    cells (no second scan) and attach by broadcast.  Output one row:
+    n, n_cells, dof, chi2."""
+    cells = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
+    ct = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("a").alias("n_a"),
+        F.count_distinct("b").alias("n_b"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    joined = (
+        cells.join(broadcast(rt), "a")
+        .join(broadcast(ct), "b")
+        .crossJoin(broadcast(tot))
+    )
+    num = (d(F.col("n")) * d(F.col("o")) - d(F.col("rt")) * d(F.col("ct")))
+    den = d(F.col("n")) * d(F.col("rt")) * d(F.col("ct"))
+    term = F.round((num * num).cast("double") / den.cast("double"), 6)
+    return (
+        joined.select(
+            "n",
+            "n_a",
+            "n_b",
+            term.cast("decimal(28,12)").alias("term"),
+        )
+        .groupBy("n", "n_a", "n_b")
+        .agg(F.sum("term").cast("double").alias("chi2"))
+        .select(
+            "n",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_cells"),
+            ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+            F.round("chi2", 6).alias("chi2"),
+        )
+    )
+
+
+def acf_daily_counts(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the DAILY event-count series at lags 1..max_lag
+    (Pearson r between the series and its k-day shift) — the
+    seasonality probe behind "is this metric weekly-periodic", run
+    before any forecasting/anomaly threshold is tuned.
+
+    The raw scan collapses to one row per day FIRST, so every join and
+    moment below runs on a days-sized frame (365 rows/year no matter the
+    corpus).  All five moments per lag are exact DECIMAL sums of integer
+    products; r_k is one double division + sqrt over identical inputs.
+    Days missing from the data simply contribute no pair (r is over
+    observed day pairs)."""
+    daily = events.select(
+        F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    lags = (
+        daily.sparkSession.range(1, max_lag + 1)
+        .select(F.col("id").cast("long").alias("lag"))
+    )
+    x = daily.select(F.col("day").alias("day0"), F.col("n").alias("x"))
+    y = daily.select(F.col("day").alias("day1"), F.col("n").alias("y"))
+    pairs = (
+        x.crossJoin(broadcast(lags))
+        .withColumn("day1", F.col("day0") + F.col("lag"))
+        .join(y, "day1")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(d("x")).alias("sx"),
+            F.sum(d("y")).alias("sy"),
+            F.sum(d("x") * d("y")).alias("sxy"),
+            F.sum(d("x") * d("x")).alias("sxx"),
+            F.sum(d("y") * d("y")).alias("syy"),
+        )
+    )
+    np_ = F.col("n_pairs").cast("decimal(38,0)")
+    cov = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (np_ * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (np_ * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").alias("lag_days"),
+        "n_pairs",
+        F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("acf"),
+    )
+
+
+def benford_digit_stats(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    against Benford's law — the classic data-quality / fabrication probe
+    for financial-style magnitudes (Newcomb 1881, Benford 1938).
+
+    Digit extraction stays in the exact integer domain: values become
+    integer cents, the digit is the first character of the integer's
+    decimal string (both engines print integers identically — no float
+    formatting involved).  p_obs is an exact BIGINT ratio; p_benford =
+    log10(1+1/d) over nine small-int inputs; deviations are computed
+    from the 6-dp-rounded probabilities so the comparison is
+    engine-stable.  One scan, nine-row output."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        df.filter(F.col(value_col) > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    tot = per.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    p_obs = F.round(
+        F.col("n_obs").cast("double") / F.col("n_total").cast("double"), 6
+    )
+    p_ben = F.round(
+        F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")), 6
+    )
+    return (
+        per.crossJoin(broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            p_obs.alias("p_obs"),
+            p_ben.alias("p_benford"),
+        )
+        .withColumn(
+            "abs_dev", F.round(F.abs(F.col("p_obs") - F.col("p_benford")), 6)
+        )
+    )

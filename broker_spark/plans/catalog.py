@@ -8527,6 +8527,404 @@ def q_table_fingerprint_documents(spark, sf_dir):
     )
 
 
+@register(
+    "event_path_trigrams",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS t2,
+             lag(event_type, 2) OVER w AS t1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT t1 AS type_1, t2 AS type_2, event_type AS type_3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3
+    """,
+)
+def q_event_path_trigrams(spark, sf_dir):
+    """Consecutive event-type trigrams per user — the second-order
+    extension of `event_transition_matrix` (path mining / higher-order
+    Markov baseline).  One user-key window shuffle; the agg output is
+    bounded by |types|^3 regardless of corpus size."""
+    from broker_spark.operators.stats import event_path_trigrams
+
+    return event_path_trigrams(load(spark, sf_dir, "events"))
+
+
+@register(
+    "chisq_source_lang",
+    """
+    WITH cells AS (
+      SELECT source AS a, lang AS b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+    ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT a) AS BIGINT) AS n_a,
+                   CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+            FROM cells),
+    terms AS (
+      SELECT n, n_a, n_b,
+             CAST(round(
+               CAST((CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                    * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                    AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE), 6)
+             AS DECIMAL(28,12)) AS term
+      FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+    )
+    SELECT n, CAST(n_a * n_b AS BIGINT) AS n_cells,
+           CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+           round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_chisq_source_lang(spark, sf_dir):
+    """Chi-square independence between source and language — the
+    categorical drift gate (KS covers numeric columns; this covers "did
+    the source mix shift across languages").  Per-cell statistics use
+    the integer identity (N*o - rt*ct)^2 / (N*rt*ct): exact 128-bit
+    products on both sides (Spark DECIMAL(38,0) / DuckDB HUGEINT), one
+    double division per cell, DECIMAL-summed order-free."""
+    from broker_spark.operators.stats import chisq_independence
+
+    return chisq_independence(load(spark, sf_dir, "documents"), "source", "lang")
+
+
+@register(
+    "acf_daily_counts",
+    """
+    WITH daily AS (
+      SELECT epoch_ms(ts) // 86400000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT CAST(UNNEST([1,2,3,4,5,6,7]) AS BIGINT) AS lag_days),
+    m AS (
+      SELECT l.lag_days, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(CAST(x.n AS HUGEINT)) AS sx,
+             SUM(CAST(y.n AS HUGEINT)) AS sy,
+             SUM(CAST(x.n AS HUGEINT) * y.n) AS sxy,
+             SUM(CAST(x.n AS HUGEINT) * x.n) AS sxx,
+             SUM(CAST(y.n AS HUGEINT) * y.n) AS syy
+      FROM daily x CROSS JOIN lags l
+      JOIN daily y ON y.day = x.day + l.lag_days
+      GROUP BY 1
+    )
+    SELECT lag_days, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6) AS acf
+    FROM m
+    """,
+)
+def q_acf_daily_counts(spark, sf_dir):
+    """Autocorrelation of the daily event-count series at lags 1-7 — the
+    weekly-seasonality probe run before tuning forecast/anomaly
+    thresholds.  The scan collapses to one row per day first; every
+    moment is an exact 128-bit integer sum, so r_k is one identical
+    double division + sqrt in both engines."""
+    from broker_spark.operators.stats import acf_daily_counts
+
+    return acf_daily_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH per AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM per)
+    SELECT digit, n_obs,
+           round(CAST(n_obs AS DOUBLE) / n_total, 6) AS p_obs,
+           round(log10(1 + 1.0 / digit), 6) AS p_benford,
+           round(abs(round(CAST(n_obs AS DOUBLE) / n_total, 6)
+                     - round(log10(1 + 1.0 / digit), 6)), 6) AS abs_dev
+    FROM per CROSS JOIN tot
+    """,
+)
+def q_benford_first_digit(spark, sf_dir):
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the classic fabrication / data-quality probe for financial
+    magnitudes.  Digits extract in the exact integer domain (first char
+    of the integer-cents decimal string — no float formatting), p_obs is
+    an exact BIGINT ratio, and deviations compare the 6-dp-rounded
+    probabilities so both engines agree bit-for-bit."""
+    from broker_spark.operators.stats import benford_digit_stats
+
+    return benford_digit_stats(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register(
+    "events_key_skew",
+    """
+    WITH p1 AS (SELECT CAST(user_id AS VARCHAR) AS k,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1),
+    a1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(MAX(cnt) AS BIGINT) AS max_count FROM p1),
+    t1 AS (SELECT min(k) AS top_key FROM p1, a1 WHERE cnt = max_count),
+    p2 AS (SELECT event_type AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+    a2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                  CAST(COUNT(*) AS BIGINT) AS n_keys,
+                  CAST(MAX(cnt) AS BIGINT) AS max_count FROM p2),
+    t2 AS (SELECT min(k) AS top_key FROM p2, a2 WHERE cnt = max_count)
+    SELECT 'user_id' AS key_col, n_rows, n_keys, max_count,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_count,
+           round(CAST(max_count * n_keys AS DOUBLE) / n_rows, 6) AS skew_factor,
+           top_key
+    FROM a1, t1
+    UNION ALL
+    SELECT 'event_type', n_rows, n_keys, max_count,
+           round(CAST(n_rows AS DOUBLE) / n_keys, 6),
+           round(CAST(max_count * n_keys AS DOUBLE) / n_rows, 6),
+           top_key
+    FROM a2, t2
+    """,
+)
+def q_events_key_skew(spark, sf_dir):
+    """Shuffle-planning skew audit over the two candidate event shuffle
+    keys: per-key frequency profile + skew factor (max/avg count) + the
+    hottest key — the measurement that decides whether a key needs
+    salting (`salted_stream_totals`) or AQE skew handling before a
+    100 TB join is launched.  One map-side-combined agg per key; output
+    is one row per audited column."""
+    from broker_spark.operators.profile import key_skew_stats
+
+    return key_skew_stats(
+        load(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
+
+
+@register(
+    "streaming_trailing_distinct_replay",
+    """
+    WITH eh AS (SELECT DISTINCT epoch_ms(ts) // 3600000 AS h, user_id FROM events),
+    hrs AS (SELECT DISTINCT h FROM eh)
+    SELECT hrs.h AS bucket, CAST(COUNT(DISTINCT eh.user_id) AS BIGINT) AS n_users
+    FROM hrs JOIN eh ON eh.h BETWEEN hrs.h - 23 AND hrs.h
+    GROUP BY 1
+    """,
+)
+def q_streaming_trailing_distinct_replay(spark, sf_dir):
+    """The sliding-window COUNT(DISTINCT) as a real CHAINED-STATEFUL
+    streaming query — the first certificate in the family to chain two
+    stateful operators in ONE query (SPARK-40925 multiple-stateful
+    support): level 1 deduplicates (24h-sliding-window, user) pairs via
+    a windowed agg, level 2 re-windows the window column and counts —
+    exactly the batch hop-expand shape of `events_trailing_distinct_users`
+    executed as stateful streaming, against the same inequality-join
+    oracle.  Watermarks propagate one stateful level per micro-batch, so
+    the replay flushes with TWO sentinels / three availableNow runs (one
+    per level, plus the data run); sentinels sit 49h/98h past max(ts) so
+    their windows share no bucket with real data and the active-hours
+    join removes them.  Level-2's `w2.start` equals the trailing
+    window's last hour — the batch op's bucket — by construction."""
+    import datetime as dt_mod
+    import shutil
+
+    tmp = _replay_tmpdir("sdist_replay_")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    ev.write.parquet(f"{tmp}/in")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    def run_once():
+        src = spark.readStream.schema(ev.schema).parquet(f"{tmp}/in")
+        pairs = (
+            src.withWatermark("ts", "0 seconds")
+            .groupBy(
+                F.window("ts", "86400 seconds", "3600 seconds").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        counts = pairs.groupBy(
+            F.window(F.col("w"), "3600 seconds").alias("w2")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        _run_replay(spark, counts, tmp)
+
+    run_once()
+    for k, uid in ((49, -1), (98, -2)):
+        spark.createDataFrame(
+            [(max_ts + dt_mod.timedelta(hours=k), uid)], ev.schema
+        ).write.mode("append").parquet(f"{tmp}/in")
+        run_once()
+    sunk = spark.read.parquet(f"{tmp}/sink").select(
+        F.floor(F.unix_millis(F.col("w2.start")) / F.lit(3_600_000))
+        .cast("long")
+        .alias("bucket"),
+        "n_users",
+    )
+    actual = ev.select(
+        F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bucket")
+    ).distinct()
+    out = sunk.join(actual, "bucket")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
+def _hll_overlap_sql() -> str:
+    from broker_spark.pipeline import sketch
+
+    scale = sketch.HLL_SUM_SCALE
+    est_case = f"""
+             CASE WHEN ({sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE))
+                       <= {sketch.HLL_SMALL_RANGE!r}
+                   AND n_empty > 0
+                  THEN {float(sketch.HLL_M)!r}
+                       * ln({float(sketch.HLL_M)!r} / CAST(n_empty AS DOUBLE))
+                  ELSE {sketch.HLL_RAW_NUMERATOR!r} / CAST(power_sum AS DOUBLE)
+             END"""
+    return f"""
+    WITH e AS (SELECT event_type AS grp, user_id FROM events
+               WHERE event_type IN ('click', 'purchase')),
+    r AS (
+      SELECT grp,
+             CAST(CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 3))
+                  AS BIGINT) AS INT) AS register,
+             CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 4, 12))
+                  AS BIGINT) AS v
+      FROM e
+    ),
+    rho AS (
+      SELECT grp, register,
+             CASE WHEN v = 0 THEN {scale} ELSE {scale} - length(bin(v)) END AS rho
+      FROM r
+    ),
+    maxes AS (SELECT grp, register, CAST(MAX(rho) AS INT) AS m
+              FROM rho GROUP BY 1, 2),
+    allm AS (
+      SELECT * FROM maxes
+      UNION ALL
+      SELECT 'union', register, CAST(MAX(m) AS INT) FROM maxes GROUP BY 2
+    ),
+    grid AS (
+      SELECT g.grp, gr.register
+      FROM (SELECT DISTINCT grp FROM allm) g
+      CROSS JOIN (SELECT unnest(range({sketch.HLL_M})) AS register) gr
+    ),
+    full_regs AS (
+      SELECT grid.grp, grid.register, COALESCE(allm.m, 0) AS m0
+      FROM grid LEFT JOIN allm
+        ON grid.grp = allm.grp AND grid.register = allm.register
+    ),
+    pg AS (
+      SELECT grp,
+             CAST(SUM(CAST(1 AS BIGINT) << ({scale} - m0)) AS BIGINT) AS power_sum,
+             CAST(SUM(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+      FROM full_regs GROUP BY 1
+    ),
+    est AS (SELECT grp, {est_case} AS est FROM pg),
+    piv AS (
+      SELECT MAX(CASE WHEN grp = 'click' THEN est END) AS est_a,
+             MAX(CASE WHEN grp = 'purchase' THEN est END) AS est_b,
+             MAX(CASE WHEN grp = 'union' THEN est END) AS est_union
+      FROM est
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN grp = 'click' THEN user_id END)
+                  AS BIGINT) AS n_exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN grp = 'purchase' THEN user_id END)
+                  AS BIGINT) AS n_exact_b
+      FROM e
+    ),
+    exi AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_overlap
+      FROM (SELECT user_id FROM e GROUP BY 1 HAVING COUNT(DISTINCT grp) = 2)
+    )
+    SELECT n_exact_a, n_exact_b, n_exact_overlap,
+           round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+           round(est_union, 6) AS est_union,
+           round(est_a + est_b - est_union, 6) AS est_overlap,
+           round((est_a + est_b - est_union - n_exact_overlap)
+                 / NULLIF(n_exact_overlap, 0), 6) AS rel_error
+    FROM piv, ex, exi
+    """
+
+
+@register("hll_click_purchase_overlap", _hll_overlap_sql())
+def q_hll_click_purchase_overlap(spark, sf_dir):
+    """Sketch INTERSECTION by inclusion-exclusion — the audience-overlap
+    question ("how many users both click and purchase") answered from
+    three mergeable register tables: est(A) + est(B) - est(A∪B), where
+    the union registers are the per-register max of A's and B's (the
+    same merge the monthly rollup certifies).  At 100 TB the overlap of
+    any two segments is answered from m-row sketches without a second
+    scan or an exact distinct-join; the exact overlap rides along here
+    to expose the estimator's error.  Deterministic cross-engine: every
+    register/power-sum step is exact-integer, the three estimates are
+    identical doubles, and inclusion-exclusion is fixed-order float
+    arithmetic on them."""
+    from broker_spark.pipeline import sketch
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(F.col("event_type").alias("grp"), "user_id")
+    )
+    maxes = sketch.hll_register_maxes(ev, "user_id", ["grp"])
+    union_m = (
+        maxes.groupBy("register")
+        .agg(F.max("m").cast("int").alias("m"))
+        .withColumn("grp", F.lit("union"))
+        .select("grp", "register", "m")
+    )
+    allm = maxes.unionByName(union_m)
+    est = sketch.hll_estimate_from_maxes(
+        allm, allm.select("grp").distinct(), ["grp"]
+    )
+    piv = est.agg(
+        F.max(F.when(F.col("grp") == "click", F.col("hll_estimate"))).alias("e_a"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("hll_estimate"))).alias("e_b"),
+        F.max(F.when(F.col("grp") == "union", F.col("hll_estimate"))).alias("e_u"),
+    )
+    ex = ev.agg(
+        F.count_distinct(
+            F.when(F.col("grp") == "click", F.col("user_id"))
+        ).alias("n_exact_a"),
+        F.count_distinct(
+            F.when(F.col("grp") == "purchase", F.col("user_id"))
+        ).alias("n_exact_b"),
+    )
+    exi = (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("grp").alias("ng"))
+        .filter(F.col("ng") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_overlap"))
+    )
+    return (
+        piv.crossJoin(broadcast(ex))
+        .crossJoin(broadcast(exi))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_overlap",
+            F.round("e_a", 6).alias("est_a"),
+            F.round("e_b", 6).alias("est_b"),
+            F.round("e_u", 6).alias("est_union"),
+            F.round(F.col("e_a") + F.col("e_b") - F.col("e_u"), 6).alias(
+                "est_overlap"
+            ),
+            F.round(
+                F.try_divide(
+                    F.col("e_a") + F.col("e_b") - F.col("e_u")
+                    - F.col("n_exact_overlap"),
+                    F.nullif(F.col("n_exact_overlap"), F.lit(0)),
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -8626,6 +9024,13 @@ _AUDIT_PRIORITY = [
     "rollup_incremental_merge",
     "events_trailing_distinct_users",
     "table_fingerprint_documents",
+    "event_path_trigrams",
+    "chisq_source_lang",
+    "acf_daily_counts",
+    "benford_first_digit",
+    "events_key_skew",
+    "streaming_trailing_distinct_replay",
+    "hll_click_purchase_overlap",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

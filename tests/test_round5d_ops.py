@@ -1,0 +1,217 @@
+"""Round-5 fourth-session operators: path trigrams, chi-square
+independence, daily-count autocorrelation, Benford digit stats, and the
+key-skew audit — each pinned against a hand-computed or pure-Python
+reference on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from broker_spark.operators.profile import key_skew_stats
+from broker_spark.operators.stats import (
+    acf_daily_counts,
+    benford_digit_stats,
+    chisq_independence,
+    event_path_trigrams,
+)
+
+
+def _ts(d, h=0):
+    return dt.datetime(2024, 1, d, h)
+
+
+# -- path trigrams -----------------------------------------------------------
+
+
+def test_path_trigrams_counts_consecutive_triples(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 0), 7, "a"),
+            (2, _ts(1, 1), 7, "b"),
+            (3, _ts(1, 2), 7, "c"),
+            (4, _ts(1, 3), 7, "a"),  # user 7: abc, bca
+            (5, _ts(1, 0), 8, "a"),
+            (6, _ts(1, 1), 8, "b"),
+            (7, _ts(1, 2), 8, "c"),  # user 8: abc
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    out = {
+        (r["type_1"], r["type_2"], r["type_3"]): r["n_paths"]
+        for r in event_path_trigrams(ev).collect()
+    }
+    assert out == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
+
+
+def test_path_trigrams_do_not_cross_users(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(1, 0), 7, "a"),
+            (2, _ts(1, 1), 7, "b"),
+            (3, _ts(1, 0), 8, "c"),  # 2 events for u7, 1 for u8: no trigram
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    assert event_path_trigrams(ev).count() == 0
+
+
+# -- chi-square independence -------------------------------------------------
+
+
+def test_chisq_independent_columns_is_zero(spark):
+    # perfectly balanced 2x2: observed == expected everywhere
+    rows = [(i, "s1" if i % 2 else "s2", "en" if i % 4 < 2 else "de")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, source string, lang string")
+    [r] = chisq_independence(df, "source", "lang").collect()
+    assert r["n"] == 40 and r["n_cells"] == 4 and r["dof"] == 1
+    assert r["chi2"] == 0.0
+
+
+def test_chisq_matches_textbook_value(spark):
+    # contingency [[10, 20], [20, 10]]: chi2 = 60*(10*10-20*20)^2/(30*30*30*30)
+    rows = (
+        [(i, "a", "x") for i in range(10)]
+        + [(i + 100, "a", "y") for i in range(20)]
+        + [(i + 200, "b", "x") for i in range(20)]
+        + [(i + 300, "b", "y") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "id long, source string, lang string")
+    [r] = chisq_independence(df, "source", "lang").collect()
+    expect = 0.0
+    for o, rt, ct in [(10, 30, 30), (20, 30, 30), (20, 30, 30), (10, 30, 30)]:
+        expect += round((60 * o - rt * ct) ** 2 / (60 * rt * ct), 6)
+    assert abs(r["chi2"] - round(expect, 6)) < 1e-9
+    # textbook n(ad-bc)^2/(r1 r2 c1 c2) = 20/3, up to the documented
+    # per-cell 6-dp rounding (4 cells -> at most 2e-6 apart)
+    assert abs(r["chi2"] - 20.0 / 3) < 4 * 5e-7
+
+
+# -- autocorrelation ---------------------------------------------------------
+
+
+def test_acf_alternating_series_is_minus_one_at_lag_one(spark):
+    # daily counts 1,3,1,3,... -> r(1) = -1, r(2) = +1
+    rows = []
+    eid = 0
+    for d in range(1, 11):
+        for _ in range(1 if d % 2 else 3):
+            eid += 1
+            rows.append((eid, _ts(d)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["lag_days"]: r["acf"] for r in acf_daily_counts(ev, max_lag=2).collect()}
+    assert out[1] == -1.0
+    assert out[2] == 1.0
+
+
+def test_acf_matches_pure_python_pearson(spark):
+    counts = [5, 2, 7, 1, 9, 4, 6, 3, 8, 2, 5, 7]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _ts(d)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {r["lag_days"]: (r["n_pairs"], r["acf"])
+           for r in acf_daily_counts(ev, max_lag=3).collect()}
+    for k in (1, 2, 3):
+        xs, ys = counts[:-k], counts[k:]
+        n = len(xs)
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = math.sqrt(
+            (n * sum(x * x for x in xs) - sum(xs) ** 2)
+            * (n * sum(y * y for y in ys) - sum(ys) ** 2)
+        )
+        assert out[k][0] == n
+        assert abs(out[k][1] - round(num / den, 6)) < 1e-9
+
+
+# -- Benford -----------------------------------------------------------------
+
+
+def test_benford_digit_extraction_and_ratios(spark):
+    vals = [1.23, 19.99, 2.50, 0.31, 950.00, 0.09]  # digits 1,1,2,3,9,9
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, price double"
+    )
+    out = {r["digit"]: r for r in benford_digit_stats(df, "price").collect()}
+    assert {d: out[d]["n_obs"] for d in out} == {1: 2, 2: 1, 3: 1, 9: 2}
+    assert out[1]["p_obs"] == round(2 / 6, 6)
+    assert out[1]["p_benford"] == round(math.log10(2), 6)
+    assert out[9]["abs_dev"] == round(
+        abs(round(2 / 6, 6) - round(math.log10(1 + 1 / 9), 6)), 6
+    )
+
+
+def test_benford_ignores_nonpositive_values(spark):
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 3.5)], "id long, price double"
+    )
+    out = benford_digit_stats(df, "price").collect()
+    assert len(out) == 1 and out[0]["digit"] == 3 and out[0]["p_obs"] == 1.0
+
+
+# -- key skew ----------------------------------------------------------------
+
+
+def test_key_skew_stats_profile_and_top_key(spark):
+    rows = (
+        [(i, 100, "view") for i in range(6)]
+        + [(i + 10, 200, "view") for i in range(2)]
+        + [(20, 300, "click")]
+    )
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    out = {r["key_col"]: r for r in
+           key_skew_stats(ev, ["user_id", "event_type"]).collect()}
+    u = out["user_id"]
+    assert (u["n_rows"], u["n_keys"], u["max_count"]) == (9, 3, 6)
+    assert u["avg_count"] == 3.0 and u["skew_factor"] == 2.0
+    assert u["top_key"] == "100"
+    t = out["event_type"]
+    assert (t["n_keys"], t["max_count"], t["top_key"]) == (2, 8, "view")
+
+
+def test_key_skew_top_key_tie_breaks_to_smallest(spark):
+    ev = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "a"), (4, "b")], "event_id long, k string"
+    )
+    [r] = key_skew_stats(ev, ["k"]).collect()
+    assert r["max_count"] == 2 and r["top_key"] == "a"
+
+
+# -- HLL intersection --------------------------------------------------------
+
+
+def test_hll_overlap_inclusion_exclusion_identity(spark):
+    from broker_spark.plans.catalog import CATALOG
+    import tempfile, os, shutil
+
+    # synthetic events: users 0-99 click, 50-149 purchase -> overlap 50
+    rows = [(i, dt.datetime(2024, 1, 1), i, "click", 0.0, "{}") for i in range(100)]
+    rows += [
+        (i + 1000, dt.datetime(2024, 1, 1), 50 + i, "purchase", 0.0, "{}")
+        for i in range(100)
+    ]
+    tmp = tempfile.mkdtemp(prefix="hllov_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(tmp, "events.parquet"))
+    try:
+        [r] = CATALOG["hll_click_purchase_overlap"].fn(spark, tmp).collect()
+    finally:
+        shutil.rmtree(tmp)
+    assert r["n_exact_a"] == 100 and r["n_exact_b"] == 100
+    assert r["n_exact_overlap"] == 50
+    # inclusion-exclusion identity holds on the reported (rounded) fields
+    assert abs(
+        r["est_overlap"] - (r["est_a"] + r["est_b"] - r["est_union"])
+    ) < 1e-5
+    # with m=4096 registers and n=150 keys the estimates are near-exact
+    assert abs(r["est_overlap"] - 50) < 10
+    assert abs(r["rel_error"] - (r["est_overlap"] - 50) / 50) < 1e-5

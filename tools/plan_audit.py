@@ -58,6 +58,12 @@ AUDITED = [
     "scd2_user_event_type",        # gaps-and-islands keyed windows
     "cdc_apply_final_state",       # last-op-wins changelog replay
     "bucketed_join_order_revenue", # co-located bucketed SortMergeJoin
+    "rollup_incremental_merge",    # mergeable-partials union + re-agg
+    "events_trailing_distinct_users",  # bounded hop expand + hash-agg
+    "table_fingerprint_documents", # commutative digest, one ROLLUP pass
+    "chisq_source_lang",           # contingency cells + broadcast marginals
+    "events_key_skew",             # per-key agg + min_by hottest key
+    "hll_click_purchase_overlap",  # register-table inclusion-exclusion
 ]
 
 
