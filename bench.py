@@ -169,6 +169,10 @@ HEADLINE = [
     "benford_first_digit",
     "events_key_skew",
     "hll_click_purchase_overlap",
+    "dedup_components_incremental",
+    "clustering_silhouette",
+    "dow_adjusted_anomalies",
+    "ccf_click_purchase",
 ]
 
 

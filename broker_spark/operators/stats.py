@@ -404,3 +404,113 @@ def benford_digit_stats(df: DataFrame, value_col: str) -> DataFrame:
             "abs_dev", F.round(F.abs(F.col("p_obs") - F.col("p_benford")), 6)
         )
     )
+
+
+def dow_adjusted_anomalies(
+    events: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Seasonality-adjusted daily anomaly flags: each (event_type, day)
+    count is z-scored against the baseline of the SAME WEEKDAY
+    (epoch-day mod 7), so a quiet Sunday is not an incident and a Sunday
+    spike is not hidden by the weekday mean — the day-of-week-aware
+    complement to the global `zscore_anomaly_events`.
+
+    Baseline moments are exact integer sums per (type, dow): mean and
+    sample variance come from (n, Σx, Σx²) in DECIMAL, so both engines
+    z-score identical doubles.  A (type, dow) cell with fewer than two
+    observations has undefined variance and flags nothing (try_divide
+    -> NULL).  The baseline table is |types| x 7 rows — broadcast."""
+    daily = (
+        events.select(
+            "event_type",
+            F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    base = daily.groupBy(
+        "event_type", (F.col("day") % 7).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_base"),
+        F.sum(d("n_events")).alias("sx"),
+        F.sum(d("n_events") * d("n_events")).alias("sxx"),
+    )
+    j = daily.withColumn("dow", F.col("day") % 7).join(
+        broadcast(base), ["event_type", "dow"]
+    )
+    nb = F.col("n_base").cast("decimal(38,0)")
+    mean = F.col("sx").cast("double") / F.col("n_base").cast("double")
+    var = (nb * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
+        F.col("n_base") * (F.col("n_base") - 1)
+    ).cast("double")
+    z = F.try_divide(F.col("n_events").cast("double") - mean, F.sqrt(var))
+    return (
+        j.withColumn("zscore", z)
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "n_base",
+            F.round("zscore", 6).alias("zscore"),
+        )
+    )
+
+
+def ccf_daily_counts(
+    events: DataFrame,
+    type_a: str = "click",
+    type_b: str = "purchase",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation between two event types' daily-count series at
+    lags 0..max_lag (does `type_a` today predict `type_b` k days
+    later?) — the lead-lag probe behind "do clicks forecast purchases",
+    the two-series generalization of `acf_daily_counts`.
+
+    Identical exactness shape: the scan collapses to days-sized series
+    first, all five moments per lag are exact 128-bit integer sums, and
+    r_k is one double division + sqrt on identical inputs.  Days where
+    either series is missing contribute no pair."""
+    def series(t: str, day: str, val: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .select(
+                F.floor(F.unix_millis("ts") / F.lit(86_400_000))
+                .cast("long")
+                .alias(day)
+            )
+            .groupBy(day)
+            .agg(F.count(F.lit(1)).cast("long").alias(val))
+        )
+
+    da = series(type_a, "day0", "x")
+    db = series(type_b, "day1", "y")
+    lags = (
+        events.sparkSession.range(0, max_lag + 1)
+        .select(F.col("id").cast("long").alias("lag"))
+    )
+    pairs = (
+        da.crossJoin(broadcast(lags))
+        .withColumn("day1", F.col("day0") + F.col("lag"))
+        .join(db, "day1")
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    )
+    np_ = F.col("n_pairs").cast("decimal(38,0)")
+    cov = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (np_ * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (np_ * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("lag").alias("lag_days"),
+        "n_pairs",
+        F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("ccf"),
+    )

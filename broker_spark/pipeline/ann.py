@@ -1546,3 +1546,75 @@ def recall_vs_nprobe(
             F.col("n_agree").cast("double") / F.lit(float(n_q * k)), 6
         ).alias("recall"),
     )
+
+
+def centroid_silhouette(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Simplified silhouette (Hruschka et al.: centroid-based, the O(n*k)
+    variant of the O(n^2) classic) per label: for each point, a = L2
+    distance to its OWN label centroid, b = min distance to any OTHER
+    centroid, s = (b - a)/max(a, b).  avg(s) near 1 = tight separated
+    clusters; s < 0 = the point sits closer to a foreign centroid
+    (misassigned).  The cluster-quality gate run after any
+    labeling/clustering step, before the labels feed curation.
+
+    Scale shape: centroids come from the posexplode hash-agg
+    (`label_centroids`' plan) quantized to integer micro-units — the
+    quantized k x dim table is tiny and broadcasts, so the scoring pass
+    is scan + k-fan-out, no shuffle of vectors.  Cross-engine: distances
+    fold left-to-right over the array (F.aggregate ≡ list_sum), inputs
+    are the exact quantized centroids, and per-point s rounds at 6 dp
+    before the DECIMAL group sum."""
+    ex = embeddings.select(
+        label_col, F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val")
+    )
+    per_dim = ex.groupBy(label_col, "pos").agg(
+        F.floor(F.avg("val") * scale + F.lit(0.5)).cast("long").alias("q")
+    )
+    cent = per_dim.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "q"))),
+            lambda s: s.q.cast("double") / F.lit(float(scale)),
+        ).alias("carr")
+    ).select(F.col(label_col).alias("clab"), "carr")
+    pts = embeddings.select(
+        "vec_id",
+        F.col(label_col).alias("own"),
+        _as_double(F.col(vec_col)).alias("v"),
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "carr", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = pts.crossJoin(broadcast(cent)).select(
+        "vec_id", "own", "clab", dist.alias("dist")
+    )
+    pp = d.groupBy("vec_id", "own").agg(
+        F.min(F.when(F.col("clab") == F.col("own"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("clab") != F.col("own"), F.col("dist"))).alias("b"),
+    )
+    s = F.round(
+        F.try_divide(F.col("b") - F.col("a"), F.greatest("a", "b")), 6
+    )
+    return (
+        pp.select(F.col("own").alias(label_col), s.alias("sil"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.round(
+                F.sum(F.col("sil").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_silhouette"),
+            F.sum(F.when(F.col("sil") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misassigned"),
+        )
+    )

@@ -1123,3 +1123,48 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "common", "jaccard")
     )
+
+
+def incremental_components(
+    docs: DataFrame,
+    old_pairs: DataFrame,
+    new_pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental connected components: merge a NEW batch of candidate
+    pairs into an existing clustering WITHOUT re-running CC over the
+    full edge set — the graph-domain analog of
+    `rollup.merge_rollup_partials` (components, like count/sum, are a
+    merge-friendly structure: contract, solve small, expand).
+
+    Three steps: (1) base CC over the old pairs (in production this is
+    the STORED labeling, not a recompute); (2) contract — map each new
+    edge's endpoints through their base labels and keep only edges that
+    BRIDGE two base components; (3) CC on the contracted label graph
+    (nodes = base labels, edges = bridges — orders of magnitude smaller
+    than the corpus), then one join to relabel.  Because base labels are
+    min-ids of their components and the meta-CC takes min reachable
+    label, the final labeling is exactly the full-recompute labeling —
+    the certificate entry proves it hash-identical against the same
+    recursive-CTE oracle as `dedup_components`.  At 100 TB a nightly
+    crawl's delta touches the bridge graph, never the corpus."""
+    base = connected_components(docs, old_pairs, id_col, max_iter)
+    la = base.select(F.col(id_col).alias("doc_a"), F.col("component").alias("ca"))
+    lb = base.select(F.col(id_col).alias("doc_b"), F.col("component").alias("cb"))
+    bridges = (
+        new_pairs.select("doc_a", "doc_b")
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        .distinct()
+    )
+    meta_nodes = base.select(F.col("component").alias(id_col)).distinct()
+    meta = connected_components(meta_nodes, bridges, id_col, max_iter)
+    relabel = meta.select(
+        F.col(id_col).alias("_base_label"), F.col("component").alias("_final")
+    )
+    return base.join(
+        relabel, base["component"] == relabel["_base_label"]
+    ).select(id_col, F.col("_final").alias("component"))

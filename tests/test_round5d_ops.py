@@ -215,3 +215,125 @@ def test_hll_overlap_inclusion_exclusion_identity(spark):
     # with m=4096 registers and n=150 keys the estimates are near-exact
     assert abs(r["est_overlap"] - 50) < 10
     assert abs(r["rel_error"] - (r["est_overlap"] - 50) / 50) < 1e-5
+
+
+# -- incremental connected components ----------------------------------------
+
+
+def test_incremental_components_equals_full_cc(spark):
+    import random
+
+    from broker_spark.pipeline import dedup
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)})
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    old = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
+    new = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 != 0)
+    inc = {r["doc_id"]: r["component"] for r in
+           dedup.incremental_components(docs, old, new).collect()}
+    full = {r["doc_id"]: r["component"] for r in
+            dedup.connected_components(docs, pairs).collect()}
+    assert inc == full
+
+
+def test_incremental_components_bridging_two_base_clusters(spark):
+    from broker_spark.pipeline import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    old = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    new = spark.createDataFrame([(1, 2), (4, 5)], "doc_a long, doc_b long")
+    out = {r["doc_id"]: r["component"] for r in
+           dedup.incremental_components(docs, old, new).collect()}
+    # new edge 1-2 bridges {0,1} and {2,3} -> all labeled 0; 4-5 -> 4
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+# -- centroid silhouette -----------------------------------------------------
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    from broker_spark.pipeline.ann import centroid_silhouette
+
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.0], "a") for i in range(6)]
+    rows += [(i + 10, [0.0, 10.0 + (i % 3) * 0.01], "b") for i in range(6)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["label"]: r for r in centroid_silhouette(emb).collect()}
+    assert out["a"]["n_points"] == 6 and out["b"]["n_points"] == 6
+    assert out["a"]["avg_silhouette"] > 0.99
+    assert out["a"]["n_misassigned"] == 0 and out["b"]["n_misassigned"] == 0
+
+
+def test_silhouette_flags_misassigned_point(spark):
+    from broker_spark.pipeline.ann import centroid_silhouette
+
+    rows = [(1, [10.0, 0.0], "a"), (2, [10.2, 0.0], "a"),
+            (3, [0.0, 10.0], "b"), (4, [0.2, 10.0], "b"),
+            (5, [0.1, 9.9], "a")]  # labeled a, sits in b's cluster
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    out = {r["label"]: r for r in centroid_silhouette(emb).collect()}
+    assert out["a"]["n_misassigned"] == 1
+    assert out["b"]["n_misassigned"] == 0
+
+
+# -- day-of-week-adjusted anomalies ------------------------------------------
+
+
+def test_dow_anomaly_flags_spike_within_weekday_baseline(spark):
+    from broker_spark.operators.stats import dow_adjusted_anomalies
+
+    rows, eid = [], 0
+    for week in range(4):
+        for dow in range(7):
+            # weekday-dependent base rate: 10 + dow; one spike on the
+            # last Monday (dow index 0 of epoch-week)
+            n = 10 + dow + (30 if (week == 3 and dow == 0) else 0)
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, 1)
+                             + dt.timedelta(days=week * 7 + dow), "view"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = dow_adjusted_anomalies(ev, z_threshold=1.4).collect()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 40 and out[0]["zscore"] > 1.4
+
+
+def test_dow_anomaly_constant_series_flags_nothing(spark):
+    from broker_spark.operators.stats import dow_adjusted_anomalies
+
+    rows, eid = [], 0
+    for day in range(21):
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), "view"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    assert dow_adjusted_anomalies(ev, z_threshold=0.5).count() == 0
+
+
+# -- cross-correlation -------------------------------------------------------
+
+
+def test_ccf_detects_exact_lag(spark):
+    from broker_spark.operators.stats import ccf_daily_counts
+
+    counts = [5, 2, 7, 1, 9, 4, 6, 3, 8, 2]
+    rows, eid = [], 0
+    for day, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), "click"))
+        # purchases repeat the click series shifted 3 days later
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 4) + dt.timedelta(days=day), "purchase"))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = {r["lag_days"]: r["ccf"] for r in
+           ccf_daily_counts(ev, max_lag=4).collect()}
+    assert out[3] == 1.0  # exact copy at lag 3
+    assert all(out[k] < 1.0 for k in out if k != 3)

@@ -64,6 +64,9 @@ AUDITED = [
     "chisq_source_lang",           # contingency cells + broadcast marginals
     "events_key_skew",             # per-key agg + min_by hottest key
     "hll_click_purchase_overlap",  # register-table inclusion-exclusion
+    "dedup_components_incremental",  # contract-solve-expand CC merge
+    "clustering_silhouette",       # broadcast centroids, k-fan-out scoring
+    "dow_adjusted_anomalies",      # broadcast 7-row weekday baselines
 ]
 
 
