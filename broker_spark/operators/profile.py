@@ -112,11 +112,22 @@ def table_fingerprint(
     be compared by shipping ONE row per group instead of re-sorting
     either side.  48 bits per row keeps the sum exact in DECIMAL(38,0)
     out to ~10^24 rows.  The id|content concat is injective because the
-    id is numeric (cannot contain the separator).  Spark's ROLLUP
-    produces the per-group rows and the grand total in one pass."""
+    id is numeric (cannot contain the separator), and it NULL-PROPAGATES
+    (F.concat, not concat_ws): a NULL-content row hashes to NULL and is
+    skipped by the SUM in BOTH engines identically — with concat_ws,
+    Spark would hash md5(id) while a `||`-based oracle drops the row, a
+    silent cross-engine divergence.  n_rows still counts every row, so
+    a content column going NULL shows up as n_rows != digest coverage.
+    Spark's ROLLUP produces the per-group rows and the grand total in
+    one pass; the total row is labeled via GROUPING(), so a literal
+    NULL group value surfaces as '(null)' instead of colliding with
+    'ALL'."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.col(id_col), F.col(content_col))), 1, 12
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|"),
+                           F.col(content_col))),
+            1,
+            12,
         ),
         16,
         10,
@@ -127,9 +138,12 @@ def table_fingerprint(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum("_h").cast("decimal(38,0)").alias("digest"),
+            F.grouping(group_col).alias("_g"),
         )
         .select(
-            F.coalesce(F.col(group_col), F.lit("ALL")).alias(group_col),
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.coalesce(F.col(group_col), F.lit("(null)")))
+            .alias(group_col),
             "n_rows",
             # string, not numeric: the digest exceeds float64's exact-
             # integer range, and any consumer that round-trips through

@@ -272,10 +272,15 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     source mix shift across languages after this crawl refresh").
 
     Exactness discipline: each cell's statistic is computed from the
-    INTEGER identity (N*o - rt*ct)^2 / (N*rt*ct) — numerator and
-    denominator are exact DECIMAL(38,0) products of counts, so both
-    engines divide identical values; the per-cell doubles are rounded at
-    6 dp and summed in DECIMAL (order-free).  Scale shape: one
+    INTEGER identity (N*o - rt*ct)^2 / (N*rt*ct) — the inner difference
+    and the denominator are exact DECIMAL(38,0) products of counts
+    (bounded by N^2 and N^3 — within 128 bits out past 10^12 rows);
+    the SQUARE is taken in the double domain after one exact-to-double
+    cast, because num^2 can reach N^4 and would overflow the 38-digit
+    ceiling at ~3e9 rows (ANSI mode turns that into a query abort, not
+    a wrap).  Both engines square and divide identical doubles; the
+    per-cell results are rounded at 6 dp and summed in DECIMAL
+    (order-free).  Scale shape: one
     contingency agg bounded by |A|x|B| cells; marginals derive from the
     cells (no second scan) and attach by broadcast.  Output one row:
     n, n_cells, dof, chi2."""
@@ -295,9 +300,11 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         .join(broadcast(ct), "b")
         .crossJoin(broadcast(tot))
     )
-    num = (d(F.col("n")) * d(F.col("o")) - d(F.col("rt")) * d(F.col("ct")))
-    den = d(F.col("n")) * d(F.col("rt")) * d(F.col("ct"))
-    term = F.round((num * num).cast("double") / den.cast("double"), 6)
+    num = (
+        d(F.col("n")) * d(F.col("o")) - d(F.col("rt")) * d(F.col("ct"))
+    ).cast("double")
+    den = (d(F.col("n")) * d(F.col("rt")) * d(F.col("ct"))).cast("double")
+    term = F.round(num * num / den, 6)
     return (
         joined.select(
             "n",
@@ -371,17 +378,27 @@ def benford_digit_stats(df: DataFrame, value_col: str) -> DataFrame:
     for financial-style magnitudes (Newcomb 1881, Benford 1938).
 
     Digit extraction stays in the exact integer domain: values become
-    integer cents, the digit is the first character of the integer's
+    integer CENTS, the digit is the first character of the integer's
     decimal string (both engines print integers identically — no float
-    formatting involved).  p_obs is an exact BIGINT ratio; p_benford =
-    log10(1+1/d) over nine small-int inputs; deviations are computed
-    from the 6-dp-rounded probabilities so the comparison is
-    engine-stable.  One scan, nine-row output."""
+    formatting involved).  The cent quantization defines the semantics
+    at both edges: values that round below one cent carry no first
+    digit and are excluded (filtering on `cents >= 1`, not the raw
+    value — a 0.004 would otherwise quantize to digit 0 and divide by
+    zero), and a value within half a cent below a power of ten takes
+    the rounded-up digit (9.997 -> 1000 cents -> digit 1), which is the
+    correct digit OF THE QUANTIZED VALUE both engines share.  p_obs is
+    an exact BIGINT ratio; p_benford = log10(1+1/d) over nine small-int
+    inputs; deviations are computed from the 6-dp-rounded probabilities
+    so the comparison is engine-stable.  One scan, nine-row output."""
     cents = F.round(F.col(value_col) * 100).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
     per = (
-        df.filter(F.col(value_col) > 0)
-        .select(digit.alias("digit"))
+        df.select(cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
     )
@@ -441,9 +458,14 @@ def dow_adjusted_anomalies(
     )
     nb = F.col("n_base").cast("decimal(38,0)")
     mean = F.col("sx").cast("double") / F.col("n_base").cast("double")
-    var = (nb * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double") / (
-        F.col("n_base") * (F.col("n_base") - 1)
-    ).cast("double")
+    # try_divide on BOTH divisions: a (type, dow) cell observed on a
+    # single day has n_base*(n_base-1) = 0, which under ANSI mode would
+    # abort the whole query with DIVIDE_BY_ZERO instead of flagging
+    # nothing
+    var = F.try_divide(
+        (nb * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        (F.col("n_base") * (F.col("n_base") - 1)).cast("double"),
+    )
     z = F.try_divide(F.col("n_events").cast("double") - mean, F.sqrt(var))
     return (
         j.withColumn("zscore", z)

@@ -1552,6 +1552,7 @@ def centroid_silhouette(
     embeddings: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     scale: int = 1_000_000,
 ) -> DataFrame:
     """Simplified silhouette (Hruschka et al.: centroid-based, the O(n*k)
@@ -1582,7 +1583,7 @@ def centroid_silhouette(
         ).alias("carr")
     ).select(F.col(label_col).alias("clab"), "carr")
     pts = embeddings.select(
-        "vec_id",
+        id_col,
         F.col(label_col).alias("own"),
         _as_double(F.col(vec_col)).alias("v"),
     )
@@ -1594,9 +1595,9 @@ def centroid_silhouette(
         )
     )
     d = pts.crossJoin(broadcast(cent)).select(
-        "vec_id", "own", "clab", dist.alias("dist")
+        id_col, "own", "clab", dist.alias("dist")
     )
-    pp = d.groupBy("vec_id", "own").agg(
+    pp = d.groupBy(id_col, "own").agg(
         F.min(F.when(F.col("clab") == F.col("own"), F.col("dist"))).alias("a"),
         F.min(F.when(F.col("clab") != F.col("own"), F.col("dist"))).alias("b"),
     )

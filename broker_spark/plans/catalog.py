@@ -8506,7 +8506,8 @@ def q_events_trailing_distinct_users(spark, sf_dir):
 @register(
     "table_fingerprint_documents",
     """
-    SELECT coalesce(source, 'ALL') AS source,
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL'
+                ELSE coalesce(source, '(null)') END AS source,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(CAST(SUM(CAST('0x' || substr(md5(doc_id || '|' || text), 1, 12)
                          AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS digest
@@ -8568,9 +8569,10 @@ def q_event_path_trigrams(spark, sf_dir):
     terms AS (
       SELECT n, n_a, n_b,
              CAST(round(
-               CAST((CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
-                    * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+               CAST(CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct
                     AS DOUBLE)
+               * CAST(CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct
+                      AS DOUBLE)
                / CAST(CAST(n AS HUGEINT) * rt * ct AS DOUBLE), 6)
              AS DECIMAL(28,12)) AS term
       FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
@@ -8585,8 +8587,10 @@ def q_chisq_source_lang(spark, sf_dir):
     """Chi-square independence between source and language — the
     categorical drift gate (KS covers numeric columns; this covers "did
     the source mix shift across languages").  Per-cell statistics use
-    the integer identity (N*o - rt*ct)^2 / (N*rt*ct): exact 128-bit
-    products on both sides (Spark DECIMAL(38,0) / DuckDB HUGEINT), one
+    the integer identity (N*o - rt*ct)^2 / (N*rt*ct): the inner
+    difference and denominator are exact 128-bit products on both sides
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT); the square is taken in the
+    double domain (num^2 would overflow 38 digits past ~3e9 rows), one
     double division per cell, DECIMAL-summed order-free."""
     from broker_spark.operators.stats import chisq_independence
 
@@ -8634,10 +8638,11 @@ def q_acf_daily_counts(spark, sf_dir):
     "benford_first_digit",
     """
     WITH per AS (
-      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                              AS VARCHAR), 1, 1) AS INT) AS digit,
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
              CAST(COUNT(*) AS BIGINT) AS n_obs
-      FROM orders WHERE o_totalprice > 0 GROUP BY 1
+      FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders)
+      WHERE cents >= 1 GROUP BY 1
     ),
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM per)
     SELECT digit, n_obs,
@@ -8939,7 +8944,11 @@ def q_dedup_components_incremental(spark, sf_dir):
     At 100 TB the nightly crawl's delta touches the bridge graph, never
     the corpus."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs)
+    # one materialization, two readers: without the checkpoint the old-
+    # and new-parity filters would each re-run the full MinHash/LSH
+    # lineage (the dominant cost) — same pattern as the prefix-filter
+    # join's shingle frame
+    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
     old = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
     new = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 != 0)
     return dedup.incremental_components(docs, old, new)

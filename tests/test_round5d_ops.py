@@ -337,3 +337,71 @@ def test_ccf_detects_exact_lag(spark):
            ccf_daily_counts(ev, max_lag=4).collect()}
     assert out[3] == 1.0  # exact copy at lag 3
     assert all(out[k] < 1.0 for k in out if k != 3)
+
+
+# -- review-fix regressions --------------------------------------------------
+
+
+def test_dow_anomaly_single_day_type_does_not_crash(spark):
+    from broker_spark.operators.stats import dow_adjusted_anomalies
+
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i % 14), "view")
+            for i in range(50)]
+    rows.append((99, dt.datetime(2024, 1, 3), "launch_day_only"))  # n_base=1
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    out = dow_adjusted_anomalies(ev, z_threshold=0.1).collect()  # must not raise
+    assert all(r["event_type"] != "launch_day_only" for r in out)
+
+
+def test_benford_subcent_values_are_excluded_not_crashing(spark):
+    from broker_spark.operators.stats import benford_digit_stats
+
+    df = spark.createDataFrame(
+        [(1, 0.004), (2, 0.005), (3, 3.5)], "id long, price double"
+    )
+    out = {r["digit"]: r["n_obs"] for r in
+           benford_digit_stats(df, "price").collect()}
+    # 0.004 -> 0 cents, excluded; 0.005 -> 1 cent, digit 1; 3.5 -> digit 3
+    assert out == {1: 1, 3: 1}
+
+
+def test_table_fingerprint_null_content_skipped_identically(spark):
+    from broker_spark.operators.profile import table_fingerprint
+
+    a = spark.createDataFrame(
+        [(1, "x", "s"), (2, None, "s")], "doc_id long, text string, source string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x", "s")], "doc_id long, text string, source string"
+    )
+    fa = {r["source"]: r for r in
+          table_fingerprint(a, "source", "doc_id", "text").collect()}
+    fb = {r["source"]: r for r in
+          table_fingerprint(b, "source", "doc_id", "text").collect()}
+    # NULL content contributes nothing to the digest (but does to n_rows)
+    assert fa["s"]["digest"] == fb["s"]["digest"]
+    assert fa["s"]["n_rows"] == 2 and fb["s"]["n_rows"] == 1
+
+
+def test_table_fingerprint_null_group_does_not_collide_with_total(spark):
+    from broker_spark.operators.profile import table_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "y", "s")], "doc_id long, text string, source string"
+    )
+    out = {r["source"] for r in
+           table_fingerprint(df, "source", "doc_id", "text").collect()}
+    assert out == {"ALL", "(null)", "s"}
+
+
+def test_silhouette_id_col_is_parameterized(spark):
+    from broker_spark.pipeline.ann import centroid_silhouette
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b")],
+        "my_id long, vec array<double>, cluster string",
+    )
+    out = centroid_silhouette(
+        emb, label_col="cluster", vec_col="vec", id_col="my_id"
+    ).collect()
+    assert {r["cluster"] for r in out} == {"a", "b"}
