@@ -173,6 +173,9 @@ HEADLINE = [
     "clustering_silhouette",
     "dow_adjusted_anomalies",
     "ccf_click_purchase",
+    "fk_integrity_audit",
+    "unigram_kl_by_source",
+    "user_decile_migration",
 ]
 
 

@@ -204,3 +204,43 @@ def key_skew_stats(df: DataFrame, key_cols: list[str]) -> DataFrame:
         ).alias("skew_factor"),
         "top_key",
     )
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_col: str,
+    pk_col: str,
+    relationship: str,
+) -> DataFrame:
+    """One relationship's referential-integrity audit row: child row
+    count, distinct FK values, orphaned rows (FK with no matching PK —
+    NULL FKs count as orphans: a fact row that cannot join its dimension
+    is broken regardless of why).
+
+    The orphan probe is a LEFT ANTI join on the key — at 100 TB that is
+    one shuffle of (fk) against the parent's (pk), with the child side
+    pre-collapsed to distinct keys + counts so the join moves the KEY
+    DOMAIN, not the fact table.  Run before any join-heavy pipeline:
+    silent FK rot turns inner joins into row loss."""
+    per_fk = child.groupBy(F.col(fk_col).alias("_fk")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    orphan_keys = per_fk.join(
+        parent.select(F.col(pk_col).alias("_fk")).distinct(), "_fk", "left_anti"
+    )
+    tot = per_fk.agg(
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    orph = orphan_keys.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_orphan_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_orphan_keys"),
+    )
+    return tot.crossJoin(orph).select(
+        F.lit(relationship).alias("relationship"),
+        "n_rows",
+        "n_keys",
+        "n_orphan_rows",
+        "n_orphan_keys",
+    )

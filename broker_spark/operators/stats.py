@@ -536,3 +536,59 @@ def ccf_daily_counts(
         "n_pairs",
         F.round(F.try_divide(cov, F.sqrt(vx * vy)), 6).alias("ccf"),
     )
+
+
+def user_decile_migration(
+    events: DataFrame,
+    split_ms: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Engagement-decile migration matrix: each user's activity decile in
+    the period BEFORE `split_ms` vs AFTER it, counted per (from, to)
+    cell — the retention/churn structure ("are my heavy users going
+    quiet") that a plain retention triangle can't show.  Decile 0 means
+    inactive in that half; decile 10 is the most active band.
+
+    Scale discipline: deciles are VALUE-based equi-depth bands computed
+    from the count-of-counts histogram — the cumulative window runs over
+    the (half, activity-count) DOMAIN (bounded by distinct per-user
+    event counts), never over the user population, so there is no
+    corpus-sized single-partition ntile (the trap the histogram shape
+    exists to avoid).  Users sharing an activity count share a decile,
+    which also makes the banding deterministic without an arbitrary
+    tiebreak.  Everything is integer counts — exact in any engine."""
+    half = F.when(F.unix_millis(F.col(ts_col)) < F.lit(split_ms), 1).otherwise(2)
+    per = (
+        events.select(F.col(user_col).alias("u"), half.alias("h"))
+        .groupBy("u", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    hist = per.groupBy("h", "n").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    totals = per.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("n_half"))
+    w = Window.partitionBy("h").orderBy("n").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    mapping = (
+        hist.withColumn("cum", F.sum("nu").over(w))
+        .join(broadcast(totals), "h")
+        .select(
+            "h",
+            "n",
+            F.ceil(F.lit(10) * F.col("cum") / F.col("n_half"))
+            .cast("int")
+            .alias("decile"),
+        )
+    )
+    banded = per.join(mapping, ["h", "n"]).select("u", "h", "decile")
+    d1 = banded.filter(F.col("h") == 1).select("u", F.col("decile").alias("d1"))
+    d2 = banded.filter(F.col("h") == 2).select("u", F.col("decile").alias("d2"))
+    return (
+        d1.join(d2, "u", "full_outer")
+        .select(
+            F.coalesce("d1", F.lit(0)).alias("decile_before"),
+            F.coalesce("d2", F.lit(0)).alias("decile_after"),
+        )
+        .groupBy("decile_before", "decile_after")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -1532,3 +1532,60 @@ def pareto_frontier(
             F.col("y").alias("n_distinct_words"),
         )
     )
+
+
+def unigram_kl_by_source(docs: DataFrame, quant: int = 10**12) -> DataFrame:
+    """Per-source distribution drift against the whole corpus: KL(P_s ||
+    P_corpus) and the source's share of corpus tokens, over whitespace
+    unigrams — "which ingest source speaks a different language than the
+    mix" as ONE number per source, the multi-class generalization of the
+    two-sample KS gate.
+
+    KL is finite by construction (every source word exists in the corpus
+    distribution).  Cross-engine exactness: each term is
+    p_s * ln((c_sw * N) / (N_s * c_w)) where the inner ratio is a
+    quotient of exact 128-bit integer products (the PMI pattern) and p_s
+    is an exact BIGINT ratio — identical doubles — then quantized to
+    integer picounits (floor(x*1e12 + 0.5), the centroid-quantization
+    pattern) so the per-source SUM is an exact integer in any partition
+    order.  Scale shape: one (source, word) agg with map-side combine,
+    word marginals attach by shuffle join on the word (vocabulary is
+    corpus-sized — NOT broadcast, the prefix-filter lesson), scalar
+    totals by broadcast."""
+    tok = docs.select(
+        "source", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sw")
+    )
+    cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    ns = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))
+    tot = cw.agg(F.sum("c_w").cast("long").alias("n_tot"))
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    j = (
+        sw.join(cw.hint("merge"), "w")
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+    )
+    p_s = F.col("c_sw").cast("double") / F.col("n_s").cast("double")
+    ratio = (d("c_sw") * d("n_tot")).cast("double") / (
+        d("n_s") * d("c_w")
+    ).cast("double")
+    term_q = F.floor(p_s * F.log(ratio) * F.lit(float(quant)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        j.select("source", "n_s", "n_tot", term_q.alias("tq"))
+        .groupBy("source", "n_s", "n_tot")
+        .agg(F.sum(F.col("tq").cast("decimal(38,0)")).alias("klq"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_tokens"),
+            F.round(
+                F.col("klq").cast("double") / F.lit(float(quant)), 6
+            ).alias("kl_vs_corpus"),
+            F.round(
+                F.col("n_s").cast("double") / F.col("n_tot").cast("double"), 6
+            ).alias("token_share"),
+        )
+    )

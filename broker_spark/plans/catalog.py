@@ -9082,6 +9082,134 @@ def q_ccf_click_purchase(spark, sf_dir):
     return ccf_daily_counts(load(spark, sf_dir, "events"))
 
 
+_FK_REL_SQL = """
+      SELECT '{name}' AS relationship,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(CASE WHEN pk IS NULL THEN n END), 0) AS BIGINT)
+               AS n_orphan_rows,
+             CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_keys
+      FROM (
+        SELECT c.fk, c.n, p.pk
+        FROM (SELECT {fk} AS fk, COUNT(*) AS n FROM {child} GROUP BY 1) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
+          ON c.fk = p.pk
+      )
+"""
+
+
+@register(
+    "fk_integrity_audit",
+    " UNION ALL ".join(
+        _FK_REL_SQL.format(name=n, child=c, fk=fk, parent=p, pk=pk)
+        for n, c, fk, p, pk in [
+            ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ]
+    ),
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the warehouse's four FK edges:
+    orphaned rows/keys per relationship via LEFT ANTI probes whose child
+    side is pre-collapsed to distinct keys + counts (the join moves the
+    key domain, not the fact table).  Run before join-heavy pipelines —
+    silent FK rot turns inner joins into row loss.  A fully-consistent
+    fixture audits to zero orphans; the certificate is that BOTH engines
+    agree on exactly that."""
+    from broker_spark.operators.profile import referential_integrity
+
+    rels = [
+        ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in rels:
+        part = referential_integrity(
+            load(spark, sf_dir, child), load(spark, sf_dir, parent), fk, pk, name
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@register(
+    "unigram_kl_by_source",
+    """
+    WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c_sw
+           FROM tok GROUP BY 1, 2),
+    cw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tot FROM cw),
+    terms AS (
+      SELECT source, n_s, n_tot,
+             CAST(floor((CAST(c_sw AS DOUBLE) / n_s)
+                  * ln(CAST(CAST(c_sw AS HUGEINT) * n_tot AS DOUBLE)
+                       / CAST(CAST(n_s AS HUGEINT) * c_w AS DOUBLE))
+                  * 1000000000000 + 0.5) AS HUGEINT) AS tq
+      FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
+    )
+    SELECT source, n_s AS n_tokens,
+           round(CAST(SUM(tq) AS DOUBLE) / 1000000000000, 6) AS kl_vs_corpus,
+           round(CAST(n_s AS DOUBLE) / n_tot, 6) AS token_share
+    FROM terms GROUP BY source, n_s, n_tot
+    """,
+)
+def q_unigram_kl_by_source(spark, sf_dir):
+    """Per-source KL divergence against the corpus unigram mix — "which
+    ingest source speaks a different language than the blend", the
+    multi-class generalization of the KS drift gate.  Each term is an
+    exact-ratio double times ln of an exact 128-bit integer quotient
+    (the PMI pattern), quantized to integer picounits so the per-source
+    sum is partition-order-exact; word marginals attach by shuffle join
+    (vocabulary is corpus-sized, never broadcast)."""
+    return text.unigram_kl_by_source(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "user_decile_migration",
+    f"""
+    WITH per AS (
+      SELECT user_id AS u,
+             CASE WHEN epoch_ms(ts) < {TS_2024_01_15} THEN 1 ELSE 2 END AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    hist AS (SELECT h, n, CAST(COUNT(*) AS BIGINT) AS nu FROM per GROUP BY 1, 2),
+    totals AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_half FROM per GROUP BY 1),
+    mapping AS (
+      SELECT h, n,
+             CAST(ceil(10 * SUM(nu) OVER (PARTITION BY h ORDER BY n
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / CAST(n_half AS DOUBLE)) AS INT) AS decile
+      FROM hist JOIN totals USING (h)
+    ),
+    banded AS (SELECT u, h, decile FROM per JOIN mapping USING (h, n)),
+    d1 AS (SELECT u, decile AS da FROM banded WHERE h = 1),
+    d2 AS (SELECT u, decile AS db FROM banded WHERE h = 2)
+    SELECT COALESCE(da, 0) AS decile_before, COALESCE(db, 0) AS decile_after,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d1 FULL OUTER JOIN d2 USING (u)
+    GROUP BY 1, 2
+    """,
+)
+def q_user_decile_migration(spark, sf_dir):
+    """Engagement-decile migration matrix across the 2024-01-15 split:
+    each user's activity decile before vs after (0 = inactive in that
+    half) — the churn structure a retention triangle can't show.
+    Deciles are value-based equi-depth bands from the count-of-counts
+    histogram, so the cumulative window runs over the activity-count
+    DOMAIN, never a corpus-sized user ntile."""
+    from broker_spark.operators.stats import user_decile_migration
+
+    return user_decile_migration(load(spark, sf_dir, "events"), TS_2024_01_15)
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -9192,6 +9320,9 @@ _AUDIT_PRIORITY = [
     "clustering_silhouette",
     "dow_adjusted_anomalies",
     "ccf_click_purchase",
+    "fk_integrity_audit",
+    "unigram_kl_by_source",
+    "user_decile_migration",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

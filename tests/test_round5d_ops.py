@@ -405,3 +405,113 @@ def test_silhouette_id_col_is_parameterized(spark):
         emb, label_col="cluster", vec_col="vec", id_col="my_id"
     ).collect()
     assert {r["cluster"] for r in out} == {"a", "b"}
+
+
+# -- referential integrity ---------------------------------------------------
+
+
+def test_referential_integrity_counts_orphans_and_null_fks(spark):
+    from broker_spark.operators.profile import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    [r] = referential_integrity(child, parent, "fk", "pk", "child.fk").collect()
+    assert r["relationship"] == "child.fk"
+    assert r["n_rows"] == 4 and r["n_keys"] == 3
+    # fk=99 (1 row) and fk=NULL (1 row) are both orphaned
+    assert r["n_orphan_rows"] == 2 and r["n_orphan_keys"] == 2
+
+
+def test_referential_integrity_clean_table_audits_zero(spark):
+    from broker_spark.operators.profile import referential_integrity
+
+    child = spark.createDataFrame([(1, 10), (2, 20)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    [r] = referential_integrity(child, parent, "fk", "pk", "x").collect()
+    assert r["n_orphan_rows"] == 0 and r["n_orphan_keys"] == 0
+
+
+# -- unigram KL --------------------------------------------------------------
+
+
+def test_unigram_kl_identical_sources_is_zero(spark):
+    from broker_spark.pipeline.text import unigram_kl_by_source
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in unigram_kl_by_source(docs).collect()}
+    assert out["s1"]["kl_vs_corpus"] == 0.0
+    assert out["s2"]["kl_vs_corpus"] == 0.0
+    assert out["s1"]["token_share"] == 0.5
+
+
+def test_unigram_kl_matches_pure_python(spark):
+    import math
+    from collections import Counter
+
+    from broker_spark.pipeline.text import unigram_kl_by_source
+
+    s1 = "a a a b"
+    s2 = "b b c c d"
+    docs = spark.createDataFrame(
+        [(1, s1, "s1"), (2, s2, "s2")], "doc_id long, text string, source string"
+    )
+    corpus = Counter((s1 + " " + s2).split())
+    n_tot = sum(corpus.values())
+    out = {r["source"]: r for r in unigram_kl_by_source(docs).collect()}
+    for src, text_ in (("s1", s1), ("s2", s2)):
+        cnt = Counter(text_.split())
+        n_s = sum(cnt.values())
+        kl = sum(
+            math.floor((c / n_s) * math.log((c * n_tot) / (n_s * corpus[w]))
+                       * 1e12 + 0.5)
+            for w, c in cnt.items()
+        ) / 1e12
+        assert abs(out[src]["kl_vs_corpus"] - round(kl, 6)) < 1e-9
+        assert out[src]["n_tokens"] == n_s
+
+
+# -- decile migration --------------------------------------------------------
+
+
+def test_decile_migration_tracks_halves_and_inactive(spark):
+    from broker_spark.operators.stats import user_decile_migration
+
+    split = int(dt.datetime(2024, 1, 15).timestamp() * 1000)
+    rows, eid = [], 0
+    # user 1: active both halves; user 2: only first; user 3: only second
+    for day, users in [(1, [1, 2]), (20, [1, 3])]:
+        for u in users:
+            for _ in range(5 if u == 1 else 2):
+                eid += 1
+                rows.append((eid, dt.datetime(2024, 1, day), u))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {(r["decile_before"], r["decile_after"]): r["n_users"] for r in
+           user_decile_migration(ev, split).collect()}
+    # half 1: user2 (2 events) -> decile 5, user1 (5) -> decile 10
+    # half 2: user3 (2) -> decile 5, user1 (5) -> decile 10
+    assert out[(10, 10)] == 1   # user 1 stays top band
+    assert out[(5, 0)] == 1     # user 2 churned
+    assert out[(0, 5)] == 1     # user 3 appeared
+    assert sum(out.values()) == 3
+
+
+def test_decile_migration_ties_share_a_band(spark):
+    from broker_spark.operators.stats import user_decile_migration
+
+    split = int(dt.datetime(2024, 1, 15).timestamp() * 1000)
+    rows, eid = [], 0
+    for u in range(10):  # all users identical activity in half 1
+        for _ in range(3):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 2), u))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = user_decile_migration(ev, split).collect()
+    assert len(out) == 1  # one cell: everyone in the same (value-based) band
+    [r] = out
+    assert r["decile_before"] == 10 and r["decile_after"] == 0
+    assert r["n_users"] == 10

@@ -67,6 +67,9 @@ AUDITED = [
     "dedup_components_incremental",  # contract-solve-expand CC merge
     "clustering_silhouette",       # broadcast centroids, k-fan-out scoring
     "dow_adjusted_anomalies",      # broadcast 7-row weekday baselines
+    "fk_integrity_audit",          # key-domain anti-join orphan probes
+    "unigram_kl_by_source",        # shuffle-join word marginals, quantized sum
+    "user_decile_migration",       # histogram-domain equi-depth banding
 ]
 
 
