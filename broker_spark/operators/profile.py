@@ -230,7 +230,9 @@ def referential_integrity(
         parent.select(F.col(pk_col).alias("_fk")).distinct(), "_fk", "left_anti"
     )
     tot = per_fk.agg(
-        F.sum("_n").cast("long").alias("n_rows"),
+        # coalesce like the orphan sum below: an empty child must audit
+        # as n_rows=0, not NULL
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
     )
     orph = orphan_keys.agg(

@@ -9099,16 +9099,21 @@ _FK_REL_SQL = """
 """
 
 
+#: the audited FK edges — ONE list feeding both the oracle SQL and the
+#: Spark body, so the two sides cannot desynchronize
+_FK_RELS = [
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
 @register(
     "fk_integrity_audit",
     " UNION ALL ".join(
         _FK_REL_SQL.format(name=n, child=c, fk=fk, parent=p, pk=pk)
-        for n, c, fk, p, pk in [
-            ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-            ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
-            ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
-            ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
-        ]
+        for n, c, fk, p, pk in _FK_RELS
     ),
 )
 def q_fk_integrity_audit(spark, sf_dir):
@@ -9121,14 +9126,8 @@ def q_fk_integrity_audit(spark, sf_dir):
     agree on exactly that."""
     from broker_spark.operators.profile import referential_integrity
 
-    rels = [
-        ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
-        ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
-        ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
-    ]
     out = None
-    for name, child, fk, parent, pk in rels:
+    for name, child, fk, parent, pk in _FK_RELS:
         part = referential_integrity(
             load(spark, sf_dir, child), load(spark, sf_dir, parent), fk, pk, name
         )

@@ -1,7 +1,10 @@
-"""Round-5 fourth-session operators: path trigrams, chi-square
-independence, daily-count autocorrelation, Benford digit stats, and the
-key-skew audit — each pinned against a hand-computed or pure-Python
-reference on tiny frames."""
+"""Round-5 fourth/fifth-session operators: path trigrams, chi-square
+independence, daily-count autocorrelation, Benford digit stats, the
+key-skew audit, HLL intersection, incremental connected components,
+centroid silhouette, day-of-week anomalies, cross-correlation,
+referential integrity, unigram KL drift, and decile migration — each
+pinned against a hand-computed or pure-Python reference on tiny
+frames, plus regressions for the two session self-reviews."""
 
 from __future__ import annotations
 
