@@ -176,6 +176,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "unigram_kl_by_source",
     "user_decile_migration",
+    "psi_length_by_source",
 ]
 
 

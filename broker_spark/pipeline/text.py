@@ -1589,3 +1589,90 @@ def unigram_kl_by_source(docs: DataFrame, quant: int = 10**12) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+def psi_by_source(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    bins: int = 10,
+    eps: float = 1e-4,
+    quant: int = 10**12,
+) -> DataFrame:
+    """Population Stability Index of `value_col` per source vs the whole
+    corpus — the standard MLOps drift score (PSI < 0.1 stable, > 0.25
+    action): PSI = sum_i (p_i - q_i) * ln(p_i / q_i) over `bins`
+    equi-width bins of the value range, with the conventional
+    epsilon-CLIP on proportions (p_i = max(c_i/n, eps)) so empty bins
+    stay finite.  Clip, not add-one smoothing: add-one gives every
+    empty bin 1/(n+bins) pseudo-mass, which for a small source reads as
+    ~1% mass where the corpus has ~0% and inflates PSI from the
+    smoothing alone; the clip floor is shared by both sides, so an
+    empty-vs-nearly-empty bin contributes ~nothing while an
+    empty-vs-heavy bin still flags hard.  Completes the drift-gate
+    family: KS (numeric, two-sample), chi-square (categorical), KL
+    (vocabulary), PSI (binned numeric score with conventional
+    thresholds).
+
+    Exactness: bin ids are exact integer arithmetic on the broadcast
+    min/max; p and q are exact-ratio doubles clipped against an exact
+    constant, so both engines compute identical doubles through the one
+    division, ln, and product; each term quantizes to integer picounits
+    (floor(x*1e12 + 0.5)) so the per-source sum is
+    partition-order-exact.  The (source x bin) grid is materialized
+    (HLL-grid pattern) so zero-count bins contribute their clipped
+    mass.  One scan, two domain-bounded aggs."""
+    rng = docs.agg(
+        F.min(value_col).cast("long").alias("mn"),
+        F.max(value_col).cast("long").alias("mx"),
+    )
+    b = F.least(
+        F.lit(bins - 1),
+        F.floor(
+            (F.col(value_col) - F.col("mn"))
+            * F.lit(bins)
+            / (F.col("mx") - F.col("mn") + 1)
+        ),
+    ).cast("int")
+    binned = docs.crossJoin(broadcast(rng)).select(
+        "source", b.alias("bin")
+    )
+    sb = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c_sb")
+    )
+    cb = sb.groupBy("bin").agg(F.sum("c_sb").cast("long").alias("c_b"))
+    ns = sb.groupBy("source").agg(F.sum("c_sb").cast("long").alias("n_s"))
+    tot = cb.agg(F.sum("c_b").cast("long").alias("n_tot"))
+    spark = docs.sparkSession
+    grid = ns.select("source", "n_s").crossJoin(
+        broadcast(spark.range(bins).select(F.col("id").cast("int").alias("bin")))
+    )
+    full = (
+        grid.join(sb, ["source", "bin"], "left")
+        .withColumn("c0", F.coalesce(F.col("c_sb"), F.lit(0)))
+        # left join: a bin no document falls in still contributes its
+        # smoothed mass (c_b = 0), it must not drop the grid row
+        .join(broadcast(cb), "bin", "left")
+        .withColumn("c_b", F.coalesce(F.col("c_b"), F.lit(0)))
+        .crossJoin(broadcast(tot))
+    )
+    p = F.greatest(
+        F.col("c0").cast("double") / F.col("n_s").cast("double"), F.lit(eps)
+    )
+    q = F.greatest(
+        F.col("c_b").cast("double") / F.col("n_tot").cast("double"), F.lit(eps)
+    )
+    tq = F.floor((p - q) * F.log(p / q) * F.lit(float(quant)) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        full.select("source", "n_s", tq.alias("tq"))
+        .groupBy("source", "n_s")
+        .agg(F.sum(F.col("tq").cast("decimal(38,0)")).alias("pq"))
+        .select(
+            "source",
+            F.col("n_s").alias("n_docs"),
+            F.round(F.col("pq").cast("double") / F.lit(float(quant)), 6).alias(
+                "psi"
+            ),
+        )
+    )

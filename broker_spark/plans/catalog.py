@@ -9209,6 +9209,58 @@ def q_user_decile_migration(spark, sf_dir):
     return user_decile_migration(load(spark, sf_dir, "events"), TS_2024_01_15)
 
 
+@register(
+    "psi_length_by_source",
+    """
+    WITH rng AS (SELECT CAST(MIN(n_chars) AS BIGINT) AS mn,
+                        CAST(MAX(n_chars) AS BIGINT) AS mx FROM documents),
+    binned AS (
+      SELECT source,
+             CAST(least(9, (n_chars - mn) * 10 // (mx - mn + 1)) AS INT) AS bin
+      FROM documents CROSS JOIN rng
+    ),
+    sb AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c_sb
+           FROM binned GROUP BY 1, 2),
+    cb AS (SELECT bin, CAST(SUM(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_tot FROM cb),
+    grid AS (
+      SELECT ns.source, ns.n_s, g.bin
+      FROM ns CROSS JOIN (SELECT CAST(unnest(range(10)) AS INT) AS bin) g
+    ),
+    full_g AS (
+      SELECT grid.source, grid.n_s, grid.bin,
+             COALESCE(sb.c_sb, 0) AS c0, COALESCE(cb.c_b, 0) AS c_b
+      FROM grid
+      LEFT JOIN sb ON grid.source = sb.source AND grid.bin = sb.bin
+      LEFT JOIN cb ON grid.bin = cb.bin
+    ),
+    terms AS (
+      SELECT source, n_s,
+             CAST(floor(
+               (greatest(CAST(c0 AS DOUBLE) / n_s, 0.0001)
+                - greatest(CAST(c_b AS DOUBLE) / n_tot, 0.0001))
+               * ln(greatest(CAST(c0 AS DOUBLE) / n_s, 0.0001)
+                    / greatest(CAST(c_b AS DOUBLE) / n_tot, 0.0001))
+               * 1000000000000 + 0.5) AS HUGEINT) AS tq
+      FROM full_g CROSS JOIN tot
+    )
+    SELECT source, n_s AS n_docs,
+           round(CAST(SUM(tq) AS DOUBLE) / 1000000000000, 6) AS psi
+    FROM terms GROUP BY source, n_s
+    """,
+)
+def q_psi_length_by_source(spark, sf_dir):
+    """Population Stability Index of document length per source vs the
+    corpus (10 equi-width bins, conventional epsilon-clip on
+    proportions) — the standard MLOps drift score with its 0.1/0.25
+    action thresholds, completing the drift-gate family (KS two-sample,
+    chi-square categorical, KL vocabulary, PSI binned-numeric).  Exact
+    bin ids, exact-ratio doubles clipped against an exact constant,
+    picounit-quantized order-free sums."""
+    return text.psi_by_source(load(spark, sf_dir, "documents"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -9322,6 +9374,7 @@ _AUDIT_PRIORITY = [
     "fk_integrity_audit",
     "unigram_kl_by_source",
     "user_decile_migration",
+    "psi_length_by_source",
     # -- code/oracle changed in round 5 session 1 (degenerate-input
     # hardening, dynamic grid sizing) — r4-driver-green before the change,
     # hardening covered by regression tests, so ranked below the

@@ -518,3 +518,69 @@ def test_decile_migration_ties_share_a_band(spark):
     [r] = out
     assert r["decile_before"] == 10 and r["decile_after"] == 0
     assert r["n_users"] == 10
+
+
+# -- PSI drift ---------------------------------------------------------------
+
+
+def test_psi_identical_sources_near_zero_and_shift_detected(spark):
+    from broker_spark.pipeline.text import psi_by_source
+
+    rows = []
+    # eight sources share the length distribution; one SMALL source is
+    # shifted high.  The corpus blend is then ~99% normal, so normal
+    # sources sit near it and the outlier stands out.  (PSI is vs the
+    # BLEND: if the outlier were a large share of the corpus, every
+    # normal source would legitimately drift from the blend too — so
+    # the scenario keeps it small.)
+    rid = 0
+    for s in range(8):
+        for i in range(60):
+            rows.append((rid, "x", f"s{s}", 100 + (i % 10)))
+            rid += 1
+    for i in range(6):
+        rows.append((rid, "x", "shifted", 900 + i))
+        rid += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    out = {r["source"]: r["psi"] for r in psi_by_source(docs).collect()}
+    assert out["shifted"] > 0.25     # conventional "action" threshold
+    assert all(out[f"s{s}"] < 0.25 for s in range(8))
+    assert out["shifted"] > 3 * max(out[f"s{s}"] for s in range(8))
+
+
+def test_psi_matches_pure_python(spark):
+    import math
+
+    from broker_spark.pipeline.text import psi_by_source
+
+    lengths = {"a": [5, 5, 7, 9, 20], "b": [20, 22, 25, 25]}
+    rows = [(i * 100 + j, "x", s, L)
+            for i, (s, ls) in enumerate(sorted(lengths.items()))
+            for j, L in enumerate(ls)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    allv = [v for ls in lengths.values() for v in ls]
+    mn, mx = min(allv), max(allv)
+    def b(v):
+        return min(9, (v - mn) * 10 // (mx - mn + 1))
+    cb = [0] * 10
+    for v in allv:
+        cb[b(v)] += 1
+    n_tot = len(allv)
+    out = {r["source"]: r for r in psi_by_source(docs).collect()}
+    for s, ls in lengths.items():
+        cs = [0] * 10
+        for v in ls:
+            cs[b(v)] += 1
+        n_s = len(ls)
+        psi = 0
+        for i, c in enumerate(cs):
+            p = max(c / n_s, 1e-4)
+            q = max(cb[i] / n_tot, 1e-4)
+            psi += math.floor((p - q) * math.log(p / q) * 1e12 + 0.5)
+        psi /= 1e12
+        assert abs(out[s]["psi"] - round(psi, 6)) < 1e-9
+        assert out[s]["n_docs"] == n_s

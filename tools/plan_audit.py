@@ -70,6 +70,7 @@ AUDITED = [
     "fk_integrity_audit",          # key-domain anti-join orphan probes
     "unigram_kl_by_source",        # shuffle-join word marginals, quantized sum
     "user_decile_migration",       # histogram-domain equi-depth banding
+    "psi_length_by_source",        # grid-materialized smoothed-bin PSI
 ]
 
 
