@@ -592,3 +592,244 @@ def user_decile_migration(
         .groupBy("decile_before", "decile_after")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def _daily_counts(events: DataFrame) -> DataFrame:
+    """Per-type daily event counts with epoch-day keys (the shared base
+    for the forecasting/trend family)."""
+    return (
+        events.withColumn(
+            "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def holt_trend_daily(
+    events: DataFrame, alpha: float = 0.5, beta: float = 0.2
+) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per event type over
+    the daily count series: level + trend state, plus the one-step-ahead
+    fitted forecast — the forecasting upgrade of the EWMA entry (which
+    tracks level only and lags any trending series by construction).
+
+    Recurrence (classic Holt 1957 form, literal op order shared with the
+    recursive-CTE oracle so the doubles fold identically):
+      l_1 = x_1,  b_1 = x_2 - x_1 (0 for a one-point series)
+      l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+      b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+      f_t = l_{t-1} + b_{t-1}   (f_1 = x_1)
+
+    Iterative -> applyInPandas per key (the EWMA/CUSUM pattern): the
+    recurrence runs over the DAILY frame — one row per day per type,
+    bounded by calendar length regardless of corpus scale — and
+    parallelizes across keys."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    a, b_w = float(alpha), float(beta)
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", LongType()),
+            StructField("n_events", LongType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+
+    def _one_key(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        xs = [float(v) for v in pdf["n_events"]]
+        lvl = xs[0]
+        trd = (xs[1] - xs[0]) if len(xs) >= 2 else 0.0
+        levels, trends, fcsts = [lvl], [trd], [xs[0]]
+        for x in xs[1:]:
+            f = lvl + trd
+            l_new = a * x + (1.0 - a) * (lvl + trd)
+            trd = b_w * (l_new - lvl) + (1.0 - b_w) * trd
+            lvl = l_new
+            levels.append(lvl)
+            trends.append(trd)
+            fcsts.append(f)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "day": pdf["day"],
+                "n_events": pdf["n_events"],
+                "level": [round(v, 6) for v in levels],
+                "trend": [round(v, 6) for v in trends],
+                "forecast": [round(v, 6) for v in fcsts],
+            }
+        )
+
+    return _daily_counts(events).groupBy("event_type").applyInPandas(_one_key, schema)
+
+
+def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
+    """Theil-Sen robust trend per event type over the daily count
+    series: slope = median of all pairwise slopes, intercept = median of
+    (x - slope*day) — the estimator that shrugs off the outlier days
+    that wreck an OLS fit (29% breakdown point).
+
+    Scale shape: the O(d^2) pair generation runs on the DAILY aggregate
+    (d = calendar days, bounded and corpus-scale-independent), joined
+    per type — never on raw events.  Exact medians via percentile();
+    both engines interpolate lower + frac*(upper-lower) over identical
+    double lists, and outputs round to 6dp."""
+    daily = _daily_counts(events).withColumn(
+        "x", F.col("n_events").cast("double")
+    )
+    a, bb = [daily.alias(s) for s in ("a", "b")]
+    slopes = (
+        a.join(bb, "event_type")
+        .filter(F.col("a.day") < F.col("b.day"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.x") - F.col("a.x"))
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = daily.join(broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope",
+        (F.col("x") - F.col("slope") * F.col("day").cast("double")).alias("r"),
+    )
+    return (
+        resid.groupBy("event_type", "n_pairs", "slope")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.percentile("r", F.lit(0.5)).alias("icpt"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("slope"),
+            F.round("icpt", 6).alias("intercept"),
+        )
+    )
+
+
+def seasonal_naive_errors(events: DataFrame, season_days: int = 7) -> DataFrame:
+    """Forecast-skill scorecard of the seasonal-naive baseline
+    (forecast(d) = count(d - 7)) per event type: MAE, bias, RMSE, MAPE.
+    The standard sanity floor every real forecaster must beat — and the
+    drift signal when a series' own weekly rhythm stops predicting it.
+
+    Exactness: errors are integer count differences, so MAE/bias/RMSE
+    ride BIGINT sums (order-free); MAPE's rational per-day terms go
+    through the picounit floor-quantization used by the PSI/KL entries,
+    then one double division each — value-hash reproducible."""
+    daily = _daily_counts(events)
+    lag = daily.select(
+        "event_type",
+        (F.col("day") + F.lit(int(season_days))).alias("day"),
+        F.col("n_events").alias("n_base"),
+    )
+    j = daily.join(lag, ["event_type", "day"])
+    err = (F.col("n_events") - F.col("n_base")).cast("long")
+    quant = 1_000_000_000_000
+    mape_term = F.floor(
+        F.abs(err).cast("double")
+        / F.col("n_events").cast("double")
+        * F.lit(float(quant))
+        + F.lit(0.5)
+    ).cast("long")
+    agg = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.abs(err)).cast("long").alias("s_abs"),
+        F.sum(err).cast("long").alias("s_err"),
+        F.sum(err * err).cast("long").alias("s_sq"),
+        F.sum(mape_term.cast("decimal(38,0)")).alias("s_mape"),
+    )
+    n = F.col("n_days").cast("double")
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.round(F.col("s_abs").cast("double") / n, 6).alias("mae"),
+        F.round(F.col("s_err").cast("double") / n, 6).alias("bias"),
+        F.round(F.sqrt(F.col("s_sq").cast("double") / n), 6).alias("rmse"),
+        F.round(
+            F.col("s_mape").cast("double") / F.lit(float(quant)) / n, 6
+        ).alias("mape"),
+    )
+
+
+def multitouch_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    lookback_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase's
+    value is credited 40/20/40 across the user's clicks in the 7-day
+    lookback window (1 click -> 100%, 2 -> 50/50, k>=3 -> first 40%,
+    last 40%, middles share 20%), aggregated by the CLICK's hour of day
+    — "which hour's engagement earns revenue", the standard marketing
+    answer the last-touch-only as-of join cannot give.
+
+    Shape: one equi-join on user_id (hash join; the lookback window is a
+    post-join range filter), one window over the purchase id for
+    position/count, exact picounit-quantized value sums."""
+    t = F.unix_millis("ts")
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("touch_id"),
+        t.alias("t_ms"),
+    )
+    convs = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("conv_id"),
+        t.alias("c_ms"),
+        F.col("value").alias("c_value"),
+    )
+    j = touches.join(convs, "user_id").filter(
+        (F.col("t_ms") < F.col("c_ms"))
+        & (F.col("t_ms") >= F.col("c_ms") - F.lit(int(lookback_ms)))
+    )
+    w = Window.partitionBy("conv_id")
+    ordered = w.orderBy(F.col("t_ms").asc(), F.col("touch_id").asc())
+    ranked = j.select(
+        "*",
+        F.row_number().over(ordered).alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("k"),
+    )
+    k = F.col("k").cast("double")
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(F.col("rnk") == 1, F.lit(0.4))
+        .when(F.col("rnk") == F.col("k"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (k - F.lit(2.0)))
+    )
+    quant = 1_000_000_000_000
+    term = F.floor(
+        F.col("c_value") * weight * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("decimal(38,0)")
+    hour = F.expr("CAST((t_ms % 86400000) DIV 3600000 AS INT)")
+    return (
+        ranked.select(hour.alias("click_hour"), term.alias("term"))
+        .groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(
+                F.sum("term").cast("double") / F.lit(float(quant)), 6
+            ).alias("attributed_value"),
+        )
+    )

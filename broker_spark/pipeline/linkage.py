@@ -1,0 +1,174 @@
+"""Record linkage / entity resolution over noisy string keys.
+
+The classic training-data-cleaning step the reference never needed (its
+keys are exact stream ids) but any 100 TB ingestion pipeline does:
+near-identical entity names arriving from independent sources must be
+blocked, compared, and resolved into canonical entities.
+
+Pipeline shape (all JVM built-ins, no Python UDFs):
+
+1. a deterministic "dirty" variant of every distinct name (single
+   character drop / duplicate / adjacent swap, chosen and positioned by
+   arithmetic on the name itself so both engines derive the identical
+   corruption — this stands in for the noisy second source);
+2. BLOCKING: candidate pairs only within (first character, length band)
+   blocks — the step that makes linkage sub-quadratic at scale (never
+   all-pairs; at 100 TB swap in soundex/prefix+suffix multi-blocking,
+   same join shape);
+3. MATCHING: Levenshtein distance <= 2 on the blocked candidates
+   (`F.levenshtein`, codegen'd JVM);
+4. RESOLUTION: connected components over the match graph (reusing the
+   dedup star-CC / union-find machinery) -> canonical entity labels.
+
+Every step is oracle-checkable: DuckDB has the same levenshtein() and
+the closure is a recursive CTE at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from broker_spark.pipeline import dedup
+
+
+def _corruption_pos(name: Column) -> Column:
+    """Deterministic 2-based corruption position, never the first char
+    (so first-character blocking survives the edit) and never past
+    len-1 (so adjacent swap stays in range)."""
+    span = F.greatest(F.length(name) - 2, F.lit(1))
+    return F.lit(2) + F.pmod(F.ascii(F.substring(name, 3, 1)), span)
+
+
+def corrupted_name(name: Column) -> Column:
+    """One deterministic single-edit corruption of `name`.
+
+    Edit type = (length + ascii(first char)) mod 3:
+    0 -> drop the char at pos, 1 -> duplicate it, 2 -> swap pos,pos+1.
+    Pure substring/ascii arithmetic — the DuckDB oracle builds the
+    byte-identical dirty side from the same expression.
+    """
+    pos = _corruption_pos(name)
+    t = F.pmod(F.length(name) + F.ascii(F.substring(name, 1, 1)), F.lit(3))
+    head = F.substring(name, F.lit(1), pos - 1)
+    at = F.substring(name, pos, F.lit(1))
+    after = F.substring(name, pos + 1, F.length(name))
+    nxt = F.substring(name, pos + 1, F.lit(1))
+    tail2 = F.substring(name, pos + 2, F.length(name))
+    dropped = F.concat(head, after)
+    doubled = F.concat(head, at, at, after)
+    swapped = F.concat(head, nxt, at, tail2)
+    return F.when(t == 0, dropped).when(t == 1, doubled).otherwise(swapped)
+
+
+def dirty_clean_names(df: DataFrame, name_col: str = "p_name") -> DataFrame:
+    """Distinct names with their deterministic dirty variant:
+    (clean_name, dirty_name, n_records)."""
+    return (
+        df.groupBy(F.col(name_col).alias("clean_name"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+        .withColumn("dirty_name", corrupted_name(F.col("clean_name")))
+    )
+
+
+def linkage_pairs(
+    df: DataFrame, name_col: str = "p_name", max_dist: int = 2
+) -> DataFrame:
+    """Blocked + verified linkage candidates:
+    (dirty_name, clean_name, dist, n_records).
+
+    MULTI-blocking (two passes, unioned, distinct): first character AND
+    last-4-characters blocks.  Each pass is a hash-join key — never
+    all-pairs; the length band and the Levenshtein verify are post-join
+    filters on the blocked candidates only.  Single-key blocking is the
+    classic recall trap: one prefix block alone misses 'cold bolt' ~
+    'old bolt' (distance 1, different first char); the suffix block
+    catches it, while the prefix block guarantees the planted edits
+    (corruption never touches char 1, so planted recall is 1.0 and every
+    single edit is distance <= 2).
+    """
+    names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
+
+    def _sides(block_col):
+        clean = names.select(
+            F.col("clean_name"),
+            F.col("n_records"),
+            block_col(F.col("clean_name")).alias("blk"),
+            F.length("clean_name").alias("c_len"),
+        )
+        dirty = names.select(
+            F.col("dirty_name"),
+            block_col(F.col("dirty_name")).alias("blk"),
+            F.length("dirty_name").alias("d_len"),
+        ).distinct()
+        return dirty.join(clean, "blk").filter(
+            F.abs(F.col("d_len") - F.col("c_len")) <= 1
+        )
+
+    prefix_blk = lambda c: F.substring(c, 1, 1)  # noqa: E731
+    suffix_blk = lambda c: F.substring(  # noqa: E731
+        c, F.greatest(F.length(c) - 3, F.lit(1)), F.lit(4)
+    )
+    cand = (
+        _sides(prefix_blk)
+        .select("dirty_name", "clean_name", "n_records")
+        .union(_sides(suffix_blk).select("dirty_name", "clean_name", "n_records"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein(F.col("dirty_name"), F.col("clean_name"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("dirty_name", "clean_name", "dist", "n_records")
+    )
+
+
+def entity_components(
+    df: DataFrame, name_col: str = "p_name", max_dist: int = 2
+) -> DataFrame:
+    """Entity resolution: connected components over the bipartite match
+    graph (dirty 'd:' nodes <-> clean 'c:' nodes), one row per entity:
+    (entity, n_names, n_clean, n_dirty, n_records).
+
+    `entity` is the component's minimum node id (a clean name — 'c:'
+    sorts before 'd:').  Components run through the dedup star-CC /
+    bounded-union-find two-level path, so resolution is O(log n) rounds
+    at any scale.  A clean name whose dirty variant matched nothing else
+    still forms its own 2-node entity; the planted corruption guarantees
+    every dirty node has at least its own clean parent as a match.
+    """
+    pairs = linkage_pairs(df, name_col, max_dist).select(
+        F.concat(F.lit("d:"), F.col("dirty_name")).alias("doc_a"),
+        F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_b"),
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select("doc_b"))
+        .distinct()
+    )
+    labels = dedup.connected_components_star(nodes, pairs, id_col="doc_id")
+    weights = dirty_clean_names(df, name_col).select(
+        F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_id"),
+        F.col("n_records"),
+    )
+    return (
+        labels.join(weights, "doc_id", "left")
+        .groupBy(F.col("component").alias("entity"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.sum(
+                F.when(F.col("doc_id").startswith("c:"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clean"),
+            F.sum(
+                F.when(F.col("doc_id").startswith("d:"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dirty"),
+            F.sum(F.coalesce(F.col("n_records"), F.lit(0)))
+            .cast("long")
+            .alias("n_records"),
+        )
+    )

@@ -1676,3 +1676,121 @@ def psi_by_source(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (the tokenizer-training inner loop, distributed)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_char_tokens(word: Column) -> Column:
+    """Space-join the characters of a word: 'abc' -> 'a b c'."""
+    return F.trim(F.regexp_replace(word, r"(.)", r"$1 "))
+
+
+def _bpe_apply_merge(toks: Column, pair: str, merged: str) -> Column:
+    """Apply one learned merge to a spaced token string.
+
+    Semantics (shared with the DuckDB oracle, which uses the identical
+    expression): sentinel-pad with spaces, then TWO passes of
+    left-to-right non-overlapping literal replace of ' left right ' with
+    ' leftright ', then trim.  One pass alone under-merges runs of the
+    same token (the trailing space of a match consumes the leading space
+    of the next occurrence); two passes are exact for runs of up to five
+    identical tokens, and equal to textbook greedy left-to-right BPE
+    application on this corpus (asserted by a pure-Python property test).
+    Both engines execute the same two passes, so engine parity holds on
+    ANY input regardless of run length.
+    """
+    pat = F.lit(f" {pair} ")
+    rep = F.lit(f" {merged} ")
+    s = F.concat(F.lit(" "), toks, F.lit(" "))
+    s = F.replace(F.replace(s, pat, rep), pat, rep)
+    return F.trim(s)
+
+
+def _bpe_adjacent_pairs(toks: Column) -> Column:
+    """All adjacent token pairs of a spaced token string, as 'a b' strings
+    (overlapping occurrences each counted, as in classic BPE get_stats)."""
+    arr = F.split(toks, " ")
+    return F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(arr, i + 1), F.element_at(arr, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_learn(
+    docs: DataFrame, n_merges: int = 4
+) -> tuple[list[dict], DataFrame]:
+    """Learn `n_merges` BPE merges over the corpus, distributed.
+
+    Returns (merges, wf) where merges is a list of
+    {rank, pair, merged, n} dicts (rank 1-based, ties broken by pair
+    string ascending) and wf is the distinct-word frequency frame with
+    the final spaced `toks` column after all merges applied.
+
+    100 TB design: the corpus is touched ONCE (the word-count shuffle);
+    every merge iteration then runs over the distinct-word vocabulary —
+    orders of magnitude smaller than the corpus and independent of
+    corpus scale (Heaps' law) — which is exactly why BPE training is
+    feasible on 100 TB of text.  Driver traffic is one row per merge
+    (the argmax pair).  The vocabulary frame is localCheckpoint'ed once
+    so per-iteration lineage stays flat.
+    """
+    wf = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .withColumn("toks", _bpe_char_tokens(F.col("word")))
+        .localCheckpoint()
+    )
+    merges: list[dict] = []
+    for rank in range(1, n_merges + 1):
+        pc = (
+            wf.select("freq", F.explode(_bpe_adjacent_pairs(F.col("toks"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        top = pc.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1).collect()
+        if not top:
+            break
+        pair, n = top[0]["pair"], top[0]["n"]
+        merged = pair.replace(" ", "")
+        merges.append({"rank": rank, "pair": pair, "merged": merged, "n": n})
+        wf = wf.withColumn("toks", _bpe_apply_merge(F.col("toks"), pair, merged))
+    return merges, wf
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """The learned merge table itself: (rank, pair, merged, n)."""
+    spark = docs.sparkSession
+    merges, _ = bpe_learn(docs, n_merges)
+    return spark.createDataFrame(
+        [(m["rank"], m["pair"], m["merged"], m["n"]) for m in merges],
+        "rank int, pair string, merged string, n long",
+    )
+
+
+def bpe_vocab_after_merges(
+    docs: DataFrame, n_merges: int = 4, k: int = 20
+) -> DataFrame:
+    """Corpus token vocabulary after `n_merges` learned BPE merges:
+    top-`k` tokens by corpus-weighted frequency (rank ties by token)."""
+    _, wf = bpe_learn(docs, n_merges)
+    tc = (
+        wf.select("freq", F.explode(F.split(F.col("toks"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        tc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("token", "n", "rank")
+    )

@@ -25,7 +25,7 @@ from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
 from broker_spark.operators import resend, rollup
-from broker_spark.pipeline import ann, dedup, multimodal, text
+from broker_spark.pipeline import ann, dedup, linkage, multimodal, text
 from broker_spark.plans.adapters import (
     EVENTS_AS_STREAM_SQL,
     MEDIA_SQL,
@@ -9261,6 +9261,418 @@ def q_psi_length_by_source(spark, sf_dir):
     return text.psi_by_source(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# BPE merge learning (round 6): the tokenizer-training loop, oracle-unrolled
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle_ctes(n_merges: int) -> str:
+    """The unrolled DuckDB mirror of text.bpe_learn: wf0 is the
+    distinct-word frequency table with character tokens; each stage i
+    counts adjacent pairs (overlapping, corpus-weighted), picks the
+    argmax pair (ties by pair string), and applies the merge with the
+    SAME two-pass sentinel-replace semantics the Spark operator uses
+    (see text._bpe_apply_merge) — so the two engines agree on any input.
+    """
+    ctes = [
+        f"""wf0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS toks
+      FROM (SELECT unnest({_WORDS}) AS word FROM documents)
+      WHERE length(word) > 0 GROUP BY word
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"""pc{i} AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        SELECT freq,
+               unnest([l[j] || ' ' || l[j+1] for j in range(1, len(l))]) AS pair
+        FROM (SELECT freq, string_split(toks, ' ') AS l FROM wf{i - 1})
+      ) GROUP BY pair
+    )"""
+        )
+        ctes.append(
+            f"""top{i} AS (
+      SELECT CAST({i} AS INT) AS rank, pair, replace(pair, ' ', '') AS merged, n
+      FROM pc{i} ORDER BY n DESC, pair LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""wf{i} AS (
+      SELECT w.word, w.freq,
+             trim(replace(replace(' ' || w.toks || ' ',
+                                  ' ' || t.pair || ' ', ' ' || t.merged || ' '),
+                          ' ' || t.pair || ' ', ' ' || t.merged || ' ')) AS toks
+      FROM wf{i - 1} w CROSS JOIN top{i} t
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_BPE_N_MERGES = 4
+
+
+@register(
+    "bpe_learn_merges",
+    f"""
+    WITH {_bpe_oracle_ctes(_BPE_N_MERGES)}
+    SELECT rank, pair, merged, n FROM (
+      {" UNION ALL ".join(f"SELECT * FROM top{i}" for i in range(1, _BPE_N_MERGES + 1))}
+    ) ORDER BY rank
+    """,
+)
+def q_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE merge LEARNING (not just the pair-count inner loop
+    of `bpe_pair_counts`): four argmax-merge iterations over the
+    corpus-weighted distinct-word vocabulary, returning the learned merge
+    table.  The corpus is shuffled once (word count); every iteration
+    after that runs on the vocabulary — corpus-scale-independent by
+    Heaps' law — with one argmax row of driver traffic per merge.  The
+    oracle re-derives all four iterations as unrolled SQL stages with
+    identical pair counting and identical two-pass merge application."""
+    return text.bpe_learn_merges(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+    )
+
+
+@register(
+    "bpe_vocab_after_merges",
+    f"""
+    WITH {_bpe_oracle_ctes(_BPE_N_MERGES)},
+    tc AS (
+      SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM (
+        SELECT freq, unnest(string_split(toks, ' ')) AS token FROM wf{_BPE_N_MERGES}
+      ) GROUP BY token
+    )
+    SELECT token, n, rank FROM (
+      SELECT token, n,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+      FROM tc
+    ) WHERE rank <= 20
+    """,
+)
+def q_bpe_vocab_after_merges(spark, sf_dir):
+    """The token vocabulary the corpus actually has after the four
+    learned BPE merges are applied: top-20 tokens by corpus-weighted
+    frequency.  Certifies the merge APPLICATION path end-to-end (the
+    merge table alone can be right while the re-tokenization is wrong);
+    the oracle applies the same merges through the same unrolled
+    stages."""
+    return text.bpe_vocab_after_merges(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES, k=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Record linkage / entity resolution (round 6) over part names
+# ---------------------------------------------------------------------------
+
+#: Shared oracle CTEs: the deterministic single-edit corruption (same
+#: arithmetic as linkage.corrupted_name), blocking on (first char,
+#: length band), Levenshtein <= 2 verify.  `cn` = distinct clean names
+#: with record counts; `m` = verified match pairs.
+_LINKAGE_SQL = """
+    cn AS (
+      SELECT p_name AS clean_name, CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM part GROUP BY 1
+    ),
+    dc AS (
+      SELECT clean_name, n_records,
+             2 + (ascii(substring(clean_name, 3, 1))
+                  % greatest(length(clean_name) - 2, 1)) AS pos,
+             (length(clean_name) + ascii(substring(clean_name, 1, 1))) % 3 AS t
+      FROM cn
+    ),
+    dn AS (
+      SELECT clean_name, n_records,
+             CASE t
+               WHEN 0 THEN substring(clean_name, 1, pos - 1)
+                           || substring(clean_name, pos + 1, length(clean_name))
+               WHEN 1 THEN substring(clean_name, 1, pos)
+                           || substring(clean_name, pos, 1)
+                           || substring(clean_name, pos + 1, length(clean_name))
+               ELSE substring(clean_name, 1, pos - 1)
+                    || substring(clean_name, pos + 1, 1)
+                    || substring(clean_name, pos, 1)
+                    || substring(clean_name, pos + 2, length(clean_name))
+             END AS dirty_name
+      FROM dc
+    ),
+    dd AS (SELECT DISTINCT dirty_name FROM dn),
+    cand AS (
+      SELECT d.dirty_name, c.clean_name, c.n_records
+      FROM dd d JOIN cn c
+        ON substring(d.dirty_name, 1, 1) = substring(c.clean_name, 1, 1)
+       AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1
+      UNION
+      SELECT d.dirty_name, c.clean_name, c.n_records
+      FROM dd d JOIN cn c
+        ON substring(d.dirty_name,
+                     greatest(length(d.dirty_name) - 3, 1), 4)
+           = substring(c.clean_name,
+                       greatest(length(c.clean_name) - 3, 1), 4)
+       AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1
+    ),
+    m AS (
+      SELECT dirty_name, clean_name,
+             CAST(levenshtein(dirty_name, clean_name) AS INT) AS dist,
+             n_records
+      FROM cand
+      WHERE levenshtein(dirty_name, clean_name) <= 2
+    )
+"""
+
+
+@register(
+    "record_linkage_pairs",
+    f"""
+    WITH {_LINKAGE_SQL}
+    SELECT dirty_name, clean_name, dist, n_records FROM m
+    """,
+)
+def q_record_linkage_pairs(spark, sf_dir):
+    """Record linkage over noisy entity names: a deterministic
+    single-edit corruption of every distinct part name stands in for a
+    noisy second source; candidates are generated ONLY inside
+    (first-character, length-band) blocks — a hash-join key, never
+    all-pairs, the property that keeps linkage sub-quadratic at 100 TB
+    (multi-key soundex/prefix blocking is the same join shape) — then
+    verified with JVM-codegen'd Levenshtein <= 2.  Planted-edit recall
+    is 1.0 by construction (a single edit costs at most 2); cross-name
+    matches are the linkage signal."""
+    return linkage.linkage_pairs(load(spark, sf_dir, "part"))
+
+
+@register(
+    "entity_resolution_names",
+    f"""
+    WITH RECURSIVE {_LINKAGE_SQL},
+    e AS (
+      SELECT 'd:' || dirty_name AS u, 'c:' || clean_name AS v FROM m
+      UNION
+      SELECT 'c:' || clean_name, 'd:' || dirty_name FROM m
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    reach(src, dst) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+    ),
+    comp AS (SELECT src AS node, min(dst) AS entity FROM reach GROUP BY src)
+    SELECT entity,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           CAST(SUM(CASE WHEN node LIKE 'c:%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(SUM(CASE WHEN node LIKE 'd:%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dirty,
+           CAST(SUM(COALESCE(cn.n_records, 0)) AS BIGINT) AS n_records
+    FROM comp LEFT JOIN cn ON comp.node = 'c:' || cn.clean_name
+    GROUP BY entity
+    """,
+)
+def q_entity_resolution_names(spark, sf_dir):
+    """Entity RESOLUTION on top of the linkage pairs: connected
+    components over the bipartite dirty<->clean match graph (the dedup
+    star-CC / bounded-union-find two-level path, O(log n) rounds at any
+    scale), one row per canonical entity with name/record tallies.  The
+    oracle independently re-derives the closure with a recursive CTE —
+    transitive-closure semantics, not an echo of the implementation."""
+    return linkage.entity_components(load(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------------------------------------
+# Forecasting / robust-trend / attribution family (round 6) over events
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+    daily AS (
+      SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "holt_trend_daily",
+    f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    numbered AS (
+      SELECT *, CAST(n_events AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ),
+    init AS (
+      SELECT n1.event_type, n1.day, n1.n_events, n1.x,
+             n1.x AS level, COALESCE(n2.x - n1.x, 0.0) AS trend, n1.rn
+      FROM numbered n1
+      LEFT JOIN numbered n2
+        ON n2.event_type = n1.event_type AND n2.rn = 2
+      WHERE n1.rn = 1
+    ),
+    h(event_type, day, n_events, x, level, trend, fcst, rn) AS (
+      SELECT event_type, day, n_events, x, level, trend, x, rn FROM init
+      UNION ALL
+      SELECT n.event_type, n.day, n.n_events, n.x,
+             0.5 * n.x + 0.5 * (h.level + h.trend),
+             0.2 * ((0.5 * n.x + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.8 * h.trend,
+             h.level + h.trend,
+             n.rn
+      FROM numbered n
+      JOIN h ON n.event_type = h.event_type AND n.rn = h.rn + 1
+    )
+    SELECT event_type, day, n_events,
+           round(level, 6) AS level, round(trend, 6) AS trend,
+           round(fcst, 6) AS forecast
+    FROM h
+    """,
+)
+def q_holt_trend_daily(spark, sf_dir):
+    """Holt's linear (level+trend) double-exponential smoothing per event
+    type over daily counts, with the one-step fitted forecast — the
+    trend-aware upgrade of `ewma_hourly` (EWMA lags every trending
+    series by construction).  applyInPandas recurrence over the compact
+    daily frame; the oracle re-derives it as a recursive CTE carrying
+    (level, trend) with the literally identical operation order, so the
+    doubles fold bit-equal."""
+    from broker_spark.operators.stats import holt_trend_daily
+
+    return holt_trend_daily(load(spark, sf_dir, "events"))
+
+
+@register(
+    "theil_sen_daily_trend",
+    f"""
+    WITH {_DAILY_SQL},
+    d AS (SELECT event_type, day, CAST(n_events AS DOUBLE) AS x FROM daily),
+    slopes AS (
+      SELECT a.event_type,
+             (b.x - a.x) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(slope, 0.5) AS slope,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM slopes GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           any_value(med.n_pairs) AS n_pairs,
+           round(any_value(med.slope), 6) AS slope,
+           round(quantile_cont(d.x - med.slope * CAST(d.day AS DOUBLE), 0.5), 6)
+             AS intercept
+    FROM d JOIN med ON d.event_type = med.event_type
+    GROUP BY d.event_type
+    """,
+)
+def q_theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen robust trend per event type: median of all pairwise
+    daily slopes plus the median-residual intercept — the 29%-breakdown
+    estimator outlier days cannot wreck.  The O(d^2) pair join runs on
+    the daily AGGREGATE (calendar-bounded, corpus-scale-independent),
+    never raw events; medians are exact percentile() with the same
+    lower+frac*(upper-lower) interpolation in both engines."""
+    from broker_spark.operators.stats import theil_sen_daily_trend
+
+    return theil_sen_daily_trend(load(spark, sf_dir, "events"))
+
+
+@register(
+    "seasonal_naive_mape",
+    f"""
+    WITH {_DAILY_SQL},
+    lagged AS (
+      SELECT event_type, day + 7 AS day, n_events AS n_base FROM daily
+    ),
+    j AS (
+      SELECT d.event_type, d.n_events,
+             d.n_events - l.n_base AS err
+      FROM daily d JOIN lagged l
+        ON d.event_type = l.event_type AND d.day = l.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           round(CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*), 6) AS mae,
+           round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias,
+           round(sqrt(CAST(SUM(err * err) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+           round(CAST(SUM(CAST(floor(CAST(abs(err) AS DOUBLE)
+                                     / CAST(n_events AS DOUBLE)
+                                     * 1000000000000 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+                 / 1000000000000 / COUNT(*), 6) AS mape
+    FROM j GROUP BY event_type
+    """,
+)
+def q_seasonal_naive_mape(spark, sf_dir):
+    """The seasonal-naive forecast scorecard (forecast = same weekday
+    last week) per event type: MAE / bias / RMSE / MAPE — the skill
+    floor any real forecaster must beat, and a weekly-rhythm drift
+    signal when it degrades.  Integer error sums are exact BIGINTs;
+    MAPE's rational terms ride the picounit floor-quantization the
+    PSI/KL entries standardized."""
+    from broker_spark.operators.stats import seasonal_naive_errors
+
+    return seasonal_naive_errors(load(spark, sf_dir, "events"))
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH touches AS (
+      SELECT user_id, event_id AS touch_id, epoch_ms(ts) AS t_ms
+      FROM events WHERE event_type = 'click'
+    ),
+    convs AS (
+      SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS c_ms,
+             value AS c_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT t.touch_id, t.t_ms, c.conv_id, c.c_value
+      FROM touches t JOIN convs c ON t.user_id = c.user_id
+      WHERE t.t_ms < c.c_ms AND t.t_ms >= c.c_ms - 604800000
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY t_ms, touch_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY conv_id) AS k
+      FROM j
+    ),
+    weighted AS (
+      SELECT (t_ms % 86400000) // 3600000 AS click_hour,
+             CAST(floor(c_value *
+               CASE WHEN k = 1 THEN 1.0
+                    WHEN k = 2 THEN 0.5
+                    WHEN rnk = 1 THEN 0.4
+                    WHEN rnk = k THEN 0.4
+                    ELSE 0.2 / (CAST(k AS DOUBLE) - 2.0) END
+               * 1000000000000 + 0.5) AS DECIMAL(38,0)) AS term
+      FROM ranked
+    )
+    SELECT CAST(click_hour AS INT) AS click_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           round(CAST(SUM(term) AS DOUBLE) / 1000000000000, 6)
+             AS attributed_value
+    FROM weighted GROUP BY 1
+    """,
+)
+def q_multitouch_attribution(spark, sf_dir):
+    """U-shaped multi-touch attribution: every purchase's value is
+    credited 40/20/40 across the user's clicks in a 7-day lookback
+    (1 click -> 100%, 2 -> 50/50), aggregated by the click's hour of day
+    — the multi-touch answer the as-of join (last touch only) cannot
+    give.  One user_id hash join + one window over the purchase id;
+    value sums are picounit-quantized so both engines add exact
+    integers."""
+    from broker_spark.operators.stats import multitouch_attribution
+
+    return multitouch_attribution(load(spark, sf_dir, "events"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -9274,8 +9686,18 @@ _AUDIT_PRIORITY = [
     # certified 49 drop to the tail.  No-oracle entries are exiled to the
     # absolute tail PROGRAMMATICALLY in _audit_order() — they can only
     # ever produce a rows-only driver row and must never burn a slot.
-    # -- NEW in round 5, second session (riskiest: never checked by anyone
+    # -- NEW in round 6, first session (riskiest: never checked by anyone
     # but this session's selfcheck)
+    "bpe_learn_merges",
+    "bpe_vocab_after_merges",
+    "record_linkage_pairs",
+    "entity_resolution_names",
+    "holt_trend_daily",
+    "theil_sen_daily_trend",
+    "seasonal_naive_mape",
+    "multitouch_attribution",
+    # -- NEW in round 5, second session (never driver-checked if the
+    # round-5 driver snapshot didn't run; kept high)
     "table_profile_documents",
     "events_hopping_rollup",
     "compaction_plan",

@@ -1,0 +1,322 @@
+"""Round-6 session-1 operators: distributed BPE merge learning, record
+linkage / entity resolution, Holt linear smoothing, Theil-Sen robust
+trend, the seasonal-naive forecast scorecard, and U-shaped multi-touch
+attribution — each pinned against a pure-Python reference or a
+hand-computed result on tiny frames."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from broker_spark.operators.stats import (
+    holt_trend_daily,
+    multitouch_attribution,
+    seasonal_naive_errors,
+    theil_sen_daily_trend,
+)
+from broker_spark.pipeline import linkage, text
+
+
+def _ts(d, h=0, m=0):
+    return dt.datetime(2024, 1, d, h, m)
+
+
+# -- BPE merge learning ------------------------------------------------------
+
+
+def _bpe_reference(words_freq: dict[str, int], n_merges: int):
+    """Textbook BPE (Sennrich et al. get_stats/merge loop): overlapping
+    pair counts, argmax with lexicographic tie-break, greedy
+    left-to-right merge application."""
+    vocab = {tuple(w): f for w, f in words_freq.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: dict[tuple[str, str], int] = {}
+        for toks, f in vocab.items():
+            for i in range(len(toks) - 1):
+                pairs[(toks[i], toks[i + 1])] = (
+                    pairs.get((toks[i], toks[i + 1]), 0) + f
+                )
+        if not pairs:
+            break
+        (l, r), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, f"{l} {r}", l + r, n))
+        new_vocab = {}
+        for toks, f in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == l and toks[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def _docs_frame(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_bpe_learn_matches_textbook_reference(spark):
+    texts = ["the cat sat on the mat", "the hat of the cat", "banana bandana"]
+    docs = _docs_frame(spark, texts)
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            words[w] = words.get(w, 0) + 1
+    ref_merges, _ = _bpe_reference(words, 4)
+    got = [
+        (r["rank"], r["pair"], r["merged"], r["n"])
+        for r in text.bpe_learn_merges(docs, 4).orderBy("rank").collect()
+    ]
+    assert got == ref_merges
+
+
+def test_bpe_vocab_after_merges_matches_reference_retokenization(spark):
+    texts = ["aa ab aa", "ab aa ab", "ba ba"]
+    docs = _docs_frame(spark, texts)
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            words[w] = words.get(w, 0) + 1
+    _, ref_vocab = _bpe_reference(words, 4)
+    ref_counts: dict[str, int] = {}
+    for toks, f in ref_vocab.items():
+        for tok in toks:
+            ref_counts[tok] = ref_counts.get(tok, 0) + f
+    got = {
+        r["token"]: r["n"]
+        for r in text.bpe_vocab_after_merges(docs, 4, k=50).collect()
+    }
+    assert got == ref_counts
+
+
+def test_bpe_two_pass_replace_handles_token_runs(spark):
+    # 'aaaa' -> pairs ('a','a') x3; after merging 'a a' -> 'aa' the word
+    # must become 'aa aa' (greedy left-to-right), which one replace pass
+    # alone would get wrong.
+    docs = _docs_frame(spark, ["aaaa aaaa b"])
+    merges, wf = text.bpe_learn(docs, 1)
+    assert merges[0]["pair"] == "a a"
+    toks = {r["word"]: r["toks"] for r in wf.collect()}
+    assert toks["aaaa"] == "aa aa"
+
+
+# -- record linkage / entity resolution --------------------------------------
+
+
+def _parts_frame(spark, names):
+    return spark.createDataFrame([(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string")
+
+
+def test_corruption_is_single_edit_and_preserves_first_char(spark):
+    names = ["small ring", "red widget", "cold bolt", "promo anvil x"]
+    df = _parts_frame(spark, names)
+    out = linkage.dirty_clean_names(df).collect()
+    for r in out:
+        assert r["dirty_name"] != r["clean_name"] or len(r["clean_name"]) < 3
+        assert r["dirty_name"][0] == r["clean_name"][0]
+        assert abs(len(r["dirty_name"]) - len(r["clean_name"])) <= 1
+
+
+def test_linkage_planted_recall_is_total(spark):
+    names = ["small ring", "red widget", "cold bolt", "old bolt", "hot gear"]
+    df = _parts_frame(spark, names)
+    planted = {
+        (r["dirty_name"], r["clean_name"])
+        for r in linkage.dirty_clean_names(df).collect()
+    }
+    got = {
+        (r["dirty_name"], r["clean_name"])
+        for r in linkage.linkage_pairs(df).collect()
+    }
+    assert planted <= got  # every planted edit is recovered
+
+
+def test_suffix_block_catches_cross_prefix_matches(spark):
+    # 'cold bolt' ~ 'old bolt' is distance 1 but differs in char 1:
+    # only the suffix block can produce the candidate.
+    df = _parts_frame(spark, ["cold bolt", "old bolt"])
+    pairs = {
+        (r["dirty_name"], r["clean_name"]): r["dist"]
+        for r in linkage.linkage_pairs(df).collect()
+    }
+    cross = {k: v for k, v in pairs.items() if k[0][0] != k[1][0]}
+    assert cross, f"expected cross-prefix matches, got only {pairs}"
+
+
+def test_entity_resolution_merges_linked_names(spark):
+    # cold bolt / old bolt chain into ONE entity via cross matches;
+    # hot gear stays its own 2-node (clean+dirty) entity.
+    df = _parts_frame(spark, ["cold bolt", "old bolt", "hot gear"])
+    ents = linkage.entity_components(df).collect()
+    by_entity = {r["entity"]: r for r in ents}
+    assert len(by_entity) == 2
+    big = max(ents, key=lambda r: r["n_names"])
+    assert big["n_clean"] == 2 and big["n_dirty"] == 2
+    small = min(ents, key=lambda r: r["n_names"])
+    assert small["n_clean"] == 1 and small["n_dirty"] == 1
+    assert small["n_records"] == 1
+
+
+# -- Holt linear smoothing ---------------------------------------------------
+
+
+def test_holt_matches_pure_python_recurrence(spark):
+    xs = [10, 12, 15, 13, 18, 21]
+    rows, eid = [], 0
+    for d, c in enumerate(xs):
+        for _ in range(c):
+            rows.append((eid, _ts(1 + d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    a, b = 0.5, 0.2
+    lvl, trd = float(xs[0]), float(xs[1] - xs[0])
+    exp = [(lvl, trd, float(xs[0]))]
+    for x in xs[1:]:
+        f = lvl + trd
+        l_new = a * x + (1 - a) * (lvl + trd)
+        trd = b * (l_new - lvl) + (1 - b) * trd
+        lvl = l_new
+        exp.append((lvl, trd, f))
+    rows = holt_trend_daily(ev).orderBy("day").collect()
+    assert len(rows) == len(xs)
+    for r, (el, et, ef) in zip(rows, exp):
+        assert math.isclose(r["level"], round(el, 6), abs_tol=1e-9)
+        assert math.isclose(r["trend"], round(et, 6), abs_tol=1e-9)
+        assert math.isclose(r["forecast"], round(ef, 6), abs_tol=1e-9)
+
+
+def test_holt_single_point_series_has_zero_trend(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1), 1, "view", 1.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = holt_trend_daily(ev).collect()[0]
+    assert r["trend"] == 0.0 and r["level"] == r["forecast"] == 1.0
+
+
+# -- Theil-Sen ---------------------------------------------------------------
+
+
+def test_theil_sen_is_outlier_robust(spark):
+    # perfect slope-2 line with one wild outlier day: OLS would bend,
+    # the pairwise-slope median must stay at 2.
+    days = list(range(9))
+    counts = [3 + 2 * d for d in days]
+    counts[4] = 500  # outlier
+    rows = []
+    eid = 0
+    for d, c in zip(days, counts):
+        for _ in range(c):
+            rows.append((eid, _ts(1 + d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = theil_sen_daily_trend(ev).collect()[0]
+    assert r["slope"] == 2.0
+    assert r["n_days"] == 9 and r["n_pairs"] == 36
+
+
+# -- seasonal naive ----------------------------------------------------------
+
+
+def test_seasonal_naive_errors_hand_computed(spark):
+    # 14 days, week2 = week1 + [1, -2, 0, 3, 0, 0, 0]
+    week1 = [10, 20, 30, 40, 50, 60, 70]
+    deltas = [1, -2, 0, 3, 0, 0, 0]
+    rows, eid = [], 0
+    for d in range(14):
+        c = week1[d % 7] + (deltas[d % 7] if d >= 7 else 0)
+        for _ in range(c):
+            rows.append((eid, _ts(1 + d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = seasonal_naive_errors(ev).collect()[0]
+    errs = deltas
+    n = 7
+    assert r["n_days"] == n
+    assert math.isclose(r["mae"], round(sum(abs(e) for e in errs) / n, 6), abs_tol=1e-9)
+    assert math.isclose(r["bias"], round(sum(errs) / n, 6), abs_tol=1e-9)
+    assert math.isclose(
+        r["rmse"], math.sqrt(sum(e * e for e in errs) / n), abs_tol=1e-6
+    )
+    actual = [week1[i] + deltas[i] for i in range(7)]
+    mape = sum(abs(e) / a for e, a in zip(errs, actual)) / n
+    assert math.isclose(r["mape"], mape, abs_tol=1e-6)
+
+
+# -- multi-touch attribution -------------------------------------------------
+
+
+def test_attribution_weights_u_shape(spark):
+    # one purchase of value 100 with 4 prior clicks at hours 1..4:
+    # weights 0.4, 0.1, 0.1, 0.4
+    rows = [
+        (1, _ts(1, 1), 7, "click", 0.0, "{}"),
+        (2, _ts(1, 2), 7, "click", 0.0, "{}"),
+        (3, _ts(1, 3), 7, "click", 0.0, "{}"),
+        (4, _ts(1, 4), 7, "click", 0.0, "{}"),
+        (5, _ts(1, 5), 7, "purchase", 100.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["click_hour"]: r["attributed_value"] for r in multitouch_attribution(ev).collect()}
+    assert out == {1: 40.0, 2: 10.0, 3: 10.0, 4: 40.0}
+
+
+def test_attribution_single_and_double_touch(spark):
+    rows = [
+        (1, _ts(1, 1), 7, "click", 0.0, "{}"),
+        (2, _ts(1, 5), 7, "purchase", 60.0, "{}"),
+        (3, _ts(2, 1), 8, "click", 0.0, "{}"),
+        (4, _ts(2, 2), 8, "click", 0.0, "{}"),
+        (5, _ts(2, 5), 8, "purchase", 80.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["click_hour"]: r["attributed_value"] for r in multitouch_attribution(ev).collect()}
+    # hour 1: 60 (single) + 40 (half of 80); hour 2: 40
+    assert out == {1: 100.0, 2: 40.0}
+
+
+def test_attribution_lookback_window_excludes_old_clicks(spark):
+    rows = [
+        (1, _ts(1, 1), 7, "click", 0.0, "{}"),
+        (2, _ts(9, 1), 7, "click", 0.0, "{}"),
+        (3, _ts(10, 1), 7, "purchase", 50.0, "{}"),  # click 1 is 9 days old
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = multitouch_attribution(ev).collect()
+    assert len(out) == 1 and out[0]["attributed_value"] == 50.0
