@@ -193,13 +193,7 @@ def cusum_daily_alarms(
         StructType,
     )
 
-    daily = (
-        events.withColumn(
-            "day", F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
-        )
-        .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-    )
+    daily = _daily_counts(events)
     mu = daily.groupBy("event_type").agg(
         (
             F.sum(F.col("n_events").cast("decimal(28,6)")).cast("double")
@@ -751,11 +745,19 @@ def seasonal_naive_errors(events: DataFrame, season_days: int = 7) -> DataFrame:
         * F.lit(float(quant))
         + F.lit(0.5)
     ).cast("long")
+    # error sums ride DECIMAL(38,0) (not BIGINT): err*err is ~N^2 per day
+    # and the squared-error sum would overflow a long at full corpus
+    # scale, where DuckDB's HUGEINT survives — the exact-representation
+    # rule applies to every cross-engine sum here.
     agg = j.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_days"),
-        F.sum(F.abs(err)).cast("long").alias("s_abs"),
-        F.sum(err).cast("long").alias("s_err"),
-        F.sum(err * err).cast("long").alias("s_sq"),
+        F.sum(F.abs(err).cast("decimal(38,0)")).alias("s_abs"),
+        F.sum(err.cast("decimal(38,0)")).alias("s_err"),
+        # the square must be computed in the decimal domain too — a
+        # long*long product overflows before any cast could save it
+        F.sum(err.cast("decimal(18,0)") * err.cast("decimal(18,0)")).alias(
+            "s_sq"
+        ),
         F.sum(mape_term.cast("decimal(38,0)")).alias("s_mape"),
     )
     n = F.col("n_days").cast("double")

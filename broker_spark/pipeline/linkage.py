@@ -72,7 +72,10 @@ def dirty_clean_names(df: DataFrame, name_col: str = "p_name") -> DataFrame:
 
 
 def linkage_pairs(
-    df: DataFrame, name_col: str = "p_name", max_dist: int = 2
+    df: DataFrame,
+    name_col: str = "p_name",
+    max_dist: int = 2,
+    names: DataFrame | None = None,
 ) -> DataFrame:
     """Blocked + verified linkage candidates:
     (dirty_name, clean_name, dist, n_records).
@@ -86,8 +89,12 @@ def linkage_pairs(
     catches it, while the prefix block guarantees the planted edits
     (corruption never touches char 1, so planted recall is 1.0 and every
     single edit is distance <= 2).
+
+    `names` lets a caller that already materialized dirty_clean_names
+    (entity_components) pass it in instead of re-scanning the source.
     """
-    names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
+    if names is None:
+        names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
 
     def _sides(block_col):
         clean = names.select(
@@ -138,7 +145,8 @@ def entity_components(
     still forms its own 2-node entity; the planted corruption guarantees
     every dirty node has at least its own clean parent as a match.
     """
-    pairs = linkage_pairs(df, name_col, max_dist).select(
+    names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
+    pairs = linkage_pairs(df, name_col, max_dist, names=names).select(
         F.concat(F.lit("d:"), F.col("dirty_name")).alias("doc_a"),
         F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_b"),
     )
@@ -148,7 +156,7 @@ def entity_components(
         .distinct()
     )
     labels = dedup.connected_components_star(nodes, pairs, id_col="doc_id")
-    weights = dirty_clean_names(df, name_col).select(
+    weights = names.select(
         F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_id"),
         F.col("n_records"),
     )

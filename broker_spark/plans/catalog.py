@@ -9299,12 +9299,18 @@ def _bpe_oracle_ctes(n_merges: int) -> str:
     )"""
         )
         ctes.append(
+            # LEFT JOIN ON true, not CROSS JOIN: when the vocabulary
+            # saturates early (pc{i} empty -> top{i} empty) the word table
+            # must pass through UNCHANGED — mirroring the Spark trainer's
+            # early break — rather than vanish with the empty join.
             f"""wf{i} AS (
       SELECT w.word, w.freq,
-             trim(replace(replace(' ' || w.toks || ' ',
+             CASE WHEN t.pair IS NULL THEN w.toks
+                  ELSE trim(replace(replace(' ' || w.toks || ' ',
                                   ' ' || t.pair || ' ', ' ' || t.merged || ' '),
-                          ' ' || t.pair || ' ', ' ' || t.merged || ' ')) AS toks
-      FROM wf{i - 1} w CROSS JOIN top{i} t
+                          ' ' || t.pair || ' ', ' ' || t.merged || ' '))
+             END AS toks
+      FROM wf{i - 1} w LEFT JOIN top{i} t ON true
     )"""
         )
     return ",\n    ".join(ctes)
@@ -9597,7 +9603,8 @@ def q_theil_sen_daily_trend(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_days,
            round(CAST(SUM(abs(err)) AS DOUBLE) / COUNT(*), 6) AS mae,
            round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6) AS bias,
-           round(sqrt(CAST(SUM(err * err) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+           round(sqrt(CAST(SUM(CAST(err AS HUGEINT) * err) AS DOUBLE)
+                      / COUNT(*)), 6) AS rmse,
            round(CAST(SUM(CAST(floor(CAST(abs(err) AS DOUBLE)
                                      / CAST(n_events AS DOUBLE)
                                      * 1000000000000 + 0.5) AS BIGINT))

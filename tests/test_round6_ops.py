@@ -320,3 +320,60 @@ def test_attribution_lookback_window_excludes_old_clicks(spark):
     )
     out = multitouch_attribution(ev).collect()
     assert len(out) == 1 and out[0]["attributed_value"] == 50.0
+
+
+# -- review regressions (round-6 session-1 self-review) ----------------------
+
+
+def test_bpe_oracle_survives_early_vocabulary_saturation(spark, tmp_path):
+    # A corpus whose vocabulary saturates in ONE merge ('ab ab ab'):
+    # the Spark trainer breaks early and keeps the vocabulary; the
+    # unrolled oracle must pass the word table through its remaining
+    # stages unchanged (LEFT JOIN ON true) instead of emptying it.
+    import duckdb
+
+    from broker_spark.plans.catalog import CATALOG
+
+    docs = _docs_frame(spark, ["ab ab ab"])
+    got = {
+        (r["token"], r["n"]) for r in text.bpe_vocab_after_merges(docs, 4).collect()
+    }
+    assert got == {("ab", 3)}
+
+    pq = str(tmp_path / "documents.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{pq}'")
+    oracle = set(
+        map(tuple, con.execute(
+            "SELECT token, n FROM (" + CATALOG["bpe_vocab_after_merges"].sql + ")"
+        ).fetchall())
+    )
+    assert oracle == got
+    merges = con.execute(
+        "SELECT rank, pair FROM (" + CATALOG["bpe_learn_merges"].sql + ")"
+    ).fetchall()
+    assert merges == [(1, "a b")]
+
+
+def test_seasonal_naive_squares_survive_long_overflow(spark):
+    # err*err beyond Long.MAX must not blow up the decimal-domain sums
+    # (synthesized via a pre-aggregated frame through the same agg path).
+    from broker_spark.operators.stats import seasonal_naive_errors
+
+    big = 4_000_000_000  # err^2 = 1.6e19 > 2^63-1
+    rows = [(i, _ts(1), 1, "click", 1.0, "{}") for i in range(2)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    # can't materialize 4e9 events: drive the decimal path directly by
+    # checking the expression tree types instead
+    out = seasonal_naive_errors(ev)
+    s_sq_field = [f for f in out.schema.fields if f.name == "rmse"]
+    assert s_sq_field  # shape intact
+    import re
+
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert re.search(r"decimal\(3[78],0\)", plan), plan
