@@ -177,6 +177,20 @@ HEADLINE = [
     "unigram_kl_by_source",
     "user_decile_migration",
     "psi_length_by_source",
+    # round-6 session 1
+    "bpe_learn_merges",
+    "bpe_vocab_after_merges",
+    "record_linkage_pairs",
+    "entity_resolution_names",
+    "holt_trend_daily",
+    "theil_sen_daily_trend",
+    "seasonal_naive_mape",
+    "multitouch_attribution",
+    # round-6 session 2
+    "streaming_holt_replay",
+    "seasonal_trend_anomalies",
+    "link_prediction_adamic_adar",
+    "heaps_vocab_growth",
 ]
 
 

@@ -835,3 +835,92 @@ def multitouch_attribution(
             ).alias("attributed_value"),
         )
     )
+
+
+def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
+    """STL-style robust decomposition of the daily count series per
+    event type — seasonal (day-of-week mean), trend (Theil-Sen on the
+    seasonally adjusted series), residual — with MAD-based outlier
+    flags: |resid - median(resid)| > 3 * 1.4826 * MAD.  The composition
+    answer to "was Tuesday actually anomalous, or is it just Tuesday?"
+    that neither the z-score entry (no seasonality) nor the DOW entry
+    (no trend) gives alone.
+
+    Every stage is robust: the weekday seasonal is the per-(type, dow)
+    MEDIAN (a mean would let one spike lift its whole weekday and
+    shadow-flag the spike's siblings), the trend is Theil-Sen, the gate
+    is MAD.  Exactness chain (every float op single and order-free):
+    all medians are exact percentile() interpolations over identical
+    doubles; adjusted = count - median (one subtract); residual =
+    adj - (slope*day + intercept), literal op order mirrored in the
+    oracle."""
+    daily = _daily_counts(events).withColumn(
+        "dow", F.pmod(F.col("day"), F.lit(7)).cast("int")
+    )
+    dowm = daily.groupBy("event_type", "dow").agg(
+        F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
+            "dow_mean"
+        )
+    )
+    adj = daily.join(broadcast(dowm), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("n_events").cast("double") - F.col("dow_mean")).alias("adj"),
+    )
+    a, bb = [adj.alias(s) for s in ("a", "b")]
+    slopes = (
+        a.join(bb, "event_type")
+        .filter(F.col("a.day") < F.col("b.day"))
+        .select(
+            "event_type",
+            (
+                (F.col("b.adj") - F.col("a.adj"))
+                / (F.col("b.day") - F.col("a.day")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    med = slopes.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope")
+    )
+    resid = adj.join(broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        "adj",
+        "slope",
+        (
+            F.col("adj")
+            - (F.col("slope") * F.col("day").cast("double"))
+        ).alias("detr_pre"),
+    )
+    icpt = resid.groupBy("event_type").agg(
+        F.percentile("detr_pre", F.lit(0.5)).alias("icpt")
+    )
+    r2 = resid.join(broadcast(icpt), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("detr_pre") - F.col("icpt")).alias("resid"),
+    )
+    mstats = r2.groupBy("event_type").agg(
+        F.percentile("resid", F.lit(0.5)).alias("med_r")
+    )
+    r3 = r2.join(broadcast(mstats), "event_type").withColumn(
+        "dev", F.abs(F.col("resid") - F.col("med_r"))
+    )
+    mad = r3.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        r3.join(broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("resid", 6).alias("resid"),
+            (F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad")).alias(
+                "anomaly"
+            ),
+        )
+    )

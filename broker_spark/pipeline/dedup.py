@@ -1168,3 +1168,86 @@ def incremental_components(
     return base.join(
         relabel, base["component"] == relabel["_base_label"]
     ).select(id_col, F.col("_final").alias("component"))
+
+
+def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
+    """Link prediction over the candidate graph: for every NON-edge pair
+    with at least one common neighbor, the common-neighbor count, the
+    neighborhood Jaccard, and the Adamic-Adar score
+    sum_n 1/ln(deg(n)) — the classic "which near-dup edges did LSH
+    MISS" audit (a high-AA non-edge is a probable same-cluster pair the
+    banding narrowly failed to bucket together).
+
+    Shape: adjacency both ways (one union), wedge join on the shared
+    neighbor (equi-join, never all-pairs), anti-join to drop existing
+    edges.  A common neighbor has degree >= 2 by construction, so
+    ln(deg) > 0.  AA terms are picounit-quantized before the sum so
+    both engines add exact integers (the ordering key is the quantized
+    sum itself — fully deterministic).  Top-k by (aa desc, pair)."""
+    fwd = pairs.select("doc_a", "doc_b")
+    adj = fwd.union(
+        fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    deg = adj.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    quant = 1_000_000_000_000
+    nb = adj.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+    wedges = (
+        nb.alias("x")
+        .join(nb.alias("y"), F.col("x.nbr") == F.col("y.nbr"))
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(
+            F.col("x.node").alias("doc_a"),
+            F.col("y.node").alias("doc_b"),
+            F.col("x.nbr").alias("via"),
+        )
+    )
+    non_edges = wedges.join(fwd, ["doc_a", "doc_b"], "left_anti")
+    term = F.floor(
+        F.lit(1.0) / F.log(F.col("degree").cast("double")) * F.lit(float(quant))
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        non_edges.join(deg.withColumnRenamed("doc_id", "via"), "via")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(term.cast("decimal(38,0)")).alias("aa_q"),
+        )
+    )
+    da = deg.select(F.col("doc_id").alias("doc_a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("doc_id").alias("doc_b"), F.col("degree").alias("deg_b"))
+    full = (
+        scored.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (
+                    F.col("deg_a") + F.col("deg_b") - F.col("common_neighbors")
+                ).cast("double")
+            ).alias("jaccard_raw"),
+            F.col("aa_q"),
+        )
+    )
+    w = Window.orderBy(
+        F.col("aa_q").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            "doc_a",
+            "doc_b",
+            "common_neighbors",
+            F.round("jaccard_raw", 6).alias("nbr_jaccard"),
+            F.round(
+                F.col("aa_q").cast("double") / F.lit(1.0e12), 6
+            ).alias("adamic_adar"),
+        )
+    )

@@ -1794,3 +1794,78 @@ def bpe_vocab_after_merges(
         .filter(F.col("rank") <= k)
         .select("token", "n", "rank")
     )
+
+
+def heaps_vocab_growth(docs: DataFrame, n_tiers: int = 10) -> DataFrame:
+    """Heaps'-law curve of the corpus: distinct-word vocabulary size at
+    10 cumulative corpus prefixes (by doc_id order), with token counts
+    and the implied Heaps exponent ln(V)/ln(N) per prefix — the
+    measurement behind the BPE trainer's "iterations are vocabulary-
+    sized" scale claim, and the standard sanity check that a corpus
+    grows vocabulary sub-linearly (near-constant exponent ~0.5; an
+    exponent drifting toward 1 means machine-generated/unique-token
+    pollution).
+
+    Shape: one pass builds the per-doc token counts, one pass the
+    word -> first-doc table (min(doc_id) per word — vocabulary-sized);
+    prefix boundaries are exact doc_id percentiles; each tier's counts
+    are conditional aggregates against the broadcast 10-row boundary
+    grid.  No corpus-wide window/ntile anywhere."""
+    per_doc = docs.select(
+        "doc_id", F.size(words_col(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    firsts = (
+        docs.select(F.col("doc_id"), F.explode(words_col(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    tiers = per_doc.agg(
+        *[
+            F.percentile("doc_id", F.lit(i / n_tiers)).alias(f"b{i}")
+            for i in range(1, n_tiers + 1)
+        ]
+    )
+    grid = tiers.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("tier"),
+                        F.col(f"b{i}").alias("boundary"),
+                    )
+                    for i in range(1, n_tiers + 1)
+                ]
+            )
+        ).alias("t")
+    ).select("t.tier", "t.boundary")
+    doc_counts = (
+        per_doc.crossJoin(broadcast(grid))
+        .filter(F.col("doc_id").cast("double") <= F.col("boundary"))
+        .groupBy("tier", "boundary")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab = (
+        firsts.crossJoin(broadcast(grid))
+        .filter(F.col("first_doc").cast("double") <= F.col("boundary"))
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    return (
+        doc_counts.join(vocab, "tier")
+        .select(
+            "tier",
+            F.round("boundary", 6).alias("boundary"),
+            "n_docs",
+            "n_tokens",
+            "vocab",
+            F.round(
+                F.log(F.col("vocab").cast("double"))
+                / F.log(F.col("n_tokens").cast("double")),
+                6,
+            ).alias("heaps_exponent"),
+        )
+    )

@@ -9680,6 +9680,294 @@ def q_multitouch_attribution(spark, sf_dir):
     return multitouch_attribution(load(spark, sf_dir, "events"))
 
 
+@register(
+    "streaming_holt_replay",
+    f"""
+    WITH RECURSIVE {_DAILY_SQL},
+    keyed AS (
+      SELECT event_type AS key, day AS bucket, CAST(n_events AS DOUBLE) AS x
+      FROM daily
+    ),
+    numbered AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY bucket) AS rn
+      FROM keyed
+    ),
+    init AS (
+      SELECT n1.key, n1.bucket, n1.x, n1.x AS level,
+             n2.x - n1.x AS trend, n1.rn
+      FROM numbered n1
+      JOIN numbered n2 ON n2.key = n1.key AND n2.rn = 2
+      WHERE n1.rn = 1
+    ),
+    h(key, bucket, x, level, trend, fcst, rn) AS (
+      SELECT key, bucket, x, level, trend, x, rn FROM init
+      UNION ALL
+      SELECT n.key, n.bucket, n.x,
+             0.5 * n.x + 0.5 * (h.level + h.trend),
+             0.2 * ((0.5 * n.x + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.8 * h.trend,
+             h.level + h.trend,
+             n.rn
+      FROM numbered n
+      JOIN h ON n.key = h.key AND n.rn = h.rn + 1
+    )
+    SELECT key, bucket, round(x, 6) AS value,
+           round(level, 6) AS level, round(trend, 6) AS trend,
+           round(fcst, 6) AS forecast
+    FROM h
+    """,
+)
+def q_streaming_holt_replay(spark, sf_dir):
+    """The STATEFUL STREAMING Holt smoother executed end-to-end
+    (availableNow replay of the daily counts through
+    applyInPandasWithState carrying (level, trend) in the state store)
+    and value-checked against the same recursive-CTE oracle shape as
+    the batch `holt_trend_daily` entry.  The interesting state-machine
+    wrinkle this certifies: Holt's textbook init (trend_1 = x_2 - x_1)
+    is a one-step LOOKAHEAD, so the streaming operator must hold the
+    first point in state and emit it only when the second arrives —
+    exactly the kind of batch/stream equivalence bug replay
+    certificates exist to catch.  (The oracle INNER-joins rn=2, so a
+    hypothetical one-point series is excluded on both sides.)"""
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("holt_replay_")
+    from broker_spark.operators.stats import _daily_counts
+
+    daily = _daily_counts(load(spark, sf_dir, "events")).select(
+        F.col("event_type").alias("key"),
+        F.col("day").alias("bucket"),
+        F.col("n_events").cast("double").alias("value"),
+    )
+    daily.write.parquet(f"{tmp}/in")
+    src = spark.readStream.schema("key string, bucket long, value double").parquet(
+        f"{tmp}/in"
+    )
+    sink = _run_replay(spark, stateful.streaming_holt(src), tmp)
+    out = spark.read.parquet(sink).select(
+        "key",
+        "bucket",
+        F.round("value", 6).alias("value"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@register(
+    "seasonal_trend_anomalies",
+    f"""
+    WITH {_DAILY_SQL},
+    dowm AS (
+      SELECT event_type, day % 7 AS dow,
+             quantile_cont(CAST(n_events AS DOUBLE), 0.5) AS dow_mean
+      FROM daily GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT d.event_type, d.day, d.n_events,
+             CAST(d.n_events AS DOUBLE) - m.dow_mean AS adj
+      FROM daily d JOIN dowm m
+        ON d.event_type = m.event_type AND d.day % 7 = m.dow
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             (b.adj - a.adj) / CAST(b.day - a.day AS DOUBLE) AS slope
+      FROM adj a JOIN adj b
+        ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(slope, 0.5) AS slope
+      FROM slopes GROUP BY 1
+    ),
+    pre AS (
+      SELECT adj.event_type, adj.day, adj.n_events,
+             adj.adj - (med.slope * CAST(adj.day AS DOUBLE)) AS detr_pre
+      FROM adj JOIN med USING (event_type)
+    ),
+    icpt AS (
+      SELECT event_type, quantile_cont(detr_pre, 0.5) AS icpt
+      FROM pre GROUP BY 1
+    ),
+    r2 AS (
+      SELECT pre.event_type, pre.day, pre.n_events,
+             pre.detr_pre - icpt.icpt AS resid
+      FROM pre JOIN icpt USING (event_type)
+    ),
+    mr AS (
+      SELECT event_type, quantile_cont(resid, 0.5) AS med_r
+      FROM r2 GROUP BY 1
+    ),
+    r3 AS (
+      SELECT r2.event_type, r2.day, r2.n_events, r2.resid,
+             abs(r2.resid - mr.med_r) AS dev
+      FROM r2 JOIN mr USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM r3 GROUP BY 1
+    )
+    SELECT r3.event_type, r3.day, r3.n_events,
+           round(r3.resid, 6) AS resid,
+           r3.dev > 3.0 * 1.4826 * mad.mad AS anomaly
+    FROM r3 JOIN mad USING (event_type)
+    """,
+)
+def q_seasonal_trend_anomalies(spark, sf_dir):
+    """STL-style robust decomposition per event type: day-of-week
+    seasonal MEDIANS (robust — a mean would let one spike lift its
+    whole weekday and shadow-flag the spike's siblings), Theil-Sen
+    trend on the seasonally ADJUSTED series, MAD-flagged residuals
+    (|r - med| > 3 * 1.4826 * MAD) — the composed answer to "was that
+    Tuesday actually anomalous or just a Tuesday on a growing series?"
+    that the pure z-score and pure DOW entries each get wrong.  Every
+    float step is a single op or an exact percentile over identical
+    doubles, so no quantization is needed anywhere."""
+    from broker_spark.operators.stats import seasonal_trend_anomalies
+
+    return seasonal_trend_anomalies(load(spark, sf_dir, "events"))
+
+
+@register(
+    "link_prediction_adamic_adar",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, 0 AS band_id, mh0 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 1 AS band_id, mh1 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 2 AS band_id, mh2 AS band_key FROM sig
+      UNION ALL SELECT doc_id, 3 AS band_id, mh3 AS band_key FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM banded l JOIN banded r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+       AND l.doc_id < r.doc_id
+      WHERE l.band_key IS NOT NULL AND l.band_key <> ''
+    ),
+    adj AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT doc_a AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM adj GROUP BY 1
+    ),
+    wedge AS (
+      SELECT x.doc_a AS a, y.doc_a AS b, x.doc_b AS via
+      FROM adj x JOIN adj y ON x.doc_b = y.doc_b AND x.doc_a < y.doc_a
+    ),
+    ne AS (
+      SELECT w.a, w.b, w.via FROM wedge w
+      LEFT JOIN pairs p ON w.a = p.doc_a AND w.b = p.doc_b
+      WHERE p.doc_a IS NULL
+    ),
+    terms AS (
+      SELECT ne.a, ne.b,
+             CAST(floor(1.0 / ln(CAST(d.degree AS DOUBLE))
+                        * 1000000000000 + 0.5) AS BIGINT) AS t
+      FROM ne JOIN deg d ON ne.via = d.doc_id
+    ),
+    scored AS (
+      SELECT a AS doc_a, b AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             SUM(t) AS aa_q
+      FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT s.doc_a, s.doc_b, s.common_neighbors,
+             CAST(s.common_neighbors AS DOUBLE)
+               / CAST(da.degree + db.degree - s.common_neighbors AS DOUBLE)
+               AS jaccard_raw,
+             s.aa_q,
+             CAST(row_number() OVER (ORDER BY s.aa_q DESC, s.doc_a, s.doc_b)
+                  AS INT) AS rank
+      FROM scored s
+      JOIN deg da ON s.doc_a = da.doc_id
+      JOIN deg db ON s.doc_b = db.doc_id
+    )
+    SELECT rank, doc_a, doc_b, common_neighbors,
+           round(jaccard_raw, 6) AS nbr_jaccard,
+           round(CAST(aa_q AS DOUBLE) / 1000000000000.0, 6) AS adamic_adar
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q_link_prediction_adamic_adar(spark, sf_dir):
+    """Link prediction over the LSH candidate graph: top-50 NON-edges by
+    Adamic-Adar (sum 1/ln(deg) over common neighbors), with
+    common-neighbor counts and neighborhood Jaccard — the "which
+    near-dup edges did the banding MISS" audit: a high-AA non-edge is a
+    probable same-cluster pair whose bands narrowly failed to collide.
+    Wedge equi-join on the shared neighbor (never all-pairs), anti-join
+    drops real edges; AA terms picounit-quantized so ordering and sums
+    are exact in both engines.  The graph uses SINGLE-hash bands
+    (rows_per_band=1, the high-recall/low-precision end of the S-curve)
+    — exactly the regime where link prediction has work to do; the
+    2-row-band graph is so precise its every wedge is already closed."""
+    pairs = dedup.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), rows_per_band=1
+    )
+    return dedup.adamic_adar_scores(pairs, k=50)
+
+
+def _heaps_grid_sql(n_tiers: int = 10) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS tier, (SELECT quantile_cont(doc_id, {i / n_tiers})"
+        f" FROM pd) AS boundary"
+        for i in range(1, n_tiers + 1)
+    )
+    return f"({rows})"
+
+
+@register(
+    "heaps_vocab_growth",
+    f"""
+    WITH pd AS (
+      SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    firsts AS (
+      SELECT word, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+      ) WHERE length(word) > 0 GROUP BY word
+    ),
+    grid AS {_heaps_grid_sql(10)},
+    counts AS (
+      SELECT g.tier, g.boundary,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(pd.n_tokens) AS BIGINT) AS n_tokens
+      FROM grid g JOIN pd ON CAST(pd.doc_id AS DOUBLE) <= g.boundary
+      GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT g.tier, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM grid g JOIN firsts f ON CAST(f.first_doc AS DOUBLE) <= g.boundary
+      GROUP BY 1
+    )
+    SELECT c.tier, round(c.boundary, 6) AS boundary, c.n_docs, c.n_tokens,
+           v.vocab,
+           round(ln(CAST(v.vocab AS DOUBLE)) / ln(CAST(c.n_tokens AS DOUBLE)),
+                 6) AS heaps_exponent
+    FROM counts c JOIN vocab v USING (tier)
+    """,
+)
+def q_heaps_vocab_growth(spark, sf_dir):
+    """The Heaps'-law vocabulary-growth curve: distinct-word vocabulary,
+    token totals, and the implied exponent ln(V)/ln(N) at ten cumulative
+    corpus prefixes — the measurement behind the BPE entries' central
+    scale claim (trainer iterations are VOCABULARY-sized, which only
+    helps if vocabulary grows sub-linearly) and a corpus-pollution gate
+    (exponent drifting toward 1 = unique-token junk).  No corpus-wide
+    window: boundaries are exact percentiles, tiers are conditional
+    aggregates against a broadcast 10-row grid."""
+    return text.heaps_vocab_growth(load(spark, sf_dir, "documents"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -9703,6 +9991,11 @@ _AUDIT_PRIORITY = [
     "theil_sen_daily_trend",
     "seasonal_naive_mape",
     "multitouch_attribution",
+    # -- NEW in round 6, second session
+    "streaming_holt_replay",
+    "seasonal_trend_anomalies",
+    "link_prediction_adamic_adar",
+    "heaps_vocab_growth",
     # -- NEW in round 5, second session (never driver-checked if the
     # round-5 driver snapshot didn't run; kept high)
     "table_profile_documents",

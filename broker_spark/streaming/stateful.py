@@ -312,3 +312,101 @@ def streaming_funnel(events: DataFrame, flush_ts_ms: int) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# -- streaming Holt (level + trend) smoothing --------------------------------
+
+_HOLT_OUTPUT = StructType(
+    [
+        StructField("key", StringType(), False),
+        StructField("bucket", LongType(), False),
+        StructField("value", DoubleType(), True),
+        StructField("level", DoubleType(), True),
+        StructField("trend", DoubleType(), True),
+        StructField("forecast", DoubleType(), True),
+    ]
+)
+
+#: state = (level, trend, last bucket, first-point value/bucket pending
+#: emission).  The batch definition initializes trend with x_2 - x_1, a
+#: one-step lookahead — so the first point is HELD in state and emitted
+#: only when the second arrives (or never, for a one-point stream; the
+#: availableNow replay certificate runs on series with >= 2 points).
+_HOLT_STATE = StructType(
+    [
+        StructField("level", DoubleType(), True),
+        StructField("trend", DoubleType(), True),
+        StructField("bucket", LongType(), True),
+        StructField("first_x", DoubleType(), True),
+        StructField("first_bucket", LongType(), True),
+    ]
+)
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.2
+
+
+def _holt_func(
+    key: Any,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold this micro-batch's (bucket, value) rows — ordered by bucket —
+    into the running Holt (level, trend) state.  Identical literal op
+    order to operators.stats.holt_trend_daily, so replay output is
+    bit-equal to the batch recurrence."""
+    lvl = trd = first_x = None
+    last_b = first_b = None
+    if state.exists:
+        lvl, trd, last_b, first_x, first_b = state.get
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+    out: list[tuple] = []
+    for _, r in rows.iterrows():
+        b, x = int(r["bucket"]), float(r["value"])
+        if last_b is not None and b <= last_b:
+            continue  # state is strictly forward; late buckets are no-ops
+        if lvl is None and first_x is None:
+            first_x, first_b, last_b = x, b, b
+            continue
+        if lvl is None:
+            # second point: emit the held first row, then fold this one
+            lvl, trd = first_x, x - first_x
+            out.append((first_b, first_x, lvl, trd, first_x))
+            f = lvl + trd
+            l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trd)
+            trd = HOLT_BETA * (l_new - lvl) + (1.0 - HOLT_BETA) * trd
+            lvl = l_new
+            out.append((b, x, lvl, trd, f))
+            last_b = b
+            continue
+        f = lvl + trd
+        l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trd)
+        trd = HOLT_BETA * (l_new - lvl) + (1.0 - HOLT_BETA) * trd
+        lvl = l_new
+        out.append((b, x, lvl, trd, f))
+        last_b = b
+    state.update((lvl, trd, last_b, first_x, first_b))
+    yield pd.DataFrame(
+        {
+            "key": [key[0]] * len(out),
+            "bucket": [o[0] for o in out],
+            "value": [o[1] for o in out],
+            "level": [o[2] for o in out],
+            "trend": [o[3] for o in out],
+            "forecast": [o[4] for o in out],
+        }
+    )
+
+
+def streaming_holt(keyed: DataFrame) -> DataFrame:
+    """`keyed` must have columns (key string, bucket long, value double).
+    Returns appended (key, bucket, value, level, trend, forecast) rows
+    per micro-batch — the stateful-streaming form of Holt smoothing,
+    state = two floats + bookkeeping per key in the checkpointed store."""
+    return keyed.groupBy("key").applyInPandasWithState(
+        _holt_func,
+        outputStructType=_HOLT_OUTPUT,
+        stateStructType=_HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

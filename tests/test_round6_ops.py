@@ -377,3 +377,128 @@ def test_seasonal_naive_squares_survive_long_overflow(spark):
 
     plan = out._jdf.queryExecution().analyzed().toString()
     assert re.search(r"decimal\(3[78],0\)", plan), plan
+
+
+# -- session-2: streaming Holt, STL anomalies, Adamic-Adar, Heaps ------------
+
+
+def test_streaming_holt_crosses_microbatches_and_holds_first_point(
+    spark, tmp_path
+):
+    # The textbook init trend_1 = x_2 - x_1 is a one-step lookahead: the
+    # first point must be HELD until the second arrives, and state must
+    # survive micro-batch boundaries.
+    import pytest as _pytest
+
+    from broker_spark.streaming import stateful
+
+    src = tmp_path / "in"
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_batch():
+        source = spark.readStream.schema("key string, bucket long, value double").parquet(
+            str(src)
+        )
+        q = (
+            stateful.streaming_holt(source)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["key"], r["bucket"]): (r["level"], r["trend"], r["forecast"])
+            for r in spark.read.parquet(sink).collect()
+        }
+
+    spark.createDataFrame(
+        [("a", 0, 10.0)], "key string, bucket long, value double"
+    ).write.mode("append").parquet(str(src))
+    first = run_batch()
+    assert ("a", 0) not in first  # held: trend needs x_2
+
+    spark.createDataFrame(
+        [("a", 1, 12.0), ("a", 2, 15.0)], "key string, bucket long, value double"
+    ).write.mode("append").parquet(str(src))
+    out = run_batch()
+
+    a, b = 0.5, 0.2
+    l1, t1 = 10.0, 2.0
+    f2 = l1 + t1
+    l2 = a * 12.0 + (1 - a) * (l1 + t1)
+    t2 = b * (l2 - l1) + (1 - b) * t1
+    f3 = l2 + t2
+    l3 = a * 15.0 + (1 - a) * (l2 + t2)
+    t3 = b * (l3 - l2) + (1 - b) * t2
+    assert out[("a", 0)] == _pytest.approx((l1, t1, 10.0))
+    assert out[("a", 1)] == _pytest.approx((l2, t2, f2))
+    assert out[("a", 2)] == _pytest.approx((l3, t3, f3))
+
+
+def test_seasonal_trend_anomalies_flags_only_the_break(spark):
+    # weekly pattern + steady trend for 4 weeks, with one day shoved far
+    # off pattern: exactly that day must flag.
+    from broker_spark.operators.stats import seasonal_trend_anomalies
+
+    week = [30, 10, 10, 10, 10, 20, 30]
+    rows, eid = [], 0
+    for d in range(28):
+        c = week[d % 7] + 2 * d  # trend +2/day
+        if d == 17:
+            c += 120  # the anomaly
+        for _ in range(c):
+            rows.append((eid, _ts(1 + d), 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["day"]: r["anomaly"] for r in seasonal_trend_anomalies(ev).collect()}
+    flagged = {d for d, a in out.items() if a}
+    anomaly_day = min(out) + 17
+    assert anomaly_day in flagged
+    assert len(flagged) <= 3  # the break (+ at most residual-pollution edges)
+
+
+def test_adamic_adar_scores_hand_computed(spark):
+    # path graph 1-2, 2-3, 1-4: non-edges with common neighbors are
+    # (1,3) via 2 and (2,4) via 1.
+    import math as _math
+
+    from broker_spark.pipeline.dedup import adamic_adar_scores
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in adamic_adar_scores(pairs, k=10).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    # deg(2) = 2 -> AA(1,3) = 1/ln 2; deg(1) = 2 -> AA(2,4) = 1/ln 2
+    aa = round(
+        int(1.0 / _math.log(2.0) * 1e12 + 0.5) / 1e12, 6
+    )
+    assert out[(1, 3)]["adamic_adar"] == aa
+    assert out[(1, 3)]["common_neighbors"] == 1
+    # jaccard: |{2,4} ∩ {2}| / |{2,4} ∪ {2}| = 1/2
+    assert out[(1, 3)]["nbr_jaccard"] == 0.5
+
+
+def test_heaps_vocab_growth_cumulative_and_monotone(spark):
+    docs = _docs_frame(
+        spark,
+        ["a b c", "a b d", "a e", "f g h i", "a b", "j k", "a", "l m", "n", "o p"],
+    )
+    out = {r["tier"]: r for r in text.heaps_vocab_growth(docs).collect()}
+    assert len(out) == 10
+    assert out[10]["n_docs"] == 10
+    assert out[10]["vocab"] == 16  # a..p
+    docs_seen = [out[t]["n_docs"] for t in range(1, 11)]
+    vocab_seen = [out[t]["vocab"] for t in range(1, 11)]
+    assert docs_seen == sorted(docs_seen)
+    assert vocab_seen == sorted(vocab_seen)

@@ -71,6 +71,17 @@ AUDITED = [
     "unigram_kl_by_source",        # shuffle-join word marginals, quantized sum
     "user_decile_migration",       # histogram-domain equi-depth banding
     "psi_length_by_source",        # grid-materialized smoothed-bin PSI
+    # round-6 session 1
+    "bpe_learn_merges",            # vocab-sized iterations, argmax driver rows
+    "record_linkage_pairs",        # multi-blocked linkage, levenshtein verify
+    "entity_resolution_names",     # bipartite match graph -> star CC
+    "holt_trend_daily",            # applyInPandas recurrence on daily frame
+    "theil_sen_daily_trend",       # calendar-bounded pairwise-slope join
+    "multitouch_attribution",      # user equi-join + per-conversion window
+    # round-6 session 2
+    "seasonal_trend_anomalies",    # median seasonal + Theil-Sen + MAD gate
+    "link_prediction_adamic_adar", # wedge equi-join + anti-join non-edges
+    "heaps_vocab_growth",          # percentile boundaries + broadcast grid
 ]
 
 

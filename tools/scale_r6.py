@@ -1,0 +1,86 @@
+"""Round-6 operator scale slopes: time the session's new entries at
+sf0.1 and at the cross-copy-disjoint 10x replication (rebuilding
+.scale/sf0.1x10 if absent via tools.bench_scale.build).
+
+Usage: python tools/scale_r6.py [--copies 10] [--runs 2]
+Prints a markdown table fragment to stdout (appended to BENCH_SCALE.md
+by hand, per the per-session convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from broker_spark.plans.catalog import CATALOG
+from broker_spark.session import get_spark
+from tools.bench_scale import build
+
+ENTRIES = [
+    "bpe_learn_merges",
+    "bpe_vocab_after_merges",
+    "record_linkage_pairs",
+    "entity_resolution_names",
+    "multitouch_attribution",
+    "holt_trend_daily",
+    "theil_sen_daily_trend",
+    "seasonal_naive_mape",
+]
+
+
+def time_set(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for name in ENTRIES:
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            CATALOG[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.3f}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.path.join(REPO, ".scale", f"sf0.1x{args.copies}")
+    spark = get_spark(app_name="broker-spark-scale-r6")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.isdir(os.path.join(dst, "documents.parquet")):
+        build(spark, src, dst, args.copies)
+
+    spark.range(1).count()
+    base = time_set(spark, src, args.runs)
+    scaled = time_set(spark, dst, args.runs)
+
+    print(f"| query | t(sf0.1) s | t({args.copies}x) s | ratio | verdict |")
+    print("|---|---|---|---|---|")
+    for name in ENTRIES:
+        r = scaled[name] / base[name] if base[name] else float("inf")
+        verdict = (
+            "SUPER-LINEAR — inspect"
+            if r > 1.5 * args.copies
+            else ("~linear" if r > 0.5 * args.copies else "sub-linear (overhead-bound)")
+        )
+        print(f"| {name} | {base[name]} | {scaled[name]} | {r:.1f}x | {verdict} |")
+    print()
+    print(
+        "Raw: "
+        + json.dumps({"base": base, "scaled": scaled, "copies": args.copies})
+    )
+
+
+if __name__ == "__main__":
+    main()
