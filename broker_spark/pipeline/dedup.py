@@ -1148,8 +1148,22 @@ def incremental_components(
     label, the final labeling is exactly the full-recompute labeling —
     the certificate entry proves it hash-identical against the same
     recursive-CTE oracle as `dedup_components`.  At 100 TB a nightly
-    crawl's delta touches the bridge graph, never the corpus."""
-    base = connected_components(docs, old_pairs, id_col, max_iter)
+    crawl's delta touches the bridge graph, never the corpus.
+
+    Both CC solves go through the star/union-find two-level path
+    (identical labels to label propagation, property-tested): at test
+    scale each collapses to one bounded collect instead of
+    O(diameter) convergence-probe jobs, and at corpus scale the
+    contraction rounds are O(log n).
+
+    `base` is materialized once (localCheckpoint): four readers follow
+    (both bridge endpoint maps, the meta-node set, the final relabel
+    join) and each would otherwise re-run the base solve + singleton
+    anti-join; in production base is the STORED labeling, so the
+    checkpoint stands in for that read."""
+    base = connected_components_star(docs, old_pairs, id_col, max_iter).localCheckpoint(
+        eager=False
+    )
     la = base.select(F.col(id_col).alias("doc_a"), F.col("component").alias("ca"))
     lb = base.select(F.col(id_col).alias("doc_b"), F.col("component").alias("cb"))
     bridges = (
@@ -1161,7 +1175,7 @@ def incremental_components(
         .distinct()
     )
     meta_nodes = base.select(F.col("component").alias(id_col)).distinct()
-    meta = connected_components(meta_nodes, bridges, id_col, max_iter)
+    meta = connected_components_star(meta_nodes, bridges, id_col, max_iter)
     relabel = meta.select(
         F.col(id_col).alias("_base_label"), F.col("component").alias("_final")
     )
