@@ -191,6 +191,10 @@ HEADLINE = [
     "seasonal_trend_anomalies",
     "link_prediction_adamic_adar",
     "heaps_vocab_growth",
+    # round-6 session 3
+    "matryoshka_recall",
+    "layout_pruning_benefit",
+    "k_anonymity_audit",
 ]
 
 

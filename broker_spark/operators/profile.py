@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
 
 def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -245,4 +247,106 @@ def referential_integrity(
         "n_keys",
         "n_orphan_rows",
         "n_orphan_keys",
+    )
+
+
+def layout_pruning_benefit(
+    events: DataFrame,
+    rows_per_file: int = 250,
+    probe_mod: int = 10,
+) -> DataFrame:
+    """Measured data-layout payoff: simulate writing the events table in
+    two physical orders — ARRIVAL (event_id) vs CLUSTERED (user_id, ts)
+    — into fixed-size files, then count how many files a min/max-pruned
+    reader must scan for a set of per-user probes.  The number the
+    zorder/compaction entries' design arguments turn into: clustering
+    pays exactly (scan_fraction_arrival / scan_fraction_clustered).
+
+    Everything is exact and engine-parity-safe: file ids come from a
+    deterministic total order (tie-broken by event_id), pruning is an
+    integer [min,max] containment test, fractions are single integer
+    divisions.  At 100 TB rows_per_file becomes the real file size and
+    the same query audits the actual manifest instead of a simulation.
+    """
+    probes = (
+        events.select((F.col("user_id") % probe_mod == 0).alias("p"), "user_id")
+        .filter("p")
+        .select("user_id")
+        .distinct()
+    )
+    out = None
+    for layout, order in (
+        ("arrival", [F.col("event_id")]),
+        ("clustered", [F.col("user_id"), F.col("ts"), F.col("event_id")]),
+    ):
+        w = Window.orderBy(*order)
+        files = (
+            events.select("event_id", "user_id", "ts")
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "file_id", ((F.col("rn") - 1) / F.lit(rows_per_file)).cast("long")
+            )
+            .groupBy("file_id")
+            .agg(
+                F.min("user_id").alias("u_min"),
+                F.max("user_id").alias("u_max"),
+            )
+        )
+        n_files = files.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_files")
+        )
+        scanned = (
+            files.crossJoin(broadcast(probes))
+            .filter(
+                (F.col("user_id") >= F.col("u_min"))
+                & (F.col("user_id") <= F.col("u_max"))
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
+        )
+        n_probes = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        row = (
+            n_files.crossJoin(broadcast(scanned))
+            .crossJoin(broadcast(n_probes))
+            .select(
+                F.lit(layout).alias("layout"),
+                "n_files",
+                "n_probes",
+                "files_scanned",
+                F.round(
+                    F.col("files_scanned").cast("double")
+                    / (F.col("n_files") * F.col("n_probes")).cast("double"),
+                    6,
+                ).alias("scan_fraction"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def k_anonymity_audit(
+    events: DataFrame, k_threshold: int = 5, hour_bucket: int = 4
+) -> DataFrame:
+    """k-anonymity audit over the release-shaped quasi-identifier cells
+    (event_type, day-of-week, 4-hour bucket): k = DISTINCT users per
+    cell.  A cell with k below the threshold re-identifies its users if
+    the table is released grouped by those attributes — the standard
+    pre-release privacy gate that complements the PII redaction entry
+    (redaction hides values; k-anonymity catches identifying
+    COMBINATIONS).  One hash aggregation; suppress = the action bit."""
+    dow = F.pmod(
+        F.floor(F.unix_millis("ts") / F.lit(86_400_000)), F.lit(7)
+    ).cast("int")
+    h4 = F.expr(
+        f"CAST((unix_millis(ts) % 86400000) DIV {hour_bucket * 3_600_000} AS INT)"
+    )
+    return (
+        events.select(
+            "event_type", dow.alias("dow"), h4.alias("hour_bucket"), "user_id"
+        )
+        .groupBy("event_type", "dow", "hour_bucket")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("k_users"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .withColumn("suppress", F.col("k_users") < k_threshold)
     )

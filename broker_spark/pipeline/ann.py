@@ -1619,3 +1619,62 @@ def centroid_silhouette(
             .alias("n_misassigned"),
         )
     )
+
+
+def matryoshka_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (4, 8, 16),
+    k: int = 10,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-truncation quality curve: for each prefix dimension d,
+    run exact cosine top-k with vectors TRUNCATED to their first d
+    components and report the per-query overlap with the full-dimension
+    top-k — the measurement that decides how short a nested
+    (Matryoshka-style) embedding can be cut for cheap first-stage
+    retrieval before full-dimension re-rank.
+
+    Scale shape: identical to `brute_force_topk` (broadcast queries,
+    corpus side partition-parallel, per-query window) run once per
+    tier + once full — a constant small multiple; the truncated tiers
+    are CHEAPER than full scoring by d/dim per term.  recall = overlap/k
+    is an exact integer ratio."""
+    full = brute_force_topk(
+        embeddings,
+        embeddings.filter(F.col(id_col) < n_queries),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "cand_id")
+    out = None
+    for d in dims:
+        trunc = embeddings.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        tier = brute_force_topk(
+            trunc,
+            trunc.filter(F.col(id_col) < n_queries),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        ).select("query_id", "cand_id")
+        hits = (
+            tier.join(full, ["query_id", "cand_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        )
+        all_q = full.select("query_id").distinct()
+        tier_out = all_q.join(hits, "query_id", "left").select(
+            F.lit(d).cast("int").alias("dim"),
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                6,
+            ).alias("recall"),
+        )
+        out = tier_out if out is None else out.unionByName(tier_out)
+    return out

@@ -9968,6 +9968,183 @@ def q_heaps_vocab_growth(spark, sf_dir):
     return text.heaps_vocab_growth(load(spark, sf_dir, "documents"))
 
 
+def _matryoshka_tier_sql(d: int, k: int = 10) -> str:
+    """One truncated-cosine top-k tier: prefix slice qv[1:d] / cv[1:d],
+    same fold shape as _COS_SQL so the doubles match the Spark cosine."""
+    return f"""t{d} AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+        FROM (
+          SELECT query_id, cand_id,
+            list_sum(list_transform(range(1, {d + 1}),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, {d + 1}),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, {d + 1}),
+                     i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+              AS cos_raw
+          FROM q, c WHERE query_id <> cand_id
+        )
+      ) WHERE rank <= {k}
+    ),
+    o{d} AS (
+      SELECT {d} AS dim, t.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM t{d} t JOIN full_s f
+        ON t.query_id = f.query_id AND t.cand_id = f.cand_id
+      GROUP BY 2
+    )"""
+
+
+_MATRYOSHKA_DIMS = (4, 8, 16)
+
+
+@register(
+    "matryoshka_recall",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cand_id, embedding AS cv FROM embeddings),
+    full_s AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_raw DESC, cand_id) AS INT) AS rank
+        FROM (
+          SELECT query_id, cand_id,
+            list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+            / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+                     i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(1, len(cv) + 1),
+                     i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))
+              AS cos_raw
+          FROM q, c WHERE query_id <> cand_id
+        )
+      ) WHERE rank <= 10
+    ),
+    {",".join(_matryoshka_tier_sql(d) for d in _MATRYOSHKA_DIMS)},
+    qs AS (SELECT DISTINCT query_id FROM full_s),
+    tiers AS (
+      {" UNION ALL ".join(
+          f"SELECT {d} AS dim, qs.query_id, COALESCE(o{d}.n_overlap, 0) AS n_overlap"
+          f" FROM qs LEFT JOIN o{d} ON qs.query_id = o{d}.query_id"
+          for d in _MATRYOSHKA_DIMS
+      )}
+    )
+    SELECT CAST(dim AS INT) AS dim, query_id,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
+    FROM tiers
+    """,
+)
+def q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-truncation retrieval quality: exact cosine top-10 with
+    vectors cut to their first 4/8/16 of 64 components, scored as
+    per-query overlap against the full-dimension top-10 — the curve
+    that decides how short a nested embedding can be truncated for
+    cheap first-stage retrieval before full-dimension re-rank (the
+    production trick for 16x-cheaper candidate generation).  Same
+    broadcast-queries/partition-parallel-corpus shape as
+    `ann_bruteforce_topk`, once per tier; recall is an exact integer
+    ratio."""
+    return ann.matryoshka_recall(
+        load(spark, sf_dir, "embeddings"), dims=_MATRYOSHKA_DIMS, k=10
+    )
+
+
+@register(
+    "layout_pruning_benefit",
+    """
+    WITH probes AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes),
+    fa AS (
+      SELECT ((row_number() OVER (ORDER BY event_id)) - 1) // 250 AS file_id,
+             user_id
+      FROM events
+    ),
+    fila AS (
+      SELECT file_id, min(user_id) AS u_min, max(user_id) AS u_max
+      FROM fa GROUP BY 1
+    ),
+    fc AS (
+      SELECT ((row_number() OVER (ORDER BY user_id, ts, event_id)) - 1) // 250
+               AS file_id,
+             user_id
+      FROM events
+    ),
+    filc AS (
+      SELECT file_id, min(user_id) AS u_min, max(user_id) AS u_max
+      FROM fc GROUP BY 1
+    ),
+    sa AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned
+      FROM fila JOIN probes p
+        ON p.user_id >= fila.u_min AND p.user_id <= fila.u_max
+    ),
+    sc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned
+      FROM filc JOIN probes p
+        ON p.user_id >= filc.u_min AND p.user_id <= filc.u_max
+    ),
+    nfa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM fila),
+    nfc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_files FROM filc)
+    SELECT 'arrival' AS layout, nfa.n_files, np.n_probes, sa.files_scanned,
+           round(CAST(sa.files_scanned AS DOUBLE)
+                 / CAST(nfa.n_files * np.n_probes AS DOUBLE), 6)
+             AS scan_fraction
+    FROM nfa, np, sa
+    UNION ALL
+    SELECT 'clustered', nfc.n_files, np.n_probes, sc.files_scanned,
+           round(CAST(sc.files_scanned AS DOUBLE)
+                 / CAST(nfc.n_files * np.n_probes AS DOUBLE), 6)
+    FROM nfc, np, sc
+    """,
+)
+def q_layout_pruning_benefit(spark, sf_dir):
+    """The data-layout design argument turned into a measured number:
+    simulate writing events in ARRIVAL (event_id) vs CLUSTERED
+    (user_id, ts) order into 250-row files, min/max-prune per-user
+    probes against each manifest, and report the scan fraction each
+    layout forces.  Companion measurement to `zorder_layout_keys` /
+    `compaction_plan`: clustering pays exactly
+    arrival_fraction / clustered_fraction.  Deterministic total orders
+    (tie-broken by event_id), integer containment pruning, single-op
+    fractions."""
+    from broker_spark.operators.profile import layout_pruning_benefit
+
+    return layout_pruning_benefit(load(spark, sf_dir, "events"))
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    SELECT event_type,
+           CAST((epoch_ms(ts) // 86400000) % 7 AS INT) AS dow,
+           CAST((epoch_ms(ts) % 86400000) // 14400000 AS INT) AS hour_bucket,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS k_users,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(DISTINCT user_id) < 5 AS suppress
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over release-shaped quasi-identifier cells
+    (event_type, day-of-week, 4-hour bucket): k = distinct users per
+    cell, suppress bit where k < 5 — the pre-release privacy gate that
+    complements `pii_redaction` (redaction hides VALUES; k-anonymity
+    catches identifying COMBINATIONS of innocent-looking attributes).
+    One hash aggregation with a distinct-count; at 100 TB this is a
+    partial-aggregated groupBy like any other."""
+    from broker_spark.operators.profile import k_anonymity_audit
+
+    return k_anonymity_audit(load(spark, sf_dir, "events"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -9996,6 +10173,10 @@ _AUDIT_PRIORITY = [
     "seasonal_trend_anomalies",
     "link_prediction_adamic_adar",
     "heaps_vocab_growth",
+    # -- NEW in round 6, third session
+    "matryoshka_recall",
+    "layout_pruning_benefit",
+    "k_anonymity_audit",
     # -- NEW in round 5, second session (never driver-checked if the
     # round-5 driver snapshot didn't run; kept high)
     "table_profile_documents",

@@ -502,3 +502,61 @@ def test_heaps_vocab_growth_cumulative_and_monotone(spark):
     vocab_seen = [out[t]["vocab"] for t in range(1, 11)]
     assert docs_seen == sorted(docs_seen)
     assert vocab_seen == sorted(vocab_seen)
+
+
+# -- session-3: matryoshka, layout pruning, k-anonymity ----------------------
+
+
+def test_matryoshka_full_dim_tier_is_perfect_recall(spark):
+    # with d = full dimension, the truncated top-k IS the full top-k.
+    from broker_spark.pipeline.ann import matryoshka_recall
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = matryoshka_recall(emb, dims=(2, 4), k=5, n_queries=3).collect()
+    by_dim = {}
+    for r in out:
+        by_dim.setdefault(r["dim"], []).append(r["recall"])
+    assert all(v == 1.0 for v in by_dim[4])
+    assert len(by_dim[2]) == 3
+
+
+def test_layout_pruning_clustered_beats_arrival(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, _ts(1 + i % 28, i % 24), rng.randrange(50), "click", 1.0, "{}")
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from broker_spark.operators.profile import layout_pruning_benefit
+
+    out = {r["layout"]: r for r in layout_pruning_benefit(ev).collect()}
+    assert out["clustered"]["scan_fraction"] < out["arrival"]["scan_fraction"]
+    assert out["arrival"]["n_files"] == out["clustered"]["n_files"] == 8
+
+
+def test_k_anonymity_flags_small_cells(spark):
+    rows = []
+    # cell A: 6 users -> ok; cell B: 2 users -> suppress
+    for u in range(6):
+        rows.append((u, _ts(1, 1), u, "click", 1.0, "{}"))
+    for u in range(2):
+        rows.append((100 + u, _ts(2, 9), 50 + u, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from broker_spark.operators.profile import k_anonymity_audit
+
+    out = {(r["event_type"]): r for r in k_anonymity_audit(ev).collect()}
+    assert out["click"]["k_users"] == 6 and not out["click"]["suppress"]
+    assert out["view"]["k_users"] == 2 and out["view"]["suppress"]

@@ -82,6 +82,10 @@ AUDITED = [
     "seasonal_trend_anomalies",    # median seasonal + Theil-Sen + MAD gate
     "link_prediction_adamic_adar", # wedge equi-join + anti-join non-edges
     "heaps_vocab_growth",          # percentile boundaries + broadcast grid
+    # round-6 session 3
+    "matryoshka_recall",           # tiered truncated-cosine topk + overlap
+    "layout_pruning_benefit",      # simulated manifests, minmax containment
+    "k_anonymity_audit",           # QI-cell distinct-count privacy gate
 ]
 
 
