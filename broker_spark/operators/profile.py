@@ -267,6 +267,12 @@ def layout_pruning_benefit(
     integer [min,max] containment test, fractions are single integer
     divisions.  At 100 TB rows_per_file becomes the real file size and
     the same query audits the actual manifest instead of a simulation.
+
+    The global rank is DISTRIBUTED, not a corpus-wide single-task
+    window: range-repartition on the order key, row_number within each
+    range partition, plus broadcast cumulative partition offsets — the
+    standard two-pass exact ranking.  The result is the same global
+    rank whatever boundaries the range sampler picks.
     """
     probes = (
         events.select((F.col("user_id") % probe_mod == 0).alias("p"), "user_id")
@@ -274,15 +280,39 @@ def layout_pruning_benefit(
         .select("user_id")
         .distinct()
     )
+
+    def _ranked(order):
+        part = (
+            events.select("event_id", "user_id", "ts")
+            .repartitionByRange(32, *order)
+            .withColumn("pid", F.spark_partition_id())
+        )
+        w_local = Window.partitionBy("pid").orderBy(*order)
+        # materialize ONCE: the offsets pass and the join pass must see
+        # the same range boundaries — the range partitioner samples per
+        # execution, so two lazy executions could disagree on pid
+        # assignment and corrupt the reconstructed global rank
+        t = part.withColumn("rn_local", F.row_number().over(w_local)).localCheckpoint(
+            eager=False
+        )
+        counts = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+        w_off = Window.orderBy("pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )  # tiny frame: one row per partition
+        offsets = counts.withColumn(
+            "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        ).select("pid", "offset")
+        return t.join(broadcast(offsets), "pid").withColumn(
+            "rn", F.col("rn_local") + F.col("offset")
+        )
+
     out = None
     for layout, order in (
         ("arrival", [F.col("event_id")]),
         ("clustered", [F.col("user_id"), F.col("ts"), F.col("event_id")]),
     ):
-        w = Window.orderBy(*order)
         files = (
-            events.select("event_id", "user_id", "ts")
-            .withColumn("rn", F.row_number().over(w))
+            _ranked(order)
             .withColumn(
                 "file_id", ((F.col("rn") - 1) / F.lit(rows_per_file)).cast("long")
             )

@@ -1641,13 +1641,22 @@ def matryoshka_recall(
     tier + once full — a constant small multiple; the truncated tiers
     are CHEAPER than full scoring by d/dim per term.  recall = overlap/k
     is an exact integer ratio."""
-    full = brute_force_topk(
-        embeddings,
-        embeddings.filter(F.col(id_col) < n_queries),
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-    ).select("query_id", "cand_id")
+    # one materialization, 2 readers per tier (overlap join + query
+    # grid): without the checkpoint each tier re-runs the full-dimension
+    # queries x corpus scoring DAG — same multi-reader pattern as the
+    # incremental-CC base labeling
+    full = (
+        brute_force_topk(
+            embeddings,
+            embeddings.filter(F.col(id_col) < n_queries),
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .select("query_id", "cand_id")
+        .localCheckpoint(eager=False)
+    )
+    all_q = full.select("query_id").distinct()
     out = None
     for d in dims:
         trunc = embeddings.select(
@@ -1665,7 +1674,6 @@ def matryoshka_recall(
             .groupBy("query_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
         )
-        all_q = full.select("query_id").distinct()
         tier_out = all_q.join(hits, "query_id", "left").select(
             F.lit(d).cast("int").alias("dim"),
             "query_id",

@@ -1197,8 +1197,15 @@ def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
     edges.  A common neighbor has degree >= 2 by construction, so
     ln(deg) > 0.  AA terms are picounit-quantized before the sum so
     both engines add exact integers (the ordering key is the quantized
-    sum itself — fully deterministic).  Top-k by (aa desc, pair)."""
-    fwd = pairs.select("doc_a", "doc_b")
+    sum itself — fully deterministic).  Top-k by (aa desc, pair).
+
+    Edges are normalized to (least, greatest) orientation first, so a
+    caller supplying reverse-oriented pairs cannot leak a real edge
+    into the "missed link" output through the anti-join."""
+    fwd = pairs.select(
+        F.least("doc_a", "doc_b").alias("doc_a"),
+        F.greatest("doc_a", "doc_b").alias("doc_b"),
+    ).distinct()
     adj = fwd.union(
         fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()

@@ -9741,7 +9741,14 @@ def q_streaming_holt_replay(spark, sf_dir):
         F.col("day").alias("bucket"),
         F.col("n_events").cast("double").alias("value"),
     )
-    daily.write.parquet(f"{tmp}/in")
+    # one file, sorted by (key, bucket): the stateful operator's state is
+    # strictly forward (late buckets are no-ops, as for EWMA), so the
+    # staged source must guarantee per-key bucket order ACROSS micro-
+    # batches too — a multi-file stage could split out of order under a
+    # maxFilesPerTrigger-style source and silently drop buckets
+    daily.coalesce(1).sortWithinPartitions("key", "bucket").write.parquet(
+        f"{tmp}/in"
+    )
     src = spark.readStream.schema("key string, bucket long, value double").parquet(
         f"{tmp}/in"
     )

@@ -354,7 +354,13 @@ def _holt_func(
     """Fold this micro-batch's (bucket, value) rows — ordered by bucket —
     into the running Holt (level, trend) state.  Identical literal op
     order to operators.stats.holt_trend_daily, so replay output is
-    bit-equal to the batch recurrence."""
+    bit-equal to the batch recurrence.
+
+    State is STRICTLY FORWARD (like the EWMA operator): a bucket at or
+    below the last folded bucket is a no-op.  Batch equivalence
+    therefore requires the source to deliver each key's buckets in
+    non-decreasing order across micro-batches — the replay certificate
+    stages a single (key, bucket)-sorted file to guarantee it."""
     lvl = trd = first_x = None
     last_b = first_b = None
     if state.exists:

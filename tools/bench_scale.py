@@ -265,11 +265,18 @@ def _scaled_ann_overrides(copies: int):
 
 
 def time_set(
-    spark: SparkSession, sf_dir: str, runs: int, copies: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    runs: int,
+    copies: int = 1,
+    entries: list[str] | None = None,
 ) -> dict[str, float]:
+    """Best-of-`runs` wall time per entry.  `entries` defaults to the
+    HEAVY set; per-round scale scripts (tools/scale_r6.py) pass their
+    own list instead of duplicating this loop."""
     overrides = _scaled_ann_overrides(copies)
     out: dict[str, float] = {}
-    for name in HEAVY:
+    for name in entries if entries is not None else HEAVY:
         fn = overrides.get(name, CATALOG[name].fn)
         best = None
         for _ in range(runs):

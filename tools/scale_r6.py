@@ -13,14 +13,12 @@ import argparse
 import json
 import os
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from broker_spark.plans.catalog import CATALOG
 from broker_spark.session import get_spark
-from tools.bench_scale import build
+from tools.bench_scale import build, time_set
 
 ENTRIES = [
     "bpe_learn_merges",
@@ -32,20 +30,6 @@ ENTRIES = [
     "theil_sen_daily_trend",
     "seasonal_naive_mape",
 ]
-
-
-def time_set(spark, sf_dir: str, runs: int) -> dict[str, float]:
-    out: dict[str, float] = {}
-    for name in ENTRIES:
-        best = None
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            CATALOG[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
-        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]:.3f}s", file=sys.stderr)
-    return out
 
 
 def main() -> None:
@@ -62,8 +46,8 @@ def main() -> None:
         build(spark, src, dst, args.copies)
 
     spark.range(1).count()
-    base = time_set(spark, src, args.runs)
-    scaled = time_set(spark, dst, args.runs)
+    base = time_set(spark, src, args.runs, copies=1, entries=ENTRIES)
+    scaled = time_set(spark, dst, args.runs, copies=args.copies, entries=ENTRIES)
 
     print(f"| query | t(sf0.1) s | t({args.copies}x) s | ratio | verdict |")
     print("|---|---|---|---|---|")
