@@ -195,6 +195,10 @@ HEADLINE = [
     "matryoshka_recall",
     "layout_pruning_benefit",
     "k_anonymity_audit",
+    # round-6 session 4
+    "churn_label_features",
+    "conversion_latency_quantiles",
+    "bpe_fertility_by_lang",
 ]
 
 

@@ -924,3 +924,121 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def churn_label_features(
+    events: DataFrame, feature_weeks: int = 3
+) -> DataFrame:
+    """The standard churn-model training frame: per user active in the
+    feature window (first `feature_weeks` weeks of the corpus), weekly
+    activity counts, type diversity, purchase count, and exact decayed
+    spend — with the LABEL (churned = zero events after the feature
+    window).  Featurization + label generation as one plan: the step
+    between raw telemetry and any churn model, and the shape every
+    label-leakage audit runs on (features read only the feature window;
+    the label reads only the holdout window).
+
+    One pass: conditional aggregation against the broadcast corpus min
+    day; value sums ride DECIMAL(28,6)."""
+    min_day = events.agg(
+        F.floor(F.min(F.unix_millis("ts")) / F.lit(86_400_000))
+        .cast("long")
+        .alias("min_day")
+    )
+    day = F.floor(F.unix_millis("ts") / F.lit(86_400_000)).cast("long")
+    rel_week = F.floor((day - F.col("min_day")) / F.lit(7)).cast("int")
+    in_feat = rel_week < feature_weeks
+    base = events.crossJoin(broadcast(min_day)).select(
+        "user_id",
+        "event_type",
+        "value",
+        rel_week.alias("rel_week"),
+        in_feat.alias("in_feat"),
+    )
+    agg = base.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("rel_week") == w, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_events_w{w + 1}")
+            for w in range(feature_weeks)
+        ],
+        F.count_distinct(F.when(F.col("in_feat"), F.col("event_type")))
+        .cast("long")
+        .alias("n_types"),
+        F.sum(
+            F.when(
+                F.col("in_feat") & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(
+            F.when(F.col("in_feat"), F.col("value"))
+            .otherwise(F.lit(0.0))
+            .cast("decimal(28,6)")
+        )
+        .cast("double")
+        .alias("feat_value"),
+        F.sum(F.when(~F.col("in_feat"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    feat_cols = [f"n_events_w{w + 1}" for w in range(feature_weeks)]
+    return (
+        agg.filter(
+            sum(F.col(c) for c in feat_cols) > 0
+        )  # population: active in the feature window
+        .select(
+            "user_id",
+            *feat_cols,
+            "n_types",
+            "n_purchases",
+            F.round("feat_value", 6).alias("feat_value"),
+            (F.col("n_after") == 0).alias("churned"),
+        )
+    )
+
+
+def conversion_latency_quantiles(
+    events: DataFrame,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    lookback_ms: int = 7 * 86_400_000,
+) -> DataFrame:
+    """Click-to-purchase latency distribution by purchase day-of-week:
+    for each conversion, latency to the user's LAST preceding touch in
+    the lookback window (the as-of pairing), then exact p50/p90/p99
+    quantiles per weekday — the funnel-health number product teams
+    watch (a latency distribution stretching out precedes a conversion
+    drop).  One user_id hash join, one max-per-conversion aggregation,
+    exact percentile interpolation over integer millisecond latencies."""
+    t = F.unix_millis("ts")
+    touches = events.filter(F.col("event_type") == touch_type).select(
+        F.col("user_id"), t.alias("t_ms")
+    )
+    convs = events.filter(F.col("event_type") == convert_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("conv_id"),
+        t.alias("c_ms"),
+    )
+    paired = (
+        convs.join(touches, "user_id")
+        .filter(
+            (F.col("t_ms") < F.col("c_ms"))
+            & (F.col("t_ms") >= F.col("c_ms") - F.lit(int(lookback_ms)))
+        )
+        .groupBy("conv_id", "c_ms")
+        .agg(F.max("t_ms").alias("last_touch_ms"))
+        .select(
+            F.expr("CAST((c_ms % 604800000) DIV 86400000 AS INT)").alias("dow"),
+            (F.col("c_ms") - F.col("last_touch_ms"))
+            .cast("double")
+            .alias("latency_ms"),
+        )
+    )
+    return paired.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(F.percentile("latency_ms", F.lit(0.5)), 6).alias("p50_ms"),
+        F.round(F.percentile("latency_ms", F.lit(0.9)), 6).alias("p90_ms"),
+        F.round(F.percentile("latency_ms", F.lit(0.99)), 6).alias("p99_ms"),
+    )

@@ -1869,3 +1869,50 @@ def heaps_vocab_growth(docs: DataFrame, n_tiers: int = 10) -> DataFrame:
             ).alias("heaps_exponent"),
         )
     )
+
+
+def bpe_fertility_by_lang(docs: DataFrame, n_merges: int = 4) -> DataFrame:
+    """Per-language fertility of the LEARNED BPE tokenizer: after the
+    corpus-global merges, tokens-per-word and chars-per-token by
+    language — the fairness number for a multilingual tokenizer (a
+    merge table learned on an English-heavy blend fragments the other
+    languages; fertility quantifies by how much), complementing
+    `wordpiece_fertility_by_lang` which measures a FIXED vocabulary.
+
+    Shape: the trainer's vocabulary frame is reused (word -> final
+    toks); the per-language word counts join it BY WORD — one
+    vocabulary-sized join, never a corpus re-tokenization."""
+    _, wf = bpe_learn(docs, n_merges)
+    tk = wf.select(
+        "word",
+        F.size(F.split(F.col("toks"), " ")).cast("long").alias("n_toks"),
+        F.length("word").cast("long").alias("n_chars"),
+    )
+    lw = (
+        docs.select(F.col("lang"), F.explode(words_col(F.col("text"))).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        lw.join(tk, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_toks")).cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars")).cast("long").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )

@@ -10152,6 +10152,142 @@ def q_k_anonymity_audit(spark, sf_dir):
     return k_anonymity_audit(load(spark, sf_dir, "events"))
 
 
+@register(
+    "churn_label_features",
+    """
+    WITH md AS (
+      SELECT epoch_ms(min(ts)) // 86400000 AS min_day FROM events
+    ),
+    base AS (
+      SELECT user_id, event_type, value,
+             CAST(((epoch_ms(ts) // 86400000) - md.min_day) // 7 AS INT)
+               AS rel_week
+      FROM events CROSS JOIN md
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN rel_week = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_w1,
+             CAST(SUM(CASE WHEN rel_week = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_w2,
+             CAST(SUM(CASE WHEN rel_week = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_events_w3,
+             CAST(COUNT(DISTINCT CASE WHEN rel_week < 3 THEN event_type END)
+                  AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN rel_week < 3 AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             round(CAST(SUM(CASE WHEN rel_week < 3
+                                 THEN CAST(value AS DECIMAL(28,6))
+                                 ELSE CAST(0.0 AS DECIMAL(28,6)) END)
+                        AS DOUBLE), 6) AS feat_value,
+             CAST(SUM(CASE WHEN rel_week >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, n_events_w1, n_events_w2, n_events_w3, n_types,
+           n_purchases, feat_value, n_after = 0 AS churned
+    FROM agg
+    WHERE n_events_w1 + n_events_w2 + n_events_w3 > 0
+    """,
+)
+def q_churn_label_features(spark, sf_dir):
+    """The churn-model training frame: per user active in the 3-week
+    feature window, weekly activity counts / type diversity / purchase
+    count / DECIMAL-exact spend, and the churned LABEL (zero events in
+    the holdout weeks) — featurization and label generation as ONE
+    plan, with the feature/label window split explicit (the shape every
+    label-leakage audit checks).  One conditional aggregation against
+    the broadcast corpus min day."""
+    from broker_spark.operators.stats import churn_label_features
+
+    return churn_label_features(load(spark, sf_dir, "events"))
+
+
+@register(
+    "conversion_latency_quantiles",
+    """
+    WITH touches AS (
+      SELECT user_id, epoch_ms(ts) AS t_ms FROM events
+      WHERE event_type = 'click'
+    ),
+    convs AS (
+      SELECT user_id, event_id AS conv_id, epoch_ms(ts) AS c_ms FROM events
+      WHERE event_type = 'purchase'
+    ),
+    paired AS (
+      SELECT c.conv_id, c.c_ms, max(t.t_ms) AS last_touch_ms
+      FROM convs c JOIN touches t ON c.user_id = t.user_id
+      WHERE t.t_ms < c.c_ms AND t.t_ms >= c.c_ms - 604800000
+      GROUP BY 1, 2
+    ),
+    lat AS (
+      SELECT CAST((c_ms % 604800000) // 86400000 AS INT) AS dow,
+             CAST(c_ms - last_touch_ms AS DOUBLE) AS latency_ms
+      FROM paired
+    )
+    SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(latency_ms, 0.5), 6) AS p50_ms,
+           round(quantile_cont(latency_ms, 0.9), 6) AS p90_ms,
+           round(quantile_cont(latency_ms, 0.99), 6) AS p99_ms
+    FROM lat GROUP BY dow
+    """,
+)
+def q_conversion_latency_quantiles(spark, sf_dir):
+    """Click-to-purchase latency distribution by weekday: as-of pairing
+    (last preceding click in the 7-day window) per conversion, then
+    exact p50/p90/p99 over integer millisecond latencies — the
+    funnel-health distribution whose right tail stretches before the
+    conversion rate visibly drops.  One user_id hash join + one
+    max-per-conversion aggregation; quantiles interpolate identically
+    in both engines."""
+    from broker_spark.operators.stats import conversion_latency_quantiles
+
+    return conversion_latency_quantiles(load(spark, sf_dir, "events"))
+
+
+@register(
+    "bpe_fertility_by_lang",
+    f"""
+    WITH {_bpe_oracle_ctes(_BPE_N_MERGES)},
+    tk AS (
+      SELECT word, CAST(len(string_split(toks, ' ')) AS BIGINT) AS n_toks,
+             CAST(length(word) AS BIGINT) AS n_chars
+      FROM wf{_BPE_N_MERGES}
+    ),
+    lw AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT lang, unnest({_WORDS}) AS word FROM documents
+      ) WHERE length(word) > 0 GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT lang,
+             CAST(SUM(n) AS BIGINT) AS n_words,
+             CAST(SUM(n * n_toks) AS BIGINT) AS n_tokens,
+             CAST(SUM(n * n_chars) AS BIGINT) AS n_chars
+      FROM lw JOIN tk USING (word) GROUP BY lang
+    )
+    SELECT lang, n_words, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+             AS fertility,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS chars_per_token
+    FROM j
+    """,
+)
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Per-language fertility of the LEARNED BPE tokenizer (tokens per
+    word, chars per token, after the four corpus-global merges) — the
+    multilingual-fairness number: merges learned on a skewed language
+    blend fragment the under-represented languages, and this is the
+    query that shows by how much.  Complements
+    `wordpiece_fertility_by_lang` (fixed vocabulary) with the trained
+    path; per-language counts join the vocabulary frame BY WORD, never
+    re-tokenizing the corpus."""
+    return text.bpe_fertility_by_lang(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES
+    )
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -10184,6 +10320,10 @@ _AUDIT_PRIORITY = [
     "matryoshka_recall",
     "layout_pruning_benefit",
     "k_anonymity_audit",
+    # -- NEW in round 6, fourth session
+    "churn_label_features",
+    "conversion_latency_quantiles",
+    "bpe_fertility_by_lang",
     # -- NEW in round 5, second session (never driver-checked if the
     # round-5 driver snapshot didn't run; kept high)
     "table_profile_documents",

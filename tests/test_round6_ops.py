@@ -560,3 +560,68 @@ def test_k_anonymity_flags_small_cells(spark):
     out = {(r["event_type"]): r for r in k_anonymity_audit(ev).collect()}
     assert out["click"]["k_users"] == 6 and not out["click"]["suppress"]
     assert out["view"]["k_users"] == 2 and out["view"]["suppress"]
+
+
+# -- session-4: churn frame, conversion latency, BPE fertility ---------------
+
+
+def test_churn_frame_windows_and_label(spark):
+    rows = [
+        # user 1: active weeks 1-3, silent after -> churned
+        (1, _ts(1), 1, "click", 2.0, "{}"),
+        (2, _ts(9), 1, "view", 3.0, "{}"),
+        (3, _ts(16), 1, "purchase", 5.0, "{}"),
+        # user 2: active week 1 AND after day 21 -> retained
+        (4, _ts(2), 2, "click", 1.0, "{}"),
+        (5, _ts(25), 2, "click", 1.0, "{}"),
+        # user 3: only active after the feature window -> excluded
+        (6, _ts(26), 3, "click", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from broker_spark.operators.stats import churn_label_features
+
+    out = {r["user_id"]: r for r in churn_label_features(ev).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["churned"] and not out[2]["churned"]
+    assert (out[1]["n_events_w1"], out[1]["n_events_w2"], out[1]["n_events_w3"]) == (1, 1, 1)
+    assert out[1]["n_purchases"] == 1 and out[1]["feat_value"] == 10.0
+    assert out[2]["n_events_w1"] == 1 and out[2]["feat_value"] == 1.0
+
+
+def test_conversion_latency_uses_last_touch(spark):
+    rows = [
+        (1, _ts(1, 0), 7, "click", 0.0, "{}"),
+        (2, _ts(1, 3), 7, "click", 0.0, "{}"),   # last touch
+        (3, _ts(1, 5), 7, "purchase", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    from broker_spark.operators.stats import conversion_latency_quantiles
+
+    out = conversion_latency_quantiles(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_conversions"] == 1
+    assert r["p50_ms"] == r["p90_ms"] == r["p99_ms"] == 2 * 3600 * 1000.0
+
+
+def test_bpe_fertility_by_lang_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa bb", "en", "s", 8),
+            (1, "aa cc", "de", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    out = {r["lang"]: r for r in text.bpe_fertility_by_lang(docs, n_merges=1).collect()}
+    # merge 1 is 'a a' (freq 3) -> 'aa' single token; bb/cc stay 2 tokens
+    assert out["en"]["n_words"] == 3 and out["en"]["n_tokens"] == 1 + 1 + 2
+    assert out["de"]["n_words"] == 2 and out["de"]["n_tokens"] == 1 + 2
+    assert out["de"]["fertility"] == 1.5
