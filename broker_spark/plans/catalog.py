@@ -10324,6 +10324,31 @@ _AUDIT_PRIORITY = [
     "churn_label_features",
     "conversion_latency_quantiles",
     "bpe_fertility_by_lang",
+    # -- the round-4 coverage debt (VERDICT r4 #1): no CORRECTNESS_r05
+    # snapshot ever appeared in the repo, so these may STILL have no
+    # driver row ever.  They outrank the round-5 batches (which are
+    # newer but were twice selfcheck-verified at both SFs): with 18
+    # round-6 entries above, these 20 fit inside the ~50-slot window.
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_sole_returner",
+    "q22_idle_customers",
+    "asof_click_purchase",
+    "range_join_clicks_before_purchase",
+    "grouping_sets_order_stats",
+    "json_parsed_projection",
+    "assignment_diff",
+    "resend_union_merge",
+    "salted_stream_totals",
+    "corpus_histogram",
+    "chunk_documents",
+    "source_dedup_stats",
+    "multimodal_features",
+    "multimodal_metadata_stats",
+    "multimodal_frame_plan",
+    "multimodal_audio_chunks",
+    "multimodal_image_resize",
     # -- NEW in round 5, second session (never driver-checked if the
     # round-5 driver snapshot didn't run; kept high)
     "table_profile_documents",
@@ -10357,30 +10382,8 @@ _AUDIT_PRIORITY = [
     "streaming_funnel_replay",
     "dedup_pagerank_keepers",
     "int8_quant_error_stats",
-    # -- never driver-checked (the round-4 coverage debt, closed here):
-    # TPC-H remainder
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_sole_returner",
-    "q22_idle_customers",
-    # relational / stream surface
-    "asof_click_purchase",
-    "range_join_clicks_before_purchase",
-    "grouping_sets_order_stats",
-    "json_parsed_projection",
-    "assignment_diff",
-    "resend_union_merge",
-    "salted_stream_totals",
-    "corpus_histogram",
-    "chunk_documents",
-    "source_dedup_stats",
-    # multimodal
-    "multimodal_features",
-    "multimodal_metadata_stats",
-    "multimodal_frame_plan",
-    "multimodal_audio_chunks",
-    "multimodal_image_resize",
+    # (the round-4 never-driver-checked block moved to the head above,
+    # right after the round-6 entries — VERDICT r4 #1)
     # -- NEW in round 5 session 2, second batch: placed AFTER the
     # never-checked block on purpose — the VERDICT r4 cap (~50-slot
     # window must reach every never-driver-checked entry) outranks
