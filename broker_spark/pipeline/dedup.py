@@ -1202,10 +1202,18 @@ def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
     Edges are normalized to (least, greatest) orientation first, so a
     caller supplying reverse-oriented pairs cannot leak a real edge
     into the "missed link" output through the anti-join."""
-    fwd = pairs.select(
-        F.least("doc_a", "doc_b").alias("doc_a"),
-        F.greatest("doc_a", "doc_b").alias("doc_b"),
-    ).distinct()
+    # one materialization, three readers (adjacency both ways + the
+    # real-edge anti-join): without it the candidate-pair lineage — the
+    # full MinHash/LSH computation when fed from minhash_lsh_pairs —
+    # re-executes per reader
+    fwd = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     adj = fwd.union(
         fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
