@@ -10288,6 +10288,78 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
     )
 
 
+def _multidim_layout_sql() -> str:
+    layouts = {
+        "by_user": "user_id, t_ms, event_id",
+        "by_time": "t_ms, event_id",
+        "zorder": "zkey, event_id",
+    }
+    ctes, selects = [], []
+    for name, order in layouts.items():
+        ctes.append(
+            f"""f_{name} AS (
+      SELECT file_id, min(user_id) AS u_min, max(user_id) AS u_max,
+             min(t_ms) AS t_min, max(t_ms) AS t_max
+      FROM (
+        SELECT ((row_number() OVER (ORDER BY {order})) - 1) // 250 AS file_id,
+               user_id, t_ms
+        FROM bz
+      ) GROUP BY file_id
+    ),
+    s_{name} AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f_{name}) AS n_files,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f_{name} f JOIN pu
+           ON pu.user_id >= f.u_min AND pu.user_id <= f.u_max) AS s_user,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM f_{name} f JOIN pt
+           ON f.t_min < (pt.pday + 1) * 86400000
+          AND f.t_max >= pt.pday * 86400000) AS s_time
+    )"""
+        )
+        selects.append(
+            f"""SELECT '{name}' AS layout, n_files,
+           round(CAST(s_user AS DOUBLE)
+                 / CAST(n_files * (SELECT COUNT(*) FROM pu) AS DOUBLE), 6)
+             AS user_scan_fraction,
+           round(CAST(s_time AS DOUBLE)
+                 / CAST(n_files * (SELECT COUNT(*) FROM pt) AS DOUBLE), 6)
+             AS time_scan_fraction
+    FROM s_{name}"""
+        )
+    return ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@register(
+    "layout_pruning_multidim",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS t_ms,
+             user_id % 256 AS ux,
+             (epoch_ms(ts) % 2678400000) // 14400000 AS tx
+      FROM events
+    ),
+    bz AS (SELECT *, {_zorder_key_sql("ux", "tx", 8)} AS zkey FROM base),
+    pu AS (SELECT DISTINCT user_id FROM base WHERE user_id % 10 = 0),
+    pt AS (SELECT DISTINCT t_ms // 86400000 AS pday FROM base),
+    {_multidim_layout_sql()}
+    """,
+)
+def q_layout_pruning_multidim(spark, sf_dir):
+    """The TWO-dimensional layout decision, measured: user-clustered,
+    time-clustered, and Z-ORDERED (Morton interleave of user and hour
+    buckets via storage.layout.zorder_key — bit-identical SQL mirror)
+    manifests, each probed by BOTH workloads (per-user equality scans,
+    per-day range scans) against per-file min/max stats on both
+    columns.  The classic result this makes concrete: a linear sort
+    prunes its own dimension perfectly and the other not at all, while
+    z-order pays a modest factor on each to serve both — the number an
+    OPTIMIZE ZORDER BY decision actually needs.  Distributed two-pass
+    ranking; no corpus-wide single-task window."""
+    from broker_spark.operators.profile import layout_pruning_multidim
+
+    return layout_pruning_multidim(load(spark, sf_dir, "events"))
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.

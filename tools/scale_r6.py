@@ -21,6 +21,7 @@ from broker_spark.session import get_spark
 from tools.bench_scale import build, time_set
 
 ENTRIES = [
+    # session 1 (measured at 10x/100x in BENCH_SCALE.md already)
     "bpe_learn_merges",
     "bpe_vocab_after_merges",
     "record_linkage_pairs",
@@ -31,12 +32,28 @@ ENTRIES = [
     "seasonal_naive_mape",
 ]
 
+#: sessions 2-4 (pass --sessions 2 to measure these instead)
+ENTRIES_S2 = [
+    "streaming_holt_replay",
+    "seasonal_trend_anomalies",
+    "link_prediction_adamic_adar",
+    "heaps_vocab_growth",
+    "matryoshka_recall",
+    "layout_pruning_benefit",
+    "k_anonymity_audit",
+    "churn_label_features",
+    "conversion_latency_quantiles",
+    "bpe_fertility_by_lang",
+]
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--sessions", type=int, default=1)
     args = ap.parse_args()
+    entries = ENTRIES if args.sessions == 1 else ENTRIES_S2
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.path.join(REPO, ".scale", f"sf0.1x{args.copies}")
@@ -46,12 +63,12 @@ def main() -> None:
         build(spark, src, dst, args.copies)
 
     spark.range(1).count()
-    base = time_set(spark, src, args.runs, copies=1, entries=ENTRIES)
-    scaled = time_set(spark, dst, args.runs, copies=args.copies, entries=ENTRIES)
+    base = time_set(spark, src, args.runs, copies=1, entries=entries)
+    scaled = time_set(spark, dst, args.runs, copies=args.copies, entries=entries)
 
     print(f"| query | t(sf0.1) s | t({args.copies}x) s | ratio | verdict |")
     print("|---|---|---|---|---|")
-    for name in ENTRIES:
+    for name in entries:
         r = scaled[name] / base[name] if base[name] else float("inf")
         verdict = (
             "SUPER-LINEAR — inspect"
