@@ -10366,163 +10366,87 @@ def q_layout_pruning_multidim(spark, sf_dir):
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
-    # Rotation policy (VERDICT r3 #2 / r4 #1): the driver value-checks the
-    # first ~50 queries() entries each round.  Order = (1) entries NEW
-    # this round, (2) entries whose code CHANGED this round, (3) entries
-    # the driver has NEVER checked, (4) stalest driver rows.  Round-4's
-    # certified 49 drop to the tail.  No-oracle entries are exiled to the
-    # absolute tail PROGRAMMATICALLY in _audit_order() — they can only
-    # ever produce a rows-only driver row and must never burn a slot.
-    # -- NEW in round 6, first session (riskiest: never checked by anyone
-    # but this session's selfcheck)
-    "bpe_learn_merges",
-    "bpe_vocab_after_merges",
-    "record_linkage_pairs",
-    "entity_resolution_names",
-    "holt_trend_daily",
-    "theil_sen_daily_trend",
-    "seasonal_naive_mape",
-    "multitouch_attribution",
-    # -- NEW in round 6, second session
-    "streaming_holt_replay",
-    "seasonal_trend_anomalies",
-    "link_prediction_adamic_adar",
-    "heaps_vocab_growth",
-    # -- NEW in round 6, third session
-    "matryoshka_recall",
-    "layout_pruning_benefit",
-    "k_anonymity_audit",
-    # -- NEW in round 6, fourth session
-    "churn_label_features",
-    "conversion_latency_quantiles",
-    "bpe_fertility_by_lang",
-    # -- the round-4 coverage debt (VERDICT r4 #1): no CORRECTNESS_r05
-    # snapshot ever appeared in the repo, so these may STILL have no
-    # driver row ever.  They outrank the round-5 batches (which are
-    # newer but were twice selfcheck-verified at both SFs): with 18
-    # round-6 entries above, these 20 fit inside the ~50-slot window.
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_sole_returner",
-    "q22_idle_customers",
-    "asof_click_purchase",
-    "range_join_clicks_before_purchase",
-    "grouping_sets_order_stats",
-    "json_parsed_projection",
-    "assignment_diff",
-    "resend_union_merge",
-    "salted_stream_totals",
-    "corpus_histogram",
-    "chunk_documents",
-    "source_dedup_stats",
-    "multimodal_features",
-    "multimodal_metadata_stats",
-    "multimodal_frame_plan",
-    "multimodal_audio_chunks",
-    "multimodal_image_resize",
-    # -- NEW in round 5, second session (never driver-checked if the
-    # round-5 driver snapshot didn't run; kept high)
-    "table_profile_documents",
-    "events_hopping_rollup",
-    "compaction_plan",
-    "zorder_layout_keys",
-    "hll_distinct_users_daily",
-    "dedup_graph_triangles",
-    "streaming_join_replay",
-    "multimodal_png_roundtrip",
-    # -- NEW in round 5, first session
-    "tfidf_cosine_pairs_guarded",
-    "streaming_hourly_rollup_replay_shuffled",
-    "events_value_percentiles_exact",
-    "funnel_conversion",
-    "zscore_anomaly_events",
-    "vocab_zipf_slope",
-    "repetition_top2gram_share",
-    "customer_rfm_scores",
-    "orders_market_basket",
-    "cross_source_dup_groups",
-    "revenue_gini",
-    "embedding_dim_stats",
-    "events_equidepth_histogram",
-    "wordpiece_fertility_by_lang",
-    "langid_confusion_matrix",
-    "dedup_graph_pagerank",
-    "lsh_precision_recall",
-    "multimodal_wav_roundtrip",
-    "multimodal_bmp_roundtrip",
+    # Rotation policy (VERDICT r3 #2 / r4 #1 / r6 #1): the driver
+    # value-checks the first ~50 queries() entries each round.  Round 7
+    # is the debt-payoff round: VERDICT r6 found 57 catalog entries with
+    # no driver row in ANY CORRECTNESS_r*.json (the catalog grew faster
+    # than the 50-slot window).  New-entry additions are CAPPED at 3
+    # this round (VERDICT r6 #1 "freeze or cap at ~5") and the rest of
+    # the window is spent ONLY on the never-driver-checked backlog.
+    # Order inside the window: (1) the 3 entries NEW this round,
+    # (2) the 42 oracle-checkable backlog entries that NO independent
+    # party (driver or judge) has ever value-verified, (3) 5 backlog
+    # entries the judge value-verified in JUDGE_SWEEP_r06 (lower risk,
+    # but the driver row is the point).  The remaining 9 judge-verified
+    # backlog entries queue at positions 51-59 = the head of round 8's
+    # window.  approx_value_percentiles is the 57th backlog entry but is
+    # no-oracle by design — the programmatic exile in _audit_order()
+    # keeps it out of the window (it can only ever yield a rows-only
+    # row; pinned by property tests in test_approx.py instead).
+    # -- (1) NEW in round 7 (riskiest: never checked by anyone)
+    "streaming_sessionization_replay_shuffled",
+    "streaming_cdc_upsert_replay_shuffled",
+    "events_trailing_distinct_interval",
+    # -- (2) never driver-checked AND never judge-verified (42)
     "streaming_funnel_replay",
-    "dedup_pagerank_keepers",
-    "int8_quant_error_stats",
-    # (the round-4 never-driver-checked block moved to the head above,
-    # right after the round-6 entries — VERDICT r4 #1)
-    # -- NEW in round 5 session 2, second batch: placed AFTER the
-    # never-checked block on purpose — the VERDICT r4 cap (~50-slot
-    # window must reach every never-driver-checked entry) outranks
-    # freshness for these; they are selfcheck-verified at both SFs and
-    # queue at the head of round 6's window if the driver misses them.
-    "weighted_sample_docs",
-    "user_decayed_scores",
-    "event_pmi_pairs",
-    "ks_drift_sources",
-    "pareto_frontier_docs",
-    "hll_monthly_merge",
-    "events_sessionization_dynamic_gap",
-    "snapshot_diff_counts",
-    "cusum_daily_alarms",
-    "dedup_edit_distance_pairs",
+    "streaming_hll_replay",
     "streaming_hopping_rollup_replay",
     "streaming_late_drop_replay",
-    "streaming_outer_join_replay",
-    "streaming_hll_replay",
-    # -- NEW in round 5 session 3: same placement rationale — below the
-    # never-checked block so the driver window still reaches it
-    "dedup_prefix_filter_pairs",
-    "scd2_user_event_type",
+    "streaming_trailing_distinct_replay",
     "cdc_apply_final_state",
-    "bucketed_join_order_revenue",
-    "streaming_cdc_upsert_replay",
     "rollup_incremental_merge",
-    "events_trailing_distinct_users",
-    "table_fingerprint_documents",
-    "event_path_trigrams",
-    "chisq_source_lang",
+    "snapshot_diff_counts",
+    "dedup_components_incremental",
+    "dedup_edit_distance_pairs",
+    "dedup_graph_pagerank",
+    "dedup_pagerank_keepers",
+    "cross_source_dup_groups",
+    "lsh_precision_recall",
+    "int8_quant_error_stats",
+    "embedding_dim_stats",
+    "clustering_silhouette",
+    "multimodal_bmp_roundtrip",
+    "multimodal_wav_roundtrip",
     "acf_daily_counts",
     "benford_first_digit",
-    "events_key_skew",
-    "streaming_trailing_distinct_replay",
-    "hll_click_purchase_overlap",
-    "dedup_components_incremental",
-    "clustering_silhouette",
-    "dow_adjusted_anomalies",
+    "bucketed_join_order_revenue",
     "ccf_click_purchase",
+    "chisq_source_lang",
+    "customer_rfm_scores",
+    "dow_adjusted_anomalies",
+    "event_path_trigrams",
+    "event_pmi_pairs",
+    "events_equidepth_histogram",
+    "events_key_skew",
     "fk_integrity_audit",
+    "hll_click_purchase_overlap",
+    "ks_drift_sources",
+    "pareto_frontier_docs",
+    "psi_length_by_source",
+    "repetition_top2gram_share",
+    "revenue_gini",
+    "table_fingerprint_documents",
     "unigram_kl_by_source",
     "user_decile_migration",
-    "psi_length_by_source",
-    # -- code/oracle changed in round 5 session 1 (degenerate-input
-    # hardening, dynamic grid sizing) — r4-driver-green before the change,
-    # hardening covered by regression tests, so ranked below the
-    # never-checked block to keep it inside the ~50-slot window
-    "quality_classifier_score",
-    "ann_recall_vs_nprobe",
-    "wordpiece_encode_counts",
-    "semantic_dedup_clusters",
-    # -- stalest driver rows (round-1/round-2 vintage)
-    "doc_fingerprint",
-    "doc_winnow_fingerprints",
-    "language_id",
-    "token_stats",
-    "resend_last",
-    "resend_last_global",
-    "resend_from",
-    "resend_from_publisher",
-    "resend_range",
-    "resend_range_publisher",
-    "metadata_counts",
-    "stream_first_last",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
+    "weighted_sample_docs",
+    "zscore_anomaly_events",
+    # -- (3) never driver-checked, judge-verified r6 (5 of 14)
+    "layout_pruning_multidim",
+    "streaming_cdc_upsert_replay",
+    "streaming_outer_join_replay",
+    "events_trailing_distinct_users",
+    "cusum_daily_alarms",
+    # -- positions 51-59: the remaining judge-verified backlog — head of
+    # the round-8 window if the 50-slot window stops short of them
+    "dedup_prefix_filter_pairs",
+    "events_sessionization_dynamic_gap",
+    "hll_monthly_merge",
+    "langid_confusion_matrix",
+    "orders_market_basket",
+    "scd2_user_event_type",
+    "user_decayed_scores",
+    "vocab_zipf_slope",
+    "wordpiece_fertility_by_lang",
 ]
 
 
