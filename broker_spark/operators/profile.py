@@ -314,7 +314,10 @@ def layout_pruning_benefit(
         files = (
             _ranked(order)
             .withColumn(
-                "file_id", ((F.col("rn") - 1) / F.lit(rows_per_file)).cast("long")
+                # Integer DIV, not double /: double quotients leave the
+                # exact domain once rn > ~2^52/rows_per_file, silently
+                # breaking parity with the oracle's `//` (ADVICE r6).
+                "file_id", F.expr(f"(rn - 1) DIV {int(rows_per_file)}")
             )
             .groupBy("file_id")
             .agg(
@@ -452,7 +455,10 @@ def layout_pruning_multidim(
         files = (
             _ranked(order)
             .withColumn(
-                "file_id", ((F.col("rn") - 1) / F.lit(rows_per_file)).cast("long")
+                # Integer DIV, not double /: double quotients leave the
+                # exact domain once rn > ~2^52/rows_per_file, silently
+                # breaking parity with the oracle's `//` (ADVICE r6).
+                "file_id", F.expr(f"(rn - 1) DIV {int(rows_per_file)}")
             )
             .groupBy("file_id")
             .agg(

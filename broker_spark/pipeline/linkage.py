@@ -58,7 +58,14 @@ def corrupted_name(name: Column) -> Column:
     dropped = F.concat(head, after)
     doubled = F.concat(head, at, at, after)
     swapped = F.concat(head, nxt, at, tail2)
-    return F.when(t == 0, dropped).when(t == 1, doubled).otherwise(swapped)
+    # Degenerate guard (ADVICE r6): for len <= 2 names pos is pinned to 2
+    # and the swap branch swaps char 2 with an empty string, yielding
+    # dirty == clean (no edit planted).  Fall back to an edit that always
+    # changes the string: duplicate the last character.
+    last_doubled = F.concat(name, F.substring(name, F.length(name), F.lit(1)))
+    return F.when(F.length(name) <= 2, last_doubled).when(
+        t == 0, dropped
+    ).when(t == 1, doubled).otherwise(swapped)
 
 
 def dirty_clean_names(df: DataFrame, name_col: str = "p_name") -> DataFrame:

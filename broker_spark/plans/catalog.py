@@ -9392,7 +9392,10 @@ _LINKAGE_SQL = """
     ),
     dn AS (
       SELECT clean_name, n_records,
-             CASE t
+             CASE
+               WHEN length(clean_name) <= 2
+               THEN clean_name || substring(clean_name, length(clean_name), 1)
+             ELSE CASE t
                WHEN 0 THEN substring(clean_name, 1, pos - 1)
                            || substring(clean_name, pos + 1, length(clean_name))
                WHEN 1 THEN substring(clean_name, 1, pos)
@@ -9402,7 +9405,7 @@ _LINKAGE_SQL = """
                     || substring(clean_name, pos + 1, 1)
                     || substring(clean_name, pos, 1)
                     || substring(clean_name, pos + 2, length(clean_name))
-             END AS dirty_name
+             END END AS dirty_name
       FROM dc
     ),
     dd AS (SELECT DISTINCT dirty_name FROM dn),

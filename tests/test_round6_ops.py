@@ -119,11 +119,16 @@ def _parts_frame(spark, names):
 
 
 def test_corruption_is_single_edit_and_preserves_first_char(spark):
-    names = ["small ring", "red widget", "cold bolt", "promo anvil x"]
+    # Includes len<=2 names: the degenerate-case fallback (ADVICE r6)
+    # must still plant a real edit (duplicate last char), so the
+    # "one deterministic single-edit corruption" contract holds with
+    # NO length escape hatch.
+    names = ["small ring", "red widget", "cold bolt", "promo anvil x",
+             "ab", "x"]
     df = _parts_frame(spark, names)
     out = linkage.dirty_clean_names(df).collect()
     for r in out:
-        assert r["dirty_name"] != r["clean_name"] or len(r["clean_name"]) < 3
+        assert r["dirty_name"] != r["clean_name"]
         assert r["dirty_name"][0] == r["clean_name"][0]
         assert abs(len(r["dirty_name"]) - len(r["clean_name"])) <= 1
 
