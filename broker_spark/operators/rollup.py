@@ -366,3 +366,114 @@ def trailing_distinct_users(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def trailing_distinct_users_interval(
+    events: DataFrame,
+    window_hours: int = 24,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    n_range_parts: int = 32,
+) -> DataFrame:
+    """Trailing-`window_hours` distinct users at every active hour — the
+    INTERVAL-MERGE form of `trailing_distinct_users`, built for the case
+    where the hop expansion is the bottleneck (VERDICT r6 #4: the 24x
+    fan-out of user-hour pairs was the heaviest shape in BENCH_SCALE).
+
+    Identity: user u is inside bucket b's trailing window iff u has an
+    active hour a with b-(W-1) <= a <= b, i.e. b in [a, a+W-1].  Per
+    user, the union of those spans collapses to disjoint intervals
+    (consecutive active hours with gap <= W-1 chain into one), so the
+    per-bucket distinct count is a sum of +1/-1 interval deltas — a
+    prefix sum over sparse delta buckets, NEVER a 24x row expansion and
+    never a per-bucket user set.
+
+    Distributed prefix sum (no single-task global window): delta and
+    probe rows are range-partitioned by bucket (localCheckpoint pins the
+    sampled boundaries — one execution, deterministic thereafter), each
+    partition cumsums locally, and the per-partition totals (exactly
+    `n_range_parts` rows) are offset-cumsummed and broadcast back.  The
+    shuffled volume is one row per (user, interval) bound + one per
+    active hour — strictly smaller than the deduplicated (hour, user)
+    pairs the hop form shuffles 24x.
+    """
+    from pyspark.sql.window import Window
+
+    hours = events.select(
+        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(3_600_000))
+        .cast("long")
+        .alias("h"),
+        F.col(user_col).alias("user_id"),
+    ).distinct()
+
+    w_user = Window.partitionBy("user_id").orderBy("h")
+    iv = (
+        hours.withColumn("prev_h", F.lag("h").over(w_user))
+        .withColumn(
+            "new_iv",
+            (
+                F.col("prev_h").isNull()
+                | (F.col("h") - F.col("prev_h") > F.lit(window_hours - 1))
+            ).cast("long"),
+        )
+        .withColumn(
+            "iv_id",
+            F.sum("new_iv").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "iv_id")
+        .agg(
+            F.min("h").alias("iv_start"),
+            (F.max("h") + F.lit(window_hours - 1)).alias("iv_end"),
+        )
+    )
+    deltas = (
+        iv.select(F.col("iv_start").alias("bucket"), F.lit(1).alias("delta"))
+        .unionByName(
+            iv.select(
+                (F.col("iv_end") + F.lit(1)).alias("bucket"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("bucket")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .withColumn("is_probe", F.lit(0))
+    )
+    probes = (
+        hours.select(F.col("h").alias("bucket"))
+        .distinct()
+        .withColumn("delta", F.lit(0).cast("long"))
+        .withColumn("is_probe", F.lit(1))
+    )
+    # range-partition ONCE and pin the sampled boundaries (oracle-parity
+    # rule: repartitionByRange boundaries differ per execution).  At equal
+    # bucket, deltas sort before probes: a +1 opening at b and a -1
+    # closing at b (= iv_end+1) both apply to bucket b's probe.
+    allr = (
+        deltas.unionByName(probes)
+        .repartitionByRange(n_range_parts, "bucket", "is_probe")
+        .localCheckpoint()
+    )
+    allr = allr.withColumn("pid", F.spark_partition_id())
+    w_pid = (
+        Window.partitionBy("pid")
+        .orderBy("bucket", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = allr.withColumn("cum", F.sum("delta").over(w_pid))
+    totals = allr.groupBy("pid").agg(F.sum("delta").alias("ptotal"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "offset", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0))
+    ).select("pid", "offset")
+    from pyspark.sql.functions import broadcast
+
+    return (
+        local.filter(F.col("is_probe") == 1)
+        .join(broadcast(offsets), "pid")
+        .select(
+            "bucket",
+            (F.col("cum") + F.col("offset")).cast("long").alias("n_users"),
+        )
+    )
