@@ -65,9 +65,7 @@ HEADLINE = [
     "json_content_stats",
     "dedup_exact_groups",
     "dedup_cluster_keepers",
-    "dedup_minhash_pairs",
     "dedup_minhash_pairs_guarded",
-    "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_guarded",
     "dedup_simhash_pairs",
     "text_quality",
@@ -109,7 +107,6 @@ HEADLINE = [
     "hard_negative_mining",
     "semantic_dedup_clusters",
     "domain_cap_sample",
-    "tfidf_cosine_pairs",
     "vocab_coverage",
     "bigram_logprob_score",
     "dedup_graph_degrees",
@@ -199,7 +196,137 @@ HEADLINE = [
     "churn_label_features",
     "conversion_latency_quantiles",
     "bpe_fertility_by_lang",
+    # round-7: the ADVICE/VERDICT backfill (layout_pruning_multidim had
+    # shipped unbenched) + the interval-merge trailing distinct, whose
+    # whole point is the measured win over the 24x hop expansion
+    "layout_pruning_multidim",
+    "events_trailing_distinct_interval",
 ]
+
+#: Comparison tier (VERDICT r6 #3): correct and oracle-certified, but each
+#: has a plan that is quadratic on a hot key when its frequency guard is
+#: off — kept ONLY as the measured contrast to its `_guarded` twin (which
+#: IS in HEADLINE).  Timed separately; never part of the headline total,
+#: so the benched headline surface is 100% scale-safe.
+COMPARISON = [
+    "tfidf_cosine_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_pairs",
+]
+
+#: Accounting for every other catalog entry (the registered==swept guard in
+#: tests/test_catalog_integrity.py asserts HEADLINE + COMPARISON +
+#: NOT_BENCHED == CATALOG exactly, so an entry can never silently ship
+#: outside the bench surface the way layout_pruning_multidim once did).
+#: Two excluded families:
+#: 1. Streaming-replay certificates (and the storage log roundtrip): each
+#:    stages input files, runs 1-2 availableNow streaming queries against a
+#:    checkpoint, and tears down state — their runtime measures the replay
+#:    harness, not a query plan; correctness is certified by selfcheck +
+#:    the driver window instead.
+NOT_BENCHED_REPLAYS = [
+    "log_roundtrip_resend",
+    "streaming_alerts_replay",
+    "streaming_cdc_upsert_replay",
+    "streaming_cdc_upsert_replay_shuffled",
+    "streaming_ewma_replay",
+    "streaming_exact_dedup_replay",
+    "streaming_funnel_replay",
+    "streaming_hll_replay",
+    "streaming_hopping_rollup_replay",
+    "streaming_hourly_rollup_replay",
+    "streaming_hourly_rollup_replay_shuffled",
+    "streaming_join_replay",
+    "streaming_late_drop_replay",
+    "streaming_lsh_replay",
+    "streaming_outer_join_replay",
+    "streaming_sessionization_replay",
+    "streaming_sessionization_replay_shuffled",
+    "streaming_trailing_distinct_replay",
+]
+
+#: 2. Sibling shapes: variants/components of a benched entry (the guarded
+#:    twin, the exact-parity twin, a coarser/finer rollup of the same scan)
+#:    plus no-oracle property-test-pinned certificates — benching both
+#:    siblings would double-count the same plan in the headline total.
+NOT_BENCHED_SIBLINGS = [
+    "ann_ivf_pq_agreement",
+    "ann_ivf_pq_exact_parity",
+    "ann_ivf_pq_rerank_topk",
+    "ann_label_ivf_topk",
+    "ann_recall_vs_nprobe",
+    "ann_trained_ivf_topk",
+    "anomaly_zscore",
+    "approx_distinct_users_daily",
+    "approx_value_percentiles",
+    "assignment_diff",
+    "corpus_hash_sample",
+    "corpus_histogram",
+    "cube_order_stats",
+    "customers_open_and_pending",
+    "customers_with_open_orders",
+    "customers_without_pending_orders",
+    "cusum_daily_alarms",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_containment",
+    "dedup_edit_distance_pairs",
+    "dedup_exact_kept",
+    "dedup_graph_pagerank",
+    "dedup_incremental_pairs",
+    "dedup_minhash_signatures",
+    "dedup_pagerank_keepers",
+    "dedup_simhash",
+    "distinct_stream_partitions",
+    "doc_fingerprint",
+    "doc_winnow_fingerprints",
+    "embedding_pca_scores",
+    "embedding_quantize_int8",
+    "events_lag_deltas",
+    "events_pivot_daily",
+    "grouping_sets_order_stats",
+    "json_parsed_projection",
+    "lsh_precision_recall",
+    "lsh_s_curve",
+    "moving_avg_daily",
+    "multimodal_audio_chunks",
+    "multimodal_bmp_roundtrip",
+    "multimodal_features",
+    "multimodal_frame_plan",
+    "multimodal_image_resize",
+    "multimodal_metadata_stats",
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
+    "pii_redaction",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "quality_topk_per_lang",
+    "range_join_clicks_before_purchase",
+    "resend_from_publisher",
+    "resend_union_merge",
+    "rollup_daily_cascade",
+    "salted_stream_totals",
+    "source_dedup_stats",
+    "stopword_stats",
+    "stratified_sample_per_lang",
+    "term_document_frequency",
+    "tfidf_top_terms",
+    "train_val_test_split",
+    "training_mix_weights",
+    "unigram_logprob_score",
+    "value_percentiles",
+    "wordpiece_encode_counts",
+]
+
+NOT_BENCHED = NOT_BENCHED_REPLAYS + NOT_BENCHED_SIBLINGS
 
 
 def main() -> None:
@@ -250,6 +377,26 @@ def main() -> None:
             timings[name] = None
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
+    # Comparison tier: timed for the record (the contrast its guarded twin
+    # is measured against), NEVER part of the headline total.
+    comparison: dict[str, float | None] = {}
+    for name in COMPARISON:
+        try:
+            fn = CATALOG[name].fn
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            comparison[name] = round(time.perf_counter() - t0, 3)
+            print(
+                f"# [comparison] {name}: {comparison[name]:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001
+            comparison[name] = None
+            print(
+                f"# [comparison] {name}: FAILED {type(exc).__name__}: {exc}",
+                file=sys.stderr,
+            )
+
     failed = sorted(k for k, v in timings.items() if v is None)
     total_ok = round(sum(t for t in timings.values() if t is not None), 3)
     # A partial total must never masquerade as a full-run total.
@@ -261,6 +408,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spreads": spreads,
+        "comparison": comparison,
         "failed": failed,
         "runs_per_query": runs,
         "sf": float(sf),

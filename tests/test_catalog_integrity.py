@@ -54,3 +54,88 @@ def test_bench_headline_names_exist():
 
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, missing
+
+
+def _repo_root():
+    import os
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _latest_round_file(prefix: str):
+    """(round_no, path) of the newest `{prefix}_r{NN}.json` at repo root."""
+    import os
+    import re
+
+    best = None
+    for f in os.listdir(_repo_root()):
+        m = re.fullmatch(rf"{prefix}_r(\d+)\.json", f)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, os.path.join(_repo_root(), f))
+    return best
+
+
+def test_bench_partitions_catalog_exactly():
+    """Registered == benched-or-accounted-for (VERDICT r6 #2): every
+    catalog entry must be consciously placed in exactly one of HEADLINE /
+    COMPARISON / NOT_BENCHED, so an entry can never ship outside the
+    bench surface unnoticed the way layout_pruning_multidim did."""
+    import bench
+
+    placed = bench.HEADLINE + bench.COMPARISON + bench.NOT_BENCHED
+    assert len(placed) == len(set(placed)), "entry placed twice"
+    assert set(placed) == set(CATALOG), {
+        "unplaced": sorted(set(CATALOG) - set(placed)),
+        "stale": sorted(set(placed) - set(CATALOG)),
+    }
+
+
+def test_latest_selfcheck_covers_catalog():
+    """Registered == swept (VERDICT r6 #2): the newest committed
+    SELFCHECK_r{N}.json must cover the registered catalog exactly — an
+    entry added after the closing sweep fails this test until the sweep
+    is re-run, so 'all entries verified' artifacts can't overstate."""
+    import json
+
+    latest = _latest_round_file("SELFCHECK")
+    assert latest is not None, "no SELFCHECK_r*.json committed"
+    swept = set(json.load(open(latest[1]))["results"])
+    assert swept == set(CATALOG), {
+        "registered_but_never_swept": sorted(set(CATALOG) - swept),
+        "swept_but_unregistered": sorted(swept - set(CATALOG)),
+    }
+
+
+def test_no_round_closes_without_driver_artifacts():
+    """Fail loudly on missing round records (VERDICT r6 #5): for every
+    round up to the newest CORRECTNESS file, both CORRECTNESS_r{NN}.json
+    and BENCH_r{NN}.json must exist and parse with a non-null payload.
+    Round 5 is the documented historical gap (the r5 driver snapshot
+    never ran; VERDICT r6 'What's wrong' #2) — waived, never repeated."""
+    import json
+    import os
+
+    waived = {5}
+    # rounds 2/3 predate the compact final-line protocol: the driver's
+    # 2000-char tail capture truncated the detail JSON, so their committed
+    # records carry parsed=null with the real numbers in the tail text —
+    # historical, documented, never to repeat (bench.py now prints a
+    # <500-byte final line exactly so `parsed` can't be null again)
+    parsed_null_waived = {2, 3}
+    latest = _latest_round_file("CORRECTNESS")
+    assert latest is not None
+    for n in range(1, latest[0] + 1):
+        if n in waived:
+            continue
+        for prefix in ("CORRECTNESS", "BENCH"):
+            path = os.path.join(_repo_root(), f"{prefix}_r{n:02d}.json")
+            assert os.path.exists(path), f"round {n} closed without {path}"
+            payload = json.load(open(path))
+            assert payload, f"{path} parsed empty/null"
+            if prefix == "BENCH" and n not in parsed_null_waived:
+                parsed = payload.get("parsed")
+                assert isinstance(parsed, dict) and parsed.get(
+                    "value"
+                ) is not None, f"{path} has parsed=null (driver tail capture broke)"

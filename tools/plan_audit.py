@@ -86,6 +86,9 @@ AUDITED = [
     "matryoshka_recall",           # tiered truncated-cosine topk + overlap
     "layout_pruning_benefit",      # simulated manifests, minmax containment
     "k_anonymity_audit",           # QI-cell distinct-count privacy gate
+    # round-7
+    "layout_pruning_multidim",     # 2-dim layouts, distributed two-pass rank
+    "events_trailing_distinct_interval",  # interval deltas + 2-pass prefix sum
 ]
 
 

@@ -47,13 +47,24 @@ ENTRIES_S2 = [
 ]
 
 
+#: round 7 (pass --sessions 3): the ADVICE backfill + the interval-merge
+#: trailing distinct measured against the hop form it replaces (VERDICT
+#: r6 #4: the hop form's 24x expansion was 45.9 s at 100x — the worst
+#: shape in BENCH_SCALE; the interval form's target is <= ~10 s)
+ENTRIES_S3 = [
+    "layout_pruning_multidim",
+    "events_trailing_distinct_users",
+    "events_trailing_distinct_interval",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--sessions", type=int, default=1)
     args = ap.parse_args()
-    entries = ENTRIES if args.sessions == 1 else ENTRIES_S2
+    entries = {1: ENTRIES, 2: ENTRIES_S2, 3: ENTRIES_S3}[args.sessions]
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.path.join(REPO, ".scale", f"sf0.1x{args.copies}")
