@@ -854,19 +854,29 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
     doubles; adjusted = count - median (one subtract); residual =
     adj - (slope*day + intercept), literal op order mirrored in the
     oracle."""
-    daily = _daily_counts(events).withColumn(
-        "dow", F.pmod(F.col("day"), F.lit(7)).cast("int")
+    # CTE-reuse (VERDICT r6 #7: this plan carried 147 exchanges, all
+    # re-derivations of these tiny calendar-domain frames): pin the daily
+    # series once — the ONE data-sized pass — and every multiply-read
+    # derivative after it; each is |types| x |days| rows.
+    daily = (
+        _daily_counts(events)
+        .withColumn("dow", F.pmod(F.col("day"), F.lit(7)).cast("int"))
+        .localCheckpoint()
     )
     dowm = daily.groupBy("event_type", "dow").agg(
         F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
             "dow_mean"
         )
     )
-    adj = daily.join(broadcast(dowm), ["event_type", "dow"]).select(
-        "event_type",
-        "day",
-        "n_events",
-        (F.col("n_events").cast("double") - F.col("dow_mean")).alias("adj"),
+    adj = (
+        daily.join(broadcast(dowm), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (F.col("n_events").cast("double") - F.col("dow_mean")).alias("adj"),
+        )
+        .localCheckpoint()
     )
     a, bb = [adj.alias(s) for s in ("a", "b")]
     slopes = (
@@ -883,31 +893,41 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
     med = slopes.groupBy("event_type").agg(
         F.percentile("slope", F.lit(0.5)).alias("slope")
     )
-    resid = adj.join(broadcast(med), "event_type").select(
-        "event_type",
-        "day",
-        "n_events",
-        "adj",
-        "slope",
-        (
-            F.col("adj")
-            - (F.col("slope") * F.col("day").cast("double"))
-        ).alias("detr_pre"),
+    resid = (
+        adj.join(broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "adj",
+            "slope",
+            (
+                F.col("adj")
+                - (F.col("slope") * F.col("day").cast("double"))
+            ).alias("detr_pre"),
+        )
+        .localCheckpoint()
     )
     icpt = resid.groupBy("event_type").agg(
         F.percentile("detr_pre", F.lit(0.5)).alias("icpt")
     )
-    r2 = resid.join(broadcast(icpt), "event_type").select(
-        "event_type",
-        "day",
-        "n_events",
-        (F.col("detr_pre") - F.col("icpt")).alias("resid"),
+    r2 = (
+        resid.join(broadcast(icpt), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            (F.col("detr_pre") - F.col("icpt")).alias("resid"),
+        )
+        .localCheckpoint()
     )
     mstats = r2.groupBy("event_type").agg(
         F.percentile("resid", F.lit(0.5)).alias("med_r")
     )
-    r3 = r2.join(broadcast(mstats), "event_type").withColumn(
-        "dev", F.abs(F.col("resid") - F.col("med_r"))
+    r3 = (
+        r2.join(broadcast(mstats), "event_type")
+        .withColumn("dev", F.abs(F.col("resid") - F.col("med_r")))
+        .localCheckpoint()
     )
     mad = r3.groupBy("event_type").agg(
         F.percentile("dev", F.lit(0.5)).alias("mad")

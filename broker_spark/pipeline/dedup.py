@@ -964,6 +964,10 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     # canonicalize defensively: callers should pass doc_a < doc_b, but a
     # reversed or doubled edge would otherwise inflate degrees and hide
     # triangles whose closing edge is stored backwards
+    # e is read five times (nodes x2, edge count, orientation join,
+    # triangle close) and its lineage re-runs the WHOLE upstream LSH
+    # pipeline per read — pin it once (CTE-reuse pass, VERDICT r6 #7).
+    # Same for deg (3 reads) and directed (self-joined) below.
     e = (
         pairs.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
@@ -971,11 +975,16 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
+        .localCheckpoint()
     )
     nodes = e.select(F.col("doc_a").alias("doc_id")).unionAll(
         e.select(F.col("doc_b").alias("doc_id"))
     )
-    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    deg = (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint()
+    )
 
     edge_count = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     wedge_count = deg.agg(
@@ -993,7 +1002,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     directed = ranked.select(
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
-    )
+    ).localCheckpoint()
     wedges = (
         directed.alias("x")
         .join(directed.alias("y"), F.col("x.src") == F.col("y.src"))

@@ -1208,11 +1208,19 @@ def temperature_mix_allocation(
 
     Scale shape: one hash-agg to per-source stats (a handful of rows),
     two broadcast scalar attaches — nothing here grows with the corpus."""
-    stats = docs.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count(F.col("text")).cast("long")).cast("long").alias(
-            "total_tokens"
-        ),
+    # stats is a handful of rows but read by THREE downstream consumers
+    # (tot, with_nat via z, and the final select) — without pinning, each
+    # re-runs the whole upstream corpus scan (VERDICT r6 #7: this chain
+    # put 67 exchanges in curated_mix_manifest's plan).
+    stats = (
+        docs.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(token_count(F.col("text")).cast("long"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .localCheckpoint()
     )
     tot = stats.agg(F.sum("total_tokens").cast("long").alias("corpus_tokens"))
     with_nat = stats.crossJoin(broadcast(tot)).withColumn(

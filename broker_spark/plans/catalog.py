@@ -5824,10 +5824,20 @@ def q_curated_mix_manifest(spark, sf_dir):
         .filter(F.col("qc_keep") & F.col("pd_keep"))
         .select("doc_id", "text", "source")
     )
-    keepers = base.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # keeper = min doc_id per exact-text hash, as ONE window over the
+    # hash key instead of groupBy + join-back — same survivors, one
+    # shuffle instead of two, and base (the data-sized frame) is read
+    # exactly once (VERDICT r6 #7 CTE-reuse pass)
+    kept = (
+        base.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
-    kept = base.join(keepers.select("doc_id"), "doc_id")
     return text.temperature_mix_allocation(kept)
 
 
