@@ -62,18 +62,43 @@ def _repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _round_dirs():
+    """Current-round artifacts live at repo root; historical rounds are
+    archived under records/ (VERDICT r6 #8)."""
+    import os
+
+    root = _repo_root()
+    dirs = [root]
+    rec = os.path.join(root, "records")
+    if os.path.isdir(rec):
+        dirs.append(rec)
+    return dirs
+
+
+def _round_file(prefix: str, n: int):
+    import os
+
+    for d in _round_dirs():
+        p = os.path.join(d, f"{prefix}_r{n:02d}.json")
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def _latest_round_file(prefix: str):
-    """(round_no, path) of the newest `{prefix}_r{NN}.json` at repo root."""
+    """(round_no, path) of the newest `{prefix}_r{NN}.json` at repo root
+    or under records/."""
     import os
     import re
 
     best = None
-    for f in os.listdir(_repo_root()):
-        m = re.fullmatch(rf"{prefix}_r(\d+)\.json", f)
-        if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, os.path.join(_repo_root(), f))
+    for d in _round_dirs():
+        for f in os.listdir(d):
+            m = re.fullmatch(rf"{prefix}_r(\d+)\.json", f)
+            if m:
+                n = int(m.group(1))
+                if best is None or n > best[0]:
+                    best = (n, os.path.join(d, f))
     return best
 
 
@@ -130,8 +155,8 @@ def test_no_round_closes_without_driver_artifacts():
         if n in waived:
             continue
         for prefix in ("CORRECTNESS", "BENCH"):
-            path = os.path.join(_repo_root(), f"{prefix}_r{n:02d}.json")
-            assert os.path.exists(path), f"round {n} closed without {path}"
+            path = _round_file(prefix, n)
+            assert path is not None, f"round {n} closed without {prefix}_r{n:02d}.json"
             payload = json.load(open(path))
             assert payload, f"{path} parsed empty/null"
             if prefix == "BENCH" and n not in parsed_null_waived:
