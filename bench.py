@@ -378,14 +378,21 @@ def main() -> None:
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
     # Comparison tier: timed for the record (the contrast its guarded twin
-    # is measured against), NEVER part of the headline total.
+    # is measured against), NEVER part of the headline total.  Same
+    # best-of-N sampling as the headline loop — a single sample on this
+    # ±3x noisy-neighbor VM would systematically overstate the guarded
+    # twins' win.
     comparison: dict[str, float | None] = {}
     for name in COMPARISON:
         try:
             fn = CATALOG[name].fn
-            t0 = time.perf_counter()
-            n = fn(spark, sf_dir).count()
-            comparison[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            n = 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                n = fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            comparison[name] = round(min(samples), 3)
             print(
                 f"# [comparison] {name}: {comparison[name]:.3f}s ({n} rows)",
                 file=sys.stderr,
@@ -397,6 +404,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
+    comparison_failed = sorted(k for k, v in comparison.items() if v is None)
     failed = sorted(k for k, v in timings.items() if v is None)
     total_ok = round(sum(t for t in timings.values() if t is not None), 3)
     # A partial total must never masquerade as a full-run total.
@@ -409,6 +417,7 @@ def main() -> None:
         "queries": timings,
         "spreads": spreads,
         "comparison": comparison,
+        "comparison_failed": comparison_failed,
         "failed": failed,
         "runs_per_query": runs,
         "sf": float(sf),

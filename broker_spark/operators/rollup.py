@@ -19,6 +19,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin
 from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
 
 # src/StreamMetrics.ts:7-9 — EWMA coefficients
@@ -453,7 +455,7 @@ def trailing_distinct_users_interval(
     allr = (
         deltas.unionByName(probes)
         .repartitionByRange(n_range_parts, "bucket", "is_probe")
-        .localCheckpoint()
+        .transform(pin)
     )
     allr = allr.withColumn("pid", F.spark_partition_id())
     w_pid = (

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -861,7 +863,7 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
     daily = (
         _daily_counts(events)
         .withColumn("dow", F.pmod(F.col("day"), F.lit(7)).cast("int"))
-        .localCheckpoint()
+        .transform(pin)
     )
     dowm = daily.groupBy("event_type", "dow").agg(
         F.percentile(F.col("n_events").cast("double"), F.lit(0.5)).alias(
@@ -876,7 +878,7 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
             "n_events",
             (F.col("n_events").cast("double") - F.col("dow_mean")).alias("adj"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     a, bb = [adj.alias(s) for s in ("a", "b")]
     slopes = (
@@ -906,7 +908,7 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
                 - (F.col("slope") * F.col("day").cast("double"))
             ).alias("detr_pre"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     icpt = resid.groupBy("event_type").agg(
         F.percentile("detr_pre", F.lit(0.5)).alias("icpt")
@@ -919,7 +921,7 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
             "n_events",
             (F.col("detr_pre") - F.col("icpt")).alias("resid"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     mstats = r2.groupBy("event_type").agg(
         F.percentile("resid", F.lit(0.5)).alias("med_r")
@@ -927,7 +929,7 @@ def seasonal_trend_anomalies(events: DataFrame) -> DataFrame:
     r3 = (
         r2.join(broadcast(mstats), "event_type")
         .withColumn("dev", F.abs(F.col("resid") - F.col("med_r")))
-        .localCheckpoint()
+        .transform(pin)
     )
     mad = r3.groupBy("event_type").agg(
         F.percentile("dev", F.lit(0.5)).alias("mad")

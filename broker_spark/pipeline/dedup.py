@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -975,7 +977,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         )
         .filter(F.col("doc_a") != F.col("doc_b"))
         .distinct()
-        .localCheckpoint()
+        .transform(pin)
     )
     nodes = e.select(F.col("doc_a").alias("doc_id")).unionAll(
         e.select(F.col("doc_b").alias("doc_id"))
@@ -983,7 +985,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     deg = (
         nodes.groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-        .localCheckpoint()
+        .transform(pin)
     )
 
     edge_count = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -1002,7 +1004,7 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     directed = ranked.select(
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
-    ).localCheckpoint()
+    ).transform(pin)
     wedges = (
         directed.alias("x")
         .join(directed.alias("y"), F.col("x.src") == F.col("y.src"))

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -1220,7 +1222,7 @@ def temperature_mix_allocation(
             .cast("long")
             .alias("total_tokens"),
         )
-        .localCheckpoint()
+        .transform(pin)
     )
     tot = stats.agg(F.sum("total_tokens").cast("long").alias("corpus_tokens"))
     with_nat = stats.crossJoin(broadcast(tot)).withColumn(
@@ -1756,7 +1758,7 @@ def bpe_learn(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .withColumn("toks", _bpe_char_tokens(F.col("word")))
-        .localCheckpoint()
+        .transform(pin)
     )
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):

@@ -5804,13 +5804,15 @@ def q_curated_mix_manifest(spark, sf_dir):
     """The round-4 composition flagship: learned quality filter AND
     passage-dedup filter AND exact-hash dedup AND temperature mixing —
     `quality_classifier_score` ∧ `passage_dedup_stats` → md5 keeper →
-    `temperature_mix_allocation` over the curated survivors — as ONE lazy
-    Spark plan (the oracle recomputes every stage in a single SQL).
+    `temperature_mix_allocation` over the curated survivors (the oracle
+    recomputes every stage in a single SQL).
 
     Plan shape: the two filters are a zero-shuffle scan projection plus
-    one passage-hash window; dedup is one doc-text hash-agg + keeper
-    semi-join; the mixture math is two broadcast scalar attaches.  No
-    stage materializes an intermediate corpus."""
+    one passage-hash window; dedup is ONE window over the text hash
+    (keeper = min doc_id, no join-back); the mixture math is two
+    broadcast scalar attaches over the per-source stats frame, which is
+    pinned once (pinning.pin — a handful of rows; the only materialized
+    intermediate) so its three readers don't re-run the corpus scan."""
     docs = load(spark, sf_dir, "documents")
     qc = text.quality_classifier_score(docs).select(
         "doc_id", F.col("keep").alias("qc_keep")

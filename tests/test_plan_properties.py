@@ -54,10 +54,21 @@ def test_pair_generators_never_cartesian(spark):
 
 def test_no_row_at_a_time_python(spark):
     """Python appears only as Arrow-batched FlatMapGroupsInPandas /
-    MapInPandas — never BatchEvalPython (row-at-a-time UDF)."""
-    for name, entry in CATALOG.items():
-        plan = entry.fn(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
-        assert "BatchEvalPython" not in plan, name
+    MapInPandas — never BatchEvalPython (row-at-a-time UDF).  Built with
+    pinning disabled so the check sees the FULL lineage (a localCheckpoint
+    would otherwise truncate everything above it to a Scan ExistingRDD
+    stub and the assertion would be vacuous for the pinned stages)."""
+    from broker_spark import pinning
+
+    with pinning.audit_lineage():
+        for name, entry in CATALOG.items():
+            plan = (
+                entry.fn(spark, SF_SMALL)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BatchEvalPython" not in plan, name
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from broker_spark.operators import rollup
+from tests.conftest import SF_SMALL
 
 HOUR_MS = 3_600_000
 
@@ -94,7 +95,7 @@ def test_layout_pruning_multidim_shape_and_bounds(spark):
     rows = {
         r["layout"]: r
         for r in CATALOG["layout_pruning_multidim"]
-        .fn(spark, "/root/testdata/sf0.001")
+        .fn(spark, SF_SMALL)
         .collect()
     }
     assert set(rows) == {"by_user", "by_time", "zorder"}

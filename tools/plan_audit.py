@@ -39,7 +39,7 @@ AUDITED = [
     "funnel_conversion",           # staged broadcast joins
     "customer_rfm_scores",         # global deterministic ntile windows
     "orders_market_basket",        # co-partitioned self-join + top-k
-    "curated_mix_manifest",        # composed lazy pipeline
+    "curated_mix_manifest",        # composed pipeline, pinned stats frame
     "semantic_dedup_clusters",     # grid cells + applyInPandas + CC
     "dedup_graph_pagerank",        # iterative: 10 joined+agg rounds
     "multimodal_wav_roundtrip",    # mapInPandas real-decode path
@@ -96,14 +96,27 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
     import contextlib
     import io
 
+    from broker_spark import pinning
+
+    # Pass A — FULL LINEAGE, never executed: with pinning disabled the
+    # lazy plan exposes everything a localCheckpoint would truncate to a
+    # `Scan ExistingRDD` stub, so the pushdown/cartesian/python flags
+    # cover the whole pipeline, not just the post-checkpoint tail.
+    with pinning.audit_lineage():
+        df_full = CATALOG[name].fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df_full.explain("formatted")
+        formatted = buf.getvalue()
+        full_initial = (
+            df_full._jdf.queryExecution().executedPlan().toString()
+        )
+
+    # Pass B — the REAL (pinned) execution: collect drives AQE to the
+    # final plan, whose codegen spans / exchange counts reflect what a
+    # production run actually does (checkpoints included; exchange counts
+    # therefore stay comparable with PLANS_r05/r06).
     df = CATALOG[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    formatted = buf.getvalue()
-    # EXECUTE the query (collect drives df's own queryExecution) so AQE
-    # finalizes: the executed-plan string then carries the real *(N)
-    # whole-stage-codegen span markers and runtime ReusedExchange nodes
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
     join_names = sorted(
@@ -111,7 +124,7 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
             re.findall(
                 r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
                 r"BroadcastNestedLoopJoin|CartesianProduct)",
-                final,
+                final + full_initial,
             )
         )
     )
@@ -122,12 +135,14 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", formatted)),
         "pruned": bool(re.search(r"PartitionFilters: \[[^\]]", formatted)),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
-        "python_eval": "BatchEvalPython" in final,
+        "python_eval": "BatchEvalPython" in final
+        or "BatchEvalPython" in full_initial,
         "arrow_eval": any(
-            m in final
+            m in final or m in full_initial
             for m in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
         ),
-        "cartesian": "CartesianProduct" in final,
+        "cartesian": "CartesianProduct" in final
+        or "CartesianProduct" in full_initial,
         "exchanges": len(ex_lines) - reused,
         "reused": reused,
     }
