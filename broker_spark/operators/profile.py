@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin_lazy
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -292,9 +294,7 @@ def layout_pruning_benefit(
         # the same range boundaries — the range partitioner samples per
         # execution, so two lazy executions could disagree on pid
         # assignment and corrupt the reconstructed global rank
-        t = part.withColumn("rn_local", F.row_number().over(w_local)).localCheckpoint(
-            eager=False
-        )
+        t = part.withColumn("rn_local", F.row_number().over(w_local)).transform(pin_lazy)
         counts = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
         w_off = Window.orderBy("pid").rowsBetween(
             Window.unboundedPreceding, -1
@@ -418,7 +418,7 @@ def layout_pruning_multidim(
             .alias("tx"),
         )
         .withColumn("zkey", zorder_key(F.col("ux"), F.col("tx"), 8))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     probes_u = (
         base.select("user_id")
@@ -434,9 +434,7 @@ def layout_pruning_multidim(
             "pid", F.spark_partition_id()
         )
         w_local = Window.partitionBy("pid").orderBy(*order)
-        t = part.withColumn("rn_local", F.row_number().over(w_local)).localCheckpoint(
-            eager=False
-        )
+        t = part.withColumn("rn_local", F.row_number().over(w_local)).transform(pin_lazy)
         counts = t.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
         w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
         offsets = counts.withColumn(
@@ -467,7 +465,7 @@ def layout_pruning_multidim(
                 F.min("t_ms").alias("t_min"),
                 F.max("t_ms").alias("t_max"),
             )
-            .localCheckpoint(eager=False)
+            .transform(pin_lazy)
         )
         n_files = files.groupBy().agg(
             F.count(F.lit(1)).cast("long").alias("n_files")

@@ -21,12 +21,20 @@ from pyspark.sql import DataFrame
 _DISABLED = False
 
 
-def pin(df: DataFrame) -> DataFrame:
-    """localCheckpoint `df` (eager) — unless lineage auditing disabled
-    pinning, in which case the frame passes through lazily."""
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """localCheckpoint `df` — unless lineage auditing disabled pinning,
+    in which case the frame passes through lazily.  `eager=False` defers
+    the checkpoint to the first action (the repeated-read pinning still
+    holds from then on) — use it when the frame may never be executed
+    (e.g. a branch the caller might discard)."""
     if _DISABLED:
         return df
-    return df.localCheckpoint()
+    return df.localCheckpoint(eager=eager)
+
+
+def pin_lazy(df: DataFrame) -> DataFrame:
+    """`pin(df, eager=False)` in `.transform(...)`-friendly form."""
+    return pin(df, eager=False)
 
 
 @contextlib.contextmanager

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin, pin_lazy
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -623,7 +625,7 @@ def multiprobe_trained_ivf_topk(
         F.col(id_col),
         F.col(vec_col),
         _probe_clusters_udf(centroids, nprobe)(v).alias("_probes"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     queries = probed.select(
         F.col(id_col),
         F.col(vec_col),
@@ -1493,7 +1495,7 @@ def recall_vs_nprobe(
         # cluster join + cosine per tier (4x the scoring work);
         # localCheckpoint (not persist) so the blocks are GC-reclaimed
         # with the result rather than pinned in the session cache
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ivf_parts = []
     for np_ in nprobes:
@@ -1654,7 +1656,7 @@ def matryoshka_recall(
             vec_col=vec_col,
         )
         .select("query_id", "cand_id")
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     all_q = full.select("query_id").distinct()
     out = None

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin
+from broker_spark.pinning import pin, pin_lazy
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -332,7 +332,7 @@ def ngram_containment_pairs(
     # ONE materialization for the three downstream reads (two join sides +
     # sizes); localCheckpoint, not persist, so the blocks are GC-reclaimed
     # with the result instead of pinned in the session cache (ADVICE r3)
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -419,7 +419,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         changed = stepped.filter(F.col("component") != F.col("_old")).count()
         labels = stepped.select(id_col, "component")
@@ -483,7 +483,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(broadcast(hot), "sh", "left_anti")
     # ONE materialization for the three downstream reads (two join sides +
     # sizes); localCheckpoint, not persist — GC-reclaimed, not session-pinned
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -581,7 +581,7 @@ def connected_components_star(
     edges = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
 
     n_edges = edges.count()
@@ -647,9 +647,7 @@ def connected_components_star(
 
     prev_digest = edge_digest(edges)
     for _ in range(max_iter):
-        stepped = star(star(edges, large=True), large=False).localCheckpoint(
-            eager=True
-        )
+        stepped = star(star(edges, large=True), large=False).transform(pin)
         digest = edge_digest(stepped)
         if digest == prev_digest:
             # digest equality is a near-certain fixpoint signal; confirm
@@ -706,9 +704,7 @@ def minhash_estimate_error(
     # localCheckpoint (not persist) materializes them once and the blocks
     # are GC-reclaimed with the result — a persist would pin CacheManager
     # entries for the whole session (ADVICE r3 pattern)
-    pairs = minhash_lsh_pairs(docs, num_hashes, rows_per_band).localCheckpoint(
-        eager=True
-    )
+    pairs = minhash_lsh_pairs(docs, num_hashes, rows_per_band).transform(pin)
     sig = minhash_signatures(docs, num_hashes)
     agree = [
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(num_hashes)
@@ -748,7 +744,7 @@ def minhash_estimate_error(
             "doc_id",
             F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
         )
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
@@ -821,7 +817,7 @@ def lsh_s_curve(
     if max_doc_freq is not None:
         df_ = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(df_.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
-    sh = sh.localCheckpoint(eager=True)
+    sh = sh.transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     universe = (
         sh.alias("a")
@@ -914,7 +910,7 @@ def pagerank(
     edges = (
         fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = edges.select(F.col("s").alias(id_col)).distinct()
@@ -925,7 +921,7 @@ def pagerank(
         )
     ranks = nodes.select(id_col, F.lit(1.0 / n).alias("pr"))
     # static per-edge frame: (source, target, source degree)
-    ej = edges.join(deg, "s").localCheckpoint(eager=True)
+    ej = edges.join(deg, "s").transform(pin)
     base = (1 - damping) / n
     for step in range(iters):
         contrib = ej.join(ranks, ej["s"] == ranks[id_col]).select(
@@ -940,7 +936,7 @@ def pagerank(
             ).alias("pr")
         )
         if (step + 1) % 4 == 0 and step + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(pin)
     return ranks.select(id_col, F.round(F.col("pr"), 6).alias("pagerank"))
 
 
@@ -1068,7 +1064,7 @@ def prefix_filter_jaccard_pairs(
         ).alias("tok"),
     )
     # one materialization, three readers (df agg, prefix build, verify join)
-    tok = tok.localCheckpoint(eager=True)
+    tok = tok.transform(pin)
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
 
@@ -1172,9 +1168,7 @@ def incremental_components(
     join) and each would otherwise re-run the base solve + singleton
     anti-join; in production base is the STORED labeling, so the
     checkpoint stands in for that read."""
-    base = connected_components_star(docs, old_pairs, id_col, max_iter).localCheckpoint(
-        eager=False
-    )
+    base = connected_components_star(docs, old_pairs, id_col, max_iter).transform(pin_lazy)
     la = base.select(F.col(id_col).alias("doc_a"), F.col("component").alias("ca"))
     lb = base.select(F.col(id_col).alias("doc_b"), F.col("component").alias("cb"))
     bridges = (
@@ -1223,7 +1217,7 @@ def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     adj = fwd.union(
         fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

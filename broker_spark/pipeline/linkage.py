@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from broker_spark.pinning import pin_lazy
+
 from broker_spark.pipeline import dedup
 
 
@@ -101,7 +103,7 @@ def linkage_pairs(
     (entity_components) pass it in instead of re-scanning the source.
     """
     if names is None:
-        names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
+        names = dirty_clean_names(df, name_col).transform(pin_lazy)
 
     def _sides(block_col):
         clean = names.select(
@@ -152,7 +154,7 @@ def entity_components(
     still forms its own 2-node entity; the planted corruption guarantees
     every dirty node has at least its own clean parent as a match.
     """
-    names = dirty_clean_names(df, name_col).localCheckpoint(eager=False)
+    names = dirty_clean_names(df, name_col).transform(pin_lazy)
     pairs = linkage_pairs(df, name_col, max_dist, names=names).select(
         F.concat(F.lit("d:"), F.col("dirty_name")).alias("doc_a"),
         F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_b"),

@@ -21,6 +21,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from broker_spark.pinning import pin
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -8960,7 +8962,7 @@ def q_dedup_components_incremental(spark, sf_dir):
     # and new-parity filters would each re-run the full MinHash/LSH
     # lineage (the dominant cost) — same pattern as the prefix-filter
     # join's shingle frame
-    pairs = dedup.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    pairs = dedup.minhash_lsh_pairs(docs).transform(pin)
     old = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
     new = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 != 0)
     return dedup.incremental_components(docs, old, new)
