@@ -60,14 +60,20 @@ def corrupted_name(name: Column) -> Column:
     dropped = F.concat(head, after)
     doubled = F.concat(head, at, at, after)
     swapped = F.concat(head, nxt, at, tail2)
-    # Degenerate guard (ADVICE r6): for len <= 2 names pos is pinned to 2
-    # and the swap branch swaps char 2 with an empty string, yielding
-    # dirty == clean (no edit planted).  Fall back to an edit that always
-    # changes the string: duplicate the last character.
+    # Degenerate guards (ADVICE r6 + the hypothesis sweep that followed):
+    # (a) for len <= 2 names pos is pinned to 2 and the swap branch swaps
+    # char 2 with an empty string; (b) swapping two EQUAL adjacent chars
+    # ("green", pos on 'ee') is the identity.  Both would yield
+    # dirty == clean — no edit planted — so each falls back to an edit
+    # that always changes the string (duplicate a character).
     last_doubled = F.concat(name, F.substring(name, F.length(name), F.lit(1)))
-    return F.when(F.length(name) <= 2, last_doubled).when(
-        t == 0, dropped
-    ).when(t == 1, doubled).otherwise(swapped)
+    return (
+        F.when(F.length(name) <= 2, last_doubled)
+        .when(t == 0, dropped)
+        .when(t == 1, doubled)
+        .when(at == nxt, doubled)  # swap would be identity -> duplicate
+        .otherwise(swapped)
+    )
 
 
 def dirty_clean_names(df: DataFrame, name_col: str = "p_name") -> DataFrame:

@@ -9415,10 +9415,19 @@ _LINKAGE_SQL = """
                WHEN 1 THEN substring(clean_name, 1, pos)
                            || substring(clean_name, pos, 1)
                            || substring(clean_name, pos + 1, length(clean_name))
-               ELSE substring(clean_name, 1, pos - 1)
-                    || substring(clean_name, pos + 1, 1)
-                    || substring(clean_name, pos, 1)
-                    || substring(clean_name, pos + 2, length(clean_name))
+               -- swap of two EQUAL adjacent chars is the identity: fall
+               -- back to the duplicate edit (mirrors corrupted_name)
+               ELSE CASE
+                 WHEN substring(clean_name, pos, 1)
+                      = substring(clean_name, pos + 1, 1)
+                 THEN substring(clean_name, 1, pos)
+                      || substring(clean_name, pos, 1)
+                      || substring(clean_name, pos + 1, length(clean_name))
+                 ELSE substring(clean_name, 1, pos - 1)
+                      || substring(clean_name, pos + 1, 1)
+                      || substring(clean_name, pos, 1)
+                      || substring(clean_name, pos + 2, length(clean_name))
+               END
              END END AS dirty_name
       FROM dc
     ),
