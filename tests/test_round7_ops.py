@@ -7,8 +7,6 @@ from __future__ import annotations
 
 import datetime as dt
 
-import pytest
-from pyspark.sql import functions as F
 
 from broker_spark.operators import rollup
 from tests.conftest import SF_SMALL
