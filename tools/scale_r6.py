@@ -58,13 +58,26 @@ ENTRIES_S3 = [
 ]
 
 
+#: round 7, second batch (pass --sessions 4): the CTE-reuse-pass entries
+#: (VERDICT r6 #7) re-measured AFTER the pinning rewrite, showing the
+#: exchange cuts hold at replication scale
+ENTRIES_S4 = [
+    "seasonal_trend_anomalies",
+    "dedup_graph_triangles",
+    "curated_mix_manifest",
+    "minhash_estimate_error",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--sessions", type=int, default=1)
     args = ap.parse_args()
-    entries = {1: ENTRIES, 2: ENTRIES_S2, 3: ENTRIES_S3}[args.sessions]
+    entries = {1: ENTRIES, 2: ENTRIES_S2, 3: ENTRIES_S3, 4: ENTRIES_S4}[
+        args.sessions
+    ]
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.path.join(REPO, ".scale", f"sf0.1x{args.copies}")
