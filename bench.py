@@ -225,6 +225,8 @@ COMPARISON = [
 #:    harness, not a query plan; correctness is certified by selfcheck +
 #:    the driver window instead.
 NOT_BENCHED_REPLAYS = [
+    "streaming_outer_join_replay_shuffled",
+    "streaming_trailing_distinct_replay_shuffled",
     "log_roundtrip_resend",
     "streaming_alerts_replay",
     "streaming_cdc_upsert_replay",

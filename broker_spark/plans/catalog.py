@@ -10639,6 +10639,211 @@ def q_streaming_cdc_upsert_replay_shuffled(spark, sf_dir):
     return out
 
 
+@register(
+    "streaming_outer_join_replay_shuffled",
+    """
+    WITH c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id,
+           COALESCE(p.purchase_id, -1) AS purchase_id, p.value
+    FROM c LEFT JOIN p
+      ON c.user_id = p.p_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 6 HOUR
+    """,
+)
+def q_streaming_outer_join_replay_shuffled(spark, sf_dir):
+    """The OUT-OF-ORDER variant of `streaming_outer_join_replay`
+    (completing VERDICT r6 #6's list): input staged as 6 md5-ranged
+    files each mixing the whole span, one per micro-batch — so a click
+    and its matching purchase routinely arrive in DIFFERENT batches, in
+    EITHER order.  The dual join state must hold both sides until the
+    watermark proves no partner can still arrive: with a span-wide
+    delay nothing is evicted mid-replay, so a late-arriving purchase
+    can never find its click already null-emitted — the exact
+    eviction-race class where outer-join state bugs live.  Matched
+    rows emit eagerly per batch; the null-padded unmatched clicks flush
+    only on the sentinel run.  Same batch LEFT JOIN oracle."""
+    import datetime
+    import math
+    import shutil
+
+    tmp = _replay_tmpdir("ojoin_shuf_")
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id", "event_id", "value"
+    )
+    (
+        ev.withColumn("shuf", F.md5(F.col("event_id").cast("string")))
+        .repartitionByRange(6, "shuf")
+        .drop("shuf")
+        .write.parquet(f"{tmp}/in")
+    )
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    delay_hours = (
+        int(math.ceil((span["hi"] - span["lo"]).total_seconds() / 3600)) + 2
+    )
+
+    def side(event_type, cols):
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+            .filter(F.col("event_type") == event_type)
+            .select(*cols)
+        )
+
+    def run_once():
+        clicks = side(
+            "click",
+            [
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            ],
+        ).withWatermark("click_ts", f"{delay_hours} hours")
+        purchases = side(
+            "purchase",
+            [
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("value"),
+            ],
+        ).withWatermark("purchase_ts", f"{delay_hours} hours")
+        joined = clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 6 HOURS")
+            ),
+            "left_outer",
+        ).select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            F.coalesce(F.col("purchase_id"), F.lit(-1).cast("long")).alias(
+                "purchase_id"
+            ),
+            "value",
+        )
+        _run_replay(spark, joined, tmp)
+
+    run_once()
+    # sentinels on BOTH sides (watermarks are per-side, computed after the
+    # event-type filters): wm = far - delay must clear every click's
+    # 6 h window end, so far sits delay + 12 h past max(ts)
+    far = span["hi"] + datetime.timedelta(hours=delay_hours + 12)
+    sentinels = [("click", far, -1, -1, 0.0), ("purchase", far, -1, -2, 0.0)]
+    spark.createDataFrame(sentinels, ev.schema).write.mode("append").parquet(
+        f"{tmp}/in"
+    )
+    run_once()
+    out = (
+        spark.read.parquet(f"{tmp}/sink")
+        .filter(F.col("user_id") != -1)
+        .select("user_id", "click_id", "purchase_id", "value")
+    )
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_trailing_distinct_replay_shuffled",
+    """
+    WITH eh AS (SELECT DISTINCT epoch_ms(ts) // 3600000 AS h, user_id FROM events),
+    hrs AS (SELECT DISTINCT h FROM eh)
+    SELECT hrs.h AS bucket, CAST(COUNT(DISTINCT eh.user_id) AS BIGINT) AS n_users
+    FROM hrs JOIN eh ON eh.h BETWEEN hrs.h - 23 AND hrs.h
+    GROUP BY 1
+    """,
+)
+def q_streaming_trailing_distinct_replay_shuffled(spark, sf_dir):
+    """The OUT-OF-ORDER variant of `streaming_trailing_distinct_replay`
+    — the CHAINED two-stateful-operator query (windowed dedup ->
+    re-window count) stressed with md5-shuffled input files, so late
+    rows must merge into level-1 window state across micro-batches AND
+    the watermark must still propagate one stateful level per trigger.
+    The in-order entry holds a 0-second watermark (safe only because a
+    single input file makes one batch); here the delay spans the corpus
+    so every late row lands inside it, and the two flush sentinels sit
+    a full delay PLUS the in-order entry's 49 h / 98 h margins past
+    max(ts) (level 2 only sees level-1 evictions, so each level needs
+    its own watermark push).  Same inequality-join oracle; sentinel
+    buckets share no hour with real data and the active-hours join
+    removes them."""
+    import datetime as dt_mod
+    import math
+    import shutil
+
+    tmp = _replay_tmpdir("sdist_shuf_")
+    ev = load(spark, sf_dir, "events").select("ts", "user_id")
+    (
+        ev.withColumn(
+            "shuf",
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("user_id").cast("string"),
+                    F.col("ts").cast("string"),
+                )
+            ),
+        )
+        .repartitionByRange(6, "shuf")
+        .drop("shuf")
+        .write.parquet(f"{tmp}/in")
+    )
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    delay_hours = (
+        int(math.ceil((span["hi"] - span["lo"]).total_seconds() / 3600)) + 2
+    )
+
+    def run_once():
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        pairs = (
+            src.withWatermark("ts", f"{delay_hours} hours")
+            .groupBy(
+                F.window("ts", "86400 seconds", "3600 seconds").alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        counts = pairs.groupBy(
+            F.window(F.col("w"), "3600 seconds").alias("w2")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        _run_replay(spark, counts, tmp)
+
+    run_once()
+    for k, uid in ((delay_hours + 49, -1), (2 * delay_hours + 98, -2)):
+        spark.createDataFrame(
+            [(span["hi"] + dt_mod.timedelta(hours=k), uid)], ev.schema
+        ).write.mode("append").parquet(f"{tmp}/in")
+        run_once()
+    sunk = spark.read.parquet(f"{tmp}/sink").select(
+        F.floor(F.unix_millis(F.col("w2.start")) / F.lit(3_600_000))
+        .cast("long")
+        .alias("bucket"),
+        "n_users",
+    )
+    actual = ev.select(
+        F.floor(F.unix_millis("ts") / F.lit(3_600_000)).cast("long").alias("bucket")
+    ).distinct()
+    out = sunk.join(actual, "bucket")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    shutil.rmtree(f"{tmp}/in", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -10662,9 +10867,14 @@ _AUDIT_PRIORITY = [
     # no-oracle by design — the programmatic exile in _audit_order()
     # keeps it out of the window (it can only ever yield a rows-only
     # row; pinned by property tests in test_approx.py instead).
-    # -- (1) NEW in round 7 (riskiest: never checked by anyone)
+    # -- (1) NEW in round 7 (riskiest: never checked by anyone) — the
+    # full VERDICT r6 #6 out-of-order family plus the interval-merge
+    # trailing distinct; 5 new entries, the cap's ceiling, so two of the
+    # judge-verified backlog entries move to the round-8 spill below
     "streaming_sessionization_replay_shuffled",
     "streaming_cdc_upsert_replay_shuffled",
+    "streaming_outer_join_replay_shuffled",
+    "streaming_trailing_distinct_replay_shuffled",
     "events_trailing_distinct_interval",
     # -- (2) never driver-checked AND never judge-verified (42)
     "streaming_funnel_replay",
@@ -10709,14 +10919,14 @@ _AUDIT_PRIORITY = [
     "user_decile_migration",
     "weighted_sample_docs",
     "zscore_anomaly_events",
-    # -- (3) never driver-checked, judge-verified r6 (5 of 14)
+    # -- (3) never driver-checked, judge-verified r6 (3 of 14)
     "layout_pruning_multidim",
     "streaming_cdc_upsert_replay",
     "streaming_outer_join_replay",
+    # -- positions 51-61: the remaining judge-verified backlog — head of
+    # the round-8 window if the 50-slot window stops short of them
     "events_trailing_distinct_users",
     "cusum_daily_alarms",
-    # -- positions 51-59: the remaining judge-verified backlog — head of
-    # the round-8 window if the 50-slot window stops short of them
     "dedup_prefix_filter_pairs",
     "events_sessionization_dynamic_gap",
     "hll_monthly_merge",
