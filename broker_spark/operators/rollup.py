@@ -401,12 +401,18 @@ def trailing_distinct_users_interval(
     """
     from pyspark.sql.window import Window
 
-    hours = events.select(
-        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(3_600_000))
-        .cast("long")
-        .alias("h"),
-        F.col(user_col).alias("user_id"),
-    ).distinct()
+    hours = (
+        events.select(
+            F.floor(F.unix_millis(F.col(ts_col)) / F.lit(3_600_000))
+            .cast("long")
+            .alias("h"),
+            F.col(user_col).alias("user_id"),
+        )
+        .distinct()
+        # two readers (interval derivation + probe buckets) — pin so the
+        # events scan + distinct materializes once (ADVICE r7)
+        .transform(pin)
+    )
 
     w_user = Window.partitionBy("user_id").orderBy("h")
     iv = (

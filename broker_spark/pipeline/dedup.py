@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin, pin_lazy
+from broker_spark.pinning import pin, pin_iter, pin_iter_lazy, pin_lazy
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -419,7 +419,10 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
             )
-            .transform(pin)
+            # pin_iter, not pin: the change-count action below executes
+            # THIS round's frame — an audit-stripped pin would make each
+            # count re-run the compounded lineage of all previous rounds
+            .transform(pin_iter)
         )
         changed = stepped.filter(F.col("component") != F.col("_old")).count()
         labels = stepped.select(id_col, "component")
@@ -581,7 +584,9 @@ def connected_components_star(
     edges = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .transform(pin)
+        # pin_iter: the count() below and every contraction round execute
+        # this frame while the function runs — must hold under audit too
+        .transform(pin_iter)
     )
 
     n_edges = edges.count()
@@ -647,7 +652,7 @@ def connected_components_star(
 
     prev_digest = edge_digest(edges)
     for _ in range(max_iter):
-        stepped = star(star(edges, large=True), large=False).transform(pin)
+        stepped = star(star(edges, large=True), large=False).transform(pin_iter)
         digest = edge_digest(stepped)
         if digest == prev_digest:
             # digest equality is a near-certain fixpoint signal; confirm
@@ -910,7 +915,8 @@ def pagerank(
     edges = (
         fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
-        .transform(pin)
+        # pin_iter: nodes.count() below executes this frame in-function
+        .transform(pin_iter)
     )
     deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     nodes = edges.select(F.col("s").alias(id_col)).distinct()
@@ -1168,7 +1174,11 @@ def incremental_components(
     join) and each would otherwise re-run the base solve + singleton
     anti-join; in production base is the STORED labeling, so the
     checkpoint stands in for that read."""
-    base = connected_components_star(docs, old_pairs, id_col, max_iter).transform(pin_lazy)
+    # pin_iter (lazy): the meta-solve below runs its own internal actions
+    # (edge count / convergence digest) over frames derived from `base`
+    base = connected_components_star(docs, old_pairs, id_col, max_iter).transform(
+        pin_iter_lazy
+    )
     la = base.select(F.col(id_col).alias("doc_a"), F.col("component").alias("ca"))
     lb = base.select(F.col(id_col).alias("doc_b"), F.col("component").alias("cb"))
     bridges = (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin
+from broker_spark.pinning import pin, pin_iter
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -1758,7 +1758,9 @@ def bpe_learn(
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
         .withColumn("toks", _bpe_char_tokens(F.col("word")))
-        .transform(pin)
+        # pin_iter: every merge round's argmax collect executes this
+        # frame in-function — the barrier must hold under plan audits too
+        .transform(pin_iter)
     )
     merges: list[dict] = []
     for rank in range(1, n_merges + 1):

@@ -22,7 +22,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin
+from broker_spark.pinning import pin, pin_iter
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -4841,6 +4841,20 @@ def _replay_tmpdir(prefix: str) -> str:
     return tmp
 
 
+def _await_replay(q, timeout: int = 300) -> None:
+    """Block until the availableNow query terminates; FAIL LOUDLY on a
+    timeout.  awaitTermination(timeout) returns False when the query is
+    still running — proceeding then would read a half-written sink/state
+    directory and surface as an oracle mismatch far from the real cause
+    (ADVICE r7), so stop the query and raise at the streaming step."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming replay did not terminate within {timeout}s "
+            f"(query id {q.id}); sink/state would be incomplete"
+        )
+
+
 def _run_replay(spark, stream_df, tmp: str):
     """Execute a streaming DataFrame to completion (availableNow) into a
     parquet sink under `tmp` and return the sink path — the common half of
@@ -4854,7 +4868,7 @@ def _run_replay(spark, stream_df, tmp: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_replay(q)
     return sink
 
 
@@ -5009,7 +5023,7 @@ def q_streaming_alerts_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_replay(q)
     out = spark.read.parquet(sink).select("key", "total")
     # materialize before the temp dir disappears with the session's GC --
     # the sink files stay on disk for the caller's collect(); cleanup of
@@ -8453,7 +8467,7 @@ def q_streaming_cdc_upsert_replay(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_replay(q)
     out = (
         spark.read.parquet(state)
         .filter(F.col("op") == "upsert")
@@ -8962,7 +8976,9 @@ def q_dedup_components_incremental(spark, sf_dir):
     # and new-parity filters would each re-run the full MinHash/LSH
     # lineage (the dominant cost) — same pattern as the prefix-filter
     # join's shingle frame
-    pairs = dedup.minhash_lsh_pairs(docs).transform(pin)
+    # pin_iter: incremental_components runs internal CC actions (edge
+    # counts / convergence digests) over both parity slices of this frame
+    pairs = dedup.minhash_lsh_pairs(docs).transform(pin_iter)
     old = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 == 0)
     new = pairs.filter((F.col("doc_a") + F.col("doc_b")) % 2 != 0)
     return dedup.incremental_components(docs, old, new)
@@ -10624,7 +10640,7 @@ def q_streaming_cdc_upsert_replay_shuffled(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_replay(q)
     out = (
         spark.read.parquet(state)
         .filter(F.col("op") == "upsert")

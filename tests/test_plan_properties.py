@@ -57,7 +57,11 @@ def test_no_row_at_a_time_python(spark):
     MapInPandas — never BatchEvalPython (row-at-a-time UDF).  Built with
     pinning disabled so the check sees the FULL lineage (a localCheckpoint
     would otherwise truncate everything above it to a Scan ExistingRDD
-    stub and the assertion would be vacuous for the pinned stages)."""
+    stub and the assertion would be vacuous for the pinned stages).
+    Self-executing entries (iterative CC/BPE loops, streaming replays)
+    keep their internal barriers via pin_iter — the toggle strips only
+    returned-plan pins, so construction-time actions never re-run a
+    compounded unpinned lineage (ADVICE r7)."""
     from broker_spark import pinning
 
     with pinning.audit_lineage():

@@ -98,10 +98,14 @@ def audit_one(spark, name: str, sf_dir: str) -> dict:
 
     from broker_spark import pinning
 
-    # Pass A — FULL LINEAGE, never executed: with pinning disabled the
-    # lazy plan exposes everything a localCheckpoint would truncate to a
-    # `Scan ExistingRDD` stub, so the pushdown/cartesian/python flags
-    # cover the whole pipeline, not just the post-checkpoint tail.
+    # Pass A — FULL LINEAGE: with pinning disabled the lazy plan exposes
+    # everything a localCheckpoint would truncate to a `Scan ExistingRDD`
+    # stub, so the pushdown/cartesian/python flags cover the whole
+    # pipeline, not just the post-checkpoint tail.  The RETURNED plan is
+    # never executed here; entries that execute actions during
+    # construction (iterative loops, replays) keep their internal
+    # pin_iter barriers, which the toggle deliberately does not strip
+    # (ADVICE r7) — those plans truncate at the iteration boundary.
     with pinning.audit_lineage():
         df_full = CATALOG[name].fn(spark, sf_dir)
         buf = io.StringIO()
