@@ -4,16 +4,26 @@
 Output contract (the driver keeps only the LAST ~2000 chars of stdout and
 parses the FINAL JSON line, so ordering matters):
 
-1. a detailed JSON line with the per-query best-of-N map and per-query
-   run spreads (min/median/max) — for humans and for BENCH_DETAIL.json,
-   which is also written to the repo root;
+1. a detailed JSON line with the per-query best-of-N map, per-query run
+   spreads, the noise-floor probe record, and the composition delta vs
+   the newest committed round detail — also written to BENCH_DETAIL.json
+   at the repo root (a WORKING snapshot, gitignored; the committed record
+   is the per-round BENCH_DETAIL_r{N}.json copy);
 2. a compact FINAL JSON line guaranteed well under 500 bytes:
-   {"metric", "value", "unit", "n_queries", "n_failed", "failed", "sf"}.
+   {"metric", "value", "unit", "n_queries", "n_failed", "failed",
+    "n_added", "n_removed", "noise_band", "n_flagged_regressions", "sf"}.
 
 If any query failed, "value" is null in BOTH lines — a partial total must
 never be mistaken for a full-run total (it would look *faster* exactly when
 things break). The sum of the successful queries is still available as
 "total_ok" in the detail record.
+
+Noise attribution (VERDICT r7 #2): a fixed probe query (identical plan
+every round) is timed at start/middle/end; sub-second entries extend from
+best-of-3 to best-of-7; and per-query cross-round deltas are flagged as
+regressions only when they exceed the probe-implied noise band PLUS an
+absolute floor — so a noisy-neighbor window can no longer masquerade as an
+engine regression (the r7 resend-family false alarm).
 
 Timing covers plan + execute + collect-to-count, after JVM / Python-worker /
 file-listing warm-up (session infrastructure, not query work).
@@ -158,7 +168,6 @@ HEADLINE = [
     "cdc_apply_final_state",
     "bucketed_join_order_revenue",
     "rollup_incremental_merge",
-    "events_trailing_distinct_users",
     "table_fingerprint_documents",
     "event_path_trigrams",
     "chisq_source_lang",
@@ -203,15 +212,20 @@ HEADLINE = [
     "events_trailing_distinct_interval",
 ]
 
-#: Comparison tier (VERDICT r6 #3): correct and oracle-certified, but each
-#: has a plan that is quadratic on a hot key when its frequency guard is
-#: off — kept ONLY as the measured contrast to its `_guarded` twin (which
-#: IS in HEADLINE).  Timed separately; never part of the headline total,
-#: so the benched headline surface is 100% scale-safe.
+#: Comparison tier (VERDICT r6 #3 / r7 #3): correct and oracle-certified,
+#: but each is the MEASURED CONTRAST to a strictly better headline twin —
+#: either a plan that goes quadratic on a hot key when its frequency guard
+#: is off (vs the `_guarded` twin), or a superseded physical form whose
+#: certified replacement answers the identical query (the 24x-hop trailing
+#: distinct vs the interval-merge form: 34.0 s vs 4.2 s at 100x,
+#: BENCH_SCALE.md).  Timed separately with the same best-of-N methodology;
+#: never part of the headline total, so the headline surface contains only
+#: the plans we'd actually run at 100 TB.
 COMPARISON = [
     "tfidf_cosine_pairs",
     "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
+    "events_trailing_distinct_users",
 ]
 
 #: Accounting for every other catalog entry (the registered==swept guard in
@@ -330,6 +344,72 @@ NOT_BENCHED_SIBLINGS = [
 
 NOT_BENCHED = NOT_BENCHED_REPLAYS + NOT_BENCHED_SIBLINGS
 
+#: Adaptive sampling (VERDICT r7 #2): on this VM, noisy-neighbor windows
+#: swing single runs by ±3x, and for sub-second queries even best-of-3 sits
+#: below the noise floor (both committed r7 records showed the resend
+#: family ~2x over r6 while a fresh rerun reproduced the r6 numbers).
+#: Entries whose best is under SUB_SECOND keep sampling up to MAX_RUNS.
+SUB_SECOND = 1.0
+MAX_RUNS = 7
+
+
+def time_entry(spark, sf_dir: str, fn, runs: int):
+    """Best-of-N wall time for one catalog entry — the ONE timing loop
+    both tiers share (ADVICE r7), so headline and comparison numbers can
+    never drift methodologically.  Returns (best, sorted_samples, rows).
+    Best-of-N is monotone in N, so adaptive extension can only tighten a
+    number, never inflate it — cross-round totals stay comparable."""
+    samples: list[float] = []
+    n = 0
+    while len(samples) < runs or (
+        min(samples) < SUB_SECOND and len(samples) < MAX_RUNS
+    ):
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[0], 3), [round(s, 3) for s in samples], n
+
+
+def _noise_probe(spark, sf_dir: str, runs: int = 5) -> list[float]:
+    """The fixed noise-floor probe (VERDICT r7 #2): one trivial,
+    never-changing query — an events scan + small group-count — timed
+    best-of-`runs` at bench start, middle, and end.  Its plan never
+    changes across rounds, so any cross-round movement in the probe IS
+    machine noise; per-query deltas smaller than the probe's swing are
+    unattributable and must not be read as regressions."""
+    from broker_spark.tables import load
+
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        load(spark, sf_dir, "events").groupBy("event_type").count().count()
+        samples.append(time.perf_counter() - t0)
+    return [round(s, 3) for s in sorted(samples)]
+
+
+def _prev_detail() -> tuple[str | None, dict]:
+    """Newest committed BENCH_DETAIL_r{N}.json (repo root, then records/)
+    — the baseline the current run describes its composition against."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for d in (here, os.path.join(here, "records")):
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            m = re.fullmatch(r"BENCH_DETAIL_r(\d+)\.json", f)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), os.path.join(d, f))
+    if best is None:
+        return None, {}
+    try:
+        with open(best[1]) as fh:
+            return os.path.basename(best[1]), json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return os.path.basename(best[1]), {}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -350,53 +430,40 @@ def main() -> None:
     for t in TABLE_NAMES:
         _ = load(spark, sf_dir, t).limit(1).count()
 
-    # best-of-3: this VM shows ±3x noisy-neighbor windows; a third run
-    # tightens the floor (best-of-N is monotone, so still r1-comparable)
+    # base best-of-3, extended to best-of-7 while an entry stays
+    # sub-second (time_entry; VERDICT r7 #2)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    probe_start = _noise_probe(spark, sf_dir)
     timings: dict[str, float | None] = {}
     spreads: dict[str, list[float]] = {}
     for name in HEADLINE:
         # Per-query isolation: one broken query must never zero the round's
         # bench record — record null and keep going, always emit the JSON.
         try:
-            fn = CATALOG[name].fn
-            samples: list[float] = []
-            n = 0
-            for _ in range(runs):  # best-of-N damps noisy-neighbor variance
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                n = df.count()
-                samples.append(time.perf_counter() - t0)
-            samples.sort()
-            timings[name] = round(samples[0], 3)
-            spreads[name] = [round(s, 3) for s in samples]
+            best, samples, n = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
+            timings[name] = best
+            spreads[name] = samples
             print(
-                f"# {name}: {timings[name]:.3f}s ({n} rows) "
-                f"runs={spreads[name]}",
+                f"# {name}: {best:.3f}s ({n} rows) runs={samples}",
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001 — isolate per-query failures
             timings[name] = None
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
-    # Comparison tier: timed for the record (the contrast its guarded twin
-    # is measured against), NEVER part of the headline total.  Same
-    # best-of-N sampling as the headline loop — a single sample on this
-    # ±3x noisy-neighbor VM would systematically overstate the guarded
-    # twins' win.
+    probe_middle = _noise_probe(spark, sf_dir)
+    # Comparison tier: timed for the record (the contrast its headline twin
+    # is measured against), NEVER part of the headline total — same
+    # time_entry loop, so the two tiers' methodology cannot drift.
     comparison: dict[str, float | None] = {}
+    comparison_spreads: dict[str, list[float]] = {}
     for name in COMPARISON:
         try:
-            fn = CATALOG[name].fn
-            samples = []
-            n = 0
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                n = fn(spark, sf_dir).count()
-                samples.append(time.perf_counter() - t0)
-            comparison[name] = round(min(samples), 3)
+            best, samples, n = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
+            comparison[name] = best
+            comparison_spreads[name] = samples
             print(
-                f"# [comparison] {name}: {comparison[name]:.3f}s ({n} rows)",
+                f"# [comparison] {name}: {best:.3f}s ({n} rows) runs={samples}",
                 file=sys.stderr,
             )
         except Exception as exc:  # noqa: BLE001
@@ -405,12 +472,60 @@ def main() -> None:
                 f"# [comparison] {name}: FAILED {type(exc).__name__}: {exc}",
                 file=sys.stderr,
             )
+    probe_end = _noise_probe(spark, sf_dir)
 
     comparison_failed = sorted(k for k, v in comparison.items() if v is None)
     failed = sorted(k for k, v in timings.items() if v is None)
     total_ok = round(sum(t for t in timings.values() if t is not None), 3)
     # A partial total must never masquerade as a full-run total.
     value = None if failed else total_ok
+
+    # Noise attribution: each probe checkpoint's BEST is the machine's
+    # floor at that moment (best-of-5 damps scheduler hiccups the same
+    # way per-query best-of-N does); the band is how far that floor
+    # drifted across the run.  A per-query cross-round delta inside the
+    # band is machine noise, not a regression.  When the previous round's
+    # detail recorded a probe, its floor additionally normalizes the
+    # cross-round comparison (a globally slower machine shifts the probe
+    # and the queries together).  Empty flagged_regressions means "no
+    # attributable per-query regression this run".
+    checkpoint_bests = [probe_start[0], probe_middle[0], probe_end[0]]
+    probe_best = min(checkpoint_bests)
+    noise_band = round(max(checkpoint_bests) / max(probe_best, 1e-9), 3)
+    prev_name, prev = _prev_detail()
+    prev_q = prev.get("queries") or {}
+    prev_probe = prev.get("probe") or {}
+    prev_bests = [
+        samples[0]
+        for samples in (
+            prev_probe.get("start"),
+            prev_probe.get("middle"),
+            prev_probe.get("end"),
+        )
+        if samples
+    ]
+    machine_ratio = (
+        round(probe_best / min(prev_bests), 3) if prev_bests else None
+    )
+    band = max(1.5, noise_band) * (machine_ratio or 1.0)
+    flagged_regressions = sorted(
+        n
+        for n, t in timings.items()
+        if t is not None
+        and isinstance(prev_q.get(n), (int, float))
+        and t > prev_q[n] * band
+        and t - prev_q[n] > 0.25  # absolute floor: sub-noise jitter
+    )
+    band = round(band, 3)
+    vs_prev = {
+        "baseline": prev_name,
+        "added": sorted(set(timings) - set(prev_q)),
+        "removed": sorted(set(prev_q) - set(timings)),
+        "noise_band": band,
+        "machine_ratio_vs_prev_probe": machine_ratio,
+        "flagged_regressions": flagged_regressions,
+    }
+
     detail = {
         "metric": "headline_queries_total",
         "value": value,
@@ -419,9 +534,18 @@ def main() -> None:
         "queries": timings,
         "spreads": spreads,
         "comparison": comparison,
+        "comparison_spreads": comparison_spreads,
         "comparison_failed": comparison_failed,
         "failed": failed,
         "runs_per_query": runs,
+        "max_runs_sub_second": MAX_RUNS,
+        "probe": {
+            "query": "events.groupBy(event_type).count",
+            "start": probe_start,
+            "middle": probe_middle,
+            "end": probe_end,
+        },
+        "vs_prev": vs_prev,
         "sf": float(sf),
     }
     print(json.dumps(detail))
@@ -444,6 +568,10 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "n_failed": len(failed),
                 "failed": failed[:8],
+                "n_added": len(vs_prev["added"]),
+                "n_removed": len(vs_prev["removed"]),
+                "noise_band": band,
+                "n_flagged_regressions": len(flagged_regressions),
                 "sf": float(sf),
             }
         )
