@@ -113,7 +113,7 @@ HEADLINE = [
     "pack_sequences_sharded",
     "cms_heavy_hitters",
     "events_gap_fill",
-    "minhash_estimate_error",
+    "minhash_estimate_error_guarded",
     "hard_negative_mining",
     "semantic_dedup_clusters",
     "domain_cap_sample",
@@ -154,7 +154,7 @@ HEADLINE = [
     "zorder_layout_keys",
     "hll_distinct_users_daily",
     "weighted_sample_docs",
-    "dedup_graph_triangles",
+    "dedup_graph_triangles_guarded",
     "user_decayed_scores",
     "event_pmi_pairs",
     "ks_drift_sources",
@@ -226,6 +226,11 @@ COMPARISON = [
     "dedup_ngram_jaccard",
     "dedup_minhash_pairs",
     "events_trailing_distinct_users",
+    # round-8 densification contrast (VERDICT r7 #5): unguarded
+    # candidate-graph certificates whose 100x growth tracks LSH pair-graph
+    # density; the max_bucket_size=8 twins carry the headline
+    "dedup_graph_triangles",
+    "minhash_estimate_error",
 ]
 
 #: Accounting for every other catalog entry (the registered==swept guard in
@@ -239,6 +244,8 @@ COMPARISON = [
 #:    harness, not a query plan; correctness is certified by selfcheck +
 #:    the driver window instead.
 NOT_BENCHED_REPLAYS = [
+    "streaming_ewma_replay_shuffled",
+    "streaming_lsh_replay_shuffled",
     "streaming_outer_join_replay_shuffled",
     "streaming_trailing_distinct_replay_shuffled",
     "log_roundtrip_resend",

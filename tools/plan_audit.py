@@ -89,6 +89,9 @@ AUDITED = [
     # round-7
     "layout_pruning_multidim",     # 2-dim layouts, distributed two-pass rank
     "events_trailing_distinct_interval",  # interval deltas + 2-pass prefix sum
+    # round-8
+    "dedup_graph_triangles_guarded",   # stop-bucket-capped candidate census
+    "minhash_estimate_error_guarded",  # bucket-guarded estimator certificate
 ]
 
 

@@ -69,15 +69,37 @@ ENTRIES_S4 = [
 ]
 
 
+#: round 8 (pass --sessions 5): (a) the reference's core resend/metadata
+#: path measured at replication scale instead of the fixed-overhead-bound
+#: sf0.1 numbers (VERDICT r7 #6), and (b) the densification-guarded twins
+#: next to their unguarded forms — the guard's claim is that growth stops
+#: tracking pair-graph density (12.6x/13.4x unguarded at 100x) and falls
+#: back to data scale (VERDICT r7 #5).
+ENTRIES_S5 = [
+    "resend_last",
+    "resend_from",
+    "resend_range",
+    "resend_range_publisher",
+    "resend_last_global",
+    "metadata_counts",
+    "dedup_graph_triangles_guarded",
+    "minhash_estimate_error_guarded",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--sessions", type=int, default=1)
     args = ap.parse_args()
-    entries = {1: ENTRIES, 2: ENTRIES_S2, 3: ENTRIES_S3, 4: ENTRIES_S4}[
-        args.sessions
-    ]
+    entries = {
+        1: ENTRIES,
+        2: ENTRIES_S2,
+        3: ENTRIES_S3,
+        4: ENTRIES_S4,
+        5: ENTRIES_S5,
+    }[args.sessions]
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     dst = os.path.join(REPO, ".scale", f"sf0.1x{args.copies}")
