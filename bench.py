@@ -514,21 +514,27 @@ def main() -> None:
     machine_ratio = (
         round(probe_best / min(prev_bests), 3) if prev_bests else None
     )
-    band = max(1.5, noise_band) * (machine_ratio or 1.0)
+    # noise_band = the RAW probe-floor drift (reported as-is so a quiet
+    # run reads ~1.0); the flag threshold floors it at 1.5x and rescales
+    # by the cross-round machine ratio — reported separately so telemetry
+    # can tell a quiet VM from one that genuinely swung 1.5x.
+    regression_threshold = round(
+        max(1.5, noise_band) * (machine_ratio or 1.0), 3
+    )
     flagged_regressions = sorted(
         n
         for n, t in timings.items()
         if t is not None
         and isinstance(prev_q.get(n), (int, float))
-        and t > prev_q[n] * band
+        and t > prev_q[n] * regression_threshold
         and t - prev_q[n] > 0.25  # absolute floor: sub-noise jitter
     )
-    band = round(band, 3)
     vs_prev = {
         "baseline": prev_name,
         "added": sorted(set(timings) - set(prev_q)),
         "removed": sorted(set(prev_q) - set(timings)),
-        "noise_band": band,
+        "noise_band": noise_band,
+        "regression_threshold": regression_threshold,
         "machine_ratio_vs_prev_probe": machine_ratio,
         "flagged_regressions": flagged_regressions,
     }
@@ -577,7 +583,8 @@ def main() -> None:
                 "failed": failed[:8],
                 "n_added": len(vs_prev["added"]),
                 "n_removed": len(vs_prev["removed"]),
-                "noise_band": band,
+                "noise_band": noise_band,
+                "regression_threshold": regression_threshold,
                 "n_flagged_regressions": len(flagged_regressions),
                 "sf": float(sf),
             }

@@ -10886,6 +10886,11 @@ def _stage_ordered_batches(df, batch_expr, n_batches: int, dest: str) -> None:
 
     os.makedirs(dest, exist_ok=True)
     now = time.time()
+    # the loop below executes `df` once per batch — pin it so the upstream
+    # plan (events rollup / documents scan) materializes once, not
+    # n_batches times (pin_iter: these writes run in-function, so the
+    # barrier must hold under plan audits too)
+    df = pin_iter(df)
     for i in range(n_batches):
         stage = f"{dest}.stage{i}"
         df.filter(batch_expr == i).coalesce(1).write.parquet(stage)
