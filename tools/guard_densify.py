@@ -88,6 +88,29 @@ def main() -> None:
     for name in ENTRIES:
         dense[name], rows_dense[name] = time_one(spark, name, dst, args.runs)
 
+    # The real pipeline shape: exact-hash dedup removes verbatim copies
+    # BEFORE LSH ever runs, so the guarded candidate generator sees only
+    # the organic corpus — the "guarded rows -> 0 under total k-way
+    # duplication" corner never occurs in composition.
+    from broker_spark.pipeline import dedup as _dedup
+
+    t0 = time.perf_counter()
+    deduped = _dedup.exact_dedup(
+        spark.read.parquet(os.path.join(dst, "documents.parquet"))
+    )
+    n_pipeline = _dedup.minhash_lsh_pairs(deduped, max_bucket_size=8).count()
+    t_pipeline = round(time.perf_counter() - t0, 3)
+    # baseline: the same composition on the 1x corpus (the base corpus
+    # carries its own organic exact duplicates, so the fair comparison is
+    # exact_dedup(1x) -> guarded LSH, which the kx pipeline must equal
+    # exactly — verbatim replication adds nothing exact dedup can't remove)
+    n_base_guarded = _dedup.minhash_lsh_pairs(
+        _dedup.exact_dedup(
+            spark.read.parquet(os.path.join(src, "documents.parquet"))
+        ),
+        max_bucket_size=8,
+    ).count()
+
     print(
         f"| query | t(sf0.1) s | t(verbatim x{args.copies}) s | ratio "
         "| result rows 1x -> kx |"
@@ -101,6 +124,15 @@ def main() -> None:
         )
     print()
     print(
+        f"Pipeline (exact_dedup -> guarded LSH on verbatim x{args.copies}): "
+        f"{n_pipeline} candidate pairs in {t_pipeline} s "
+        f"(exact_dedup -> guarded LSH on the 1x corpus: {n_base_guarded} — "
+        "MUST be equal: exact dedup keeps min doc_id, and every verbatim "
+        "copy shares its original's text)"
+    )
+    assert n_pipeline == n_base_guarded, (n_pipeline, n_base_guarded)
+    print()
+    print(
         "Raw: "
         + json.dumps(
             {
@@ -108,6 +140,9 @@ def main() -> None:
                 "dense": dense,
                 "rows_base": rows_base,
                 "rows_dense": rows_dense,
+                "pipeline_pairs": n_pipeline,
+                "pipeline_sec": t_pipeline,
+                "base_guarded_pairs": n_base_guarded,
                 "copies": args.copies,
             }
         )
