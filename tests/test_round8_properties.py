@@ -81,3 +81,81 @@ def test_shuffled_ewma_state_store_matches_reference(
         for r in spark.read.parquet(str(tmp / "sink")).collect()
     }
     assert got == _ewma_reference(rows, n_batches)
+
+
+_WORDS = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do".split()
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),  # doc_id
+            st.integers(min_value=0, max_value=4),  # text template index
+        ),
+        min_size=2,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    n_batches=st.sampled_from([2, 3, 4]),
+)
+def test_shuffled_lsh_state_store_matches_batch_banding(
+    spark, tmp_path_factory, data, n_batches
+):
+    """Cross-mode property: the streaming first-seen state store under the
+    deterministic schedule must emit exactly what the BATCH banding
+    predicts — per (band_id, band_key) bucket, claimer = min
+    (doc_id % n_batches, doc_id), every other member emits one row
+    against it.  Random duplicate-text corpora generate colliding and
+    non-colliding buckets."""
+    from broker_spark.pipeline.dedup import _banded, minhash_signature
+    from broker_spark.plans.catalog import _stage_ordered_batches
+
+    rows = [(d, " ".join(_WORDS[t:] + _WORDS[:t])) for d, t in data]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # batch-side banding predicts the buckets
+    sig = df.select("doc_id", *minhash_signature(F.col("text"), 4))
+    banded = [
+        (r["doc_id"], r["band_id"], r["band_key"])
+        for r in _banded(sig, 4, 2).collect()
+        if r["band_key"]
+    ]
+    buckets: dict = {}
+    for d, bid, bkey in banded:
+        buckets.setdefault((bid, bkey), []).append(d)
+    expected = set()
+    for (bid, bkey), members in buckets.items():
+        claimer = min(members, key=lambda d: (d % n_batches, d))
+        for d in members:
+            if d != claimer:
+                expected.add((d, bid, bkey, claimer))
+
+    tmp = tmp_path_factory.mktemp("lsh_prop")
+    _stage_ordered_batches(
+        df, F.col("doc_id") % n_batches, n_batches, str(tmp / "in")
+    )
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp / "in"))
+    )
+    q = (
+        stateful.streaming_lsh_candidates(src)
+        .writeStream.format("parquet")
+        .option("path", str(tmp / "sink"))
+        .option("checkpointLocation", str(tmp / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["band_id"], r["band_key"], r["dup_of"])
+        for r in spark.read.parquet(str(tmp / "sink")).collect()
+    }
+    assert got == expected
