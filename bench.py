@@ -193,7 +193,6 @@ HEADLINE = [
     "seasonal_naive_mape",
     "multitouch_attribution",
     # round-6 session 2
-    "streaming_holt_replay",
     "seasonal_trend_anomalies",
     "link_prediction_adamic_adar",
     "heaps_vocab_growth",
@@ -244,6 +243,7 @@ COMPARISON = [
 #:    harness, not a query plan; correctness is certified by selfcheck +
 #:    the driver window instead.
 NOT_BENCHED_REPLAYS = [
+    "streaming_holt_replay",
     "streaming_ewma_replay_shuffled",
     "streaming_lsh_replay_shuffled",
     "streaming_outer_join_replay_shuffled",
