@@ -4848,7 +4848,12 @@ def _await_replay(q, timeout: int = 300) -> None:
     directory and surface as an oracle mismatch far from the real cause
     (ADVICE r7), so stop the query and raise at the streaming step."""
     if not q.awaitTermination(timeout):
-        q.stop()
+        import contextlib
+
+        # a wedged query's stop() can itself throw — never let that mask
+        # the informative timeout error (ADVICE r8)
+        with contextlib.suppress(Exception):
+            q.stop()
         raise RuntimeError(
             f"streaming replay did not terminate within {timeout}s "
             f"(query id {q.id}); sink/state would be incomplete"
@@ -10901,6 +10906,17 @@ def _stage_ordered_batches(df, batch_expr, n_batches: int, dest: str) -> None:
             ts = now - (n_batches - i) * 10
             os.utime(target, (ts, ts))
         shutil.rmtree(stage, ignore_errors=True)
+    # a batch_expr value outside [0, n_batches) would silently drop rows
+    # (Spark's % keeps the dividend's sign) and surface as a distant
+    # oracle hash mismatch — fail loudly at the staging step (ADVICE r8)
+    staged_rows = df.sparkSession.read.parquet(dest).count()
+    input_rows = df.count()
+    if staged_rows != input_rows:
+        raise RuntimeError(
+            f"_stage_ordered_batches dropped rows: staged {staged_rows} "
+            f"of {input_rows} — batch_expr values outside "
+            f"[0, {n_batches}) (negative keys? use F.pmod)"
+        )
 
 
 @register(
@@ -11167,6 +11183,110 @@ def q_minhash_estimate_error_guarded(spark, sf_dir):
     return dedup.minhash_estimate_error(
         load(spark, sf_dir, "documents"), max_bucket_size=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions (VERDICT r8 #1): the eviction-horizon certificate for
+# the streaming LSH dedup — the last unbounded-state path on a 100 TB
+# stream gets its retention contract, certified against a sessionized
+# oracle that models the horizon.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_lsh_replay_horizon",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT) AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    filtered AS (
+      SELECT * FROM banded WHERE band_key IS NOT NULL AND band_key <> ''
+    ),
+    -- event time is doc_id hours, so an event-time gap over the 168 h
+    -- (7-day) horizon is a doc_id gap > 168: such a gap starts a NEW
+    -- session (the stale claimer is forgotten = evicted state)
+    gaps AS (
+      SELECT *, CASE WHEN doc_id - lag(doc_id) OVER (
+                       PARTITION BY band_id, band_key ORDER BY doc_id) > 168
+                     THEN 1 ELSE 0 END AS brk
+      FROM filtered
+    ),
+    sess AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY band_id, band_key ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+      FROM gaps
+    ),
+    claim AS (
+      SELECT band_id, band_key, s, MIN(doc_id) AS first_doc
+      FROM sess GROUP BY 1, 2, 3
+    )
+    SELECT x.doc_id, x.band_id, x.band_key, c.first_doc AS dup_of
+    FROM sess x JOIN claim c
+      ON x.band_id = c.band_id AND x.band_key = c.band_key AND x.s = c.s
+    WHERE x.doc_id <> c.first_doc
+    """,
+)
+def q_streaming_lsh_replay_horizon(spark, sf_dir):
+    """The EVICTION-HORIZON certificate for the streaming LSH dedup
+    (VERDICT r8 #1): `streaming_lsh_candidates_horizon` replayed with
+    event times = doc_id hours, staged IN ORDER as four files (ascending
+    doc_id quarters, one per trigger) so the watermark advances across
+    micro-batches and EventTimeTimeout evictions actually fire mid-replay.
+    The documented retention contract — duplicates separated by more than
+    the 7-day horizon are NOT matched; a horizon-wide gap re-claims the
+    bucket — is modelled by the oracle as per-bucket SESSIONIZATION with
+    gap = horizon: claimer = first doc of each session, every other
+    session member emits exactly one row against it.  Because the gap
+    rule is decided row-locally from event times, the output is identical
+    whether an eviction fired between two arrivals or not — so a state
+    store that evicted too EARLY (claims forgotten inside the horizon:
+    extra re-claims, missing rows) or too LATE (stale claimer matched
+    past the horizon: rows the oracle excludes) both hash-mismatch.  The
+    arrival-order claiming itself is certified by the r8 shuffled twin;
+    this entry certifies WHEN claims are allowed to expire.  State-store
+    growth under the horizon is certified separately
+    (tests/test_round9_ops.py + tools/state_scale.py: evicted buckets'
+    rows are GONE from stateOperators, occupancy tracks the horizon)."""
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("lsh_hz_")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000) + F.col("doc_id") * F.lit(3_600_000)
+        ).alias("ts"),
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    step = max_id // 4 + 1
+    _stage_ordered_batches(
+        docs,
+        F.least(F.floor(F.col("doc_id") / F.lit(step)), F.lit(3)),
+        4,
+        f"{tmp}/in",
+    )
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    sink = _run_replay(
+        spark,
+        stateful.streaming_lsh_candidates_horizon(
+            src, horizon_ms=stateful.DEFAULT_DEDUP_HORIZON_MS
+        ),
+        tmp,
+    )
+    out = spark.read.parquet(sink).select("doc_id", "band_id", "band_key", "dup_of")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
 
 
 #: queries() in iteration order.  Surface the riskiest entries first:

@@ -81,7 +81,13 @@ def _ewma_func(
 def streaming_ewma(keyed: DataFrame) -> DataFrame:
     """`keyed` must have columns (key string, bucket long, value double) —
     e.g. the output of a windowed rollup level.  Returns the appended
-    (key, bucket, value, ewma) rows per micro-batch."""
+    (key, bucket, value, ewma) rows per micro-batch.
+
+    State bound: one (ewma, bucket) row per METRIC KEY — the key space is
+    the metric-name cardinality (the reference smooths a fixed handful of
+    per-node metrics, src/StreamMetrics.ts:133-143), not the event count,
+    so NoTimeout is a deliberate contract here: the smoother must survive
+    arbitrarily long key silences without forgetting its level."""
     return keyed.groupBy("key").applyInPandasWithState(
         _ewma_func,
         outputStructType=_OUTPUT_SCHEMA,
@@ -151,6 +157,13 @@ def streaming_lsh_candidates(
     downstream either drops immediately (aggressive) or verifies exact
     Jaccard against the named partner (precise).
 
+    BOUNDED-INPUT FORM: state is one row per (band_id, band_key) ever
+    seen and is NEVER evicted (GroupStateTimeout.NoTimeout), so the state
+    store grows with corpus size — fine for an availableNow replay or a
+    backfill over a bounded corpus, a scale-killer on an unbounded
+    stream.  For unbounded streams use `streaming_lsh_candidates_horizon`,
+    which carries the eviction contract (VERDICT r8 #1).
+
     `docs` is a streaming DataFrame with (doc_id long, text string)."""
     from broker_spark.pipeline.dedup import _banded, minhash_signature
     from pyspark.sql import functions as F
@@ -165,6 +178,151 @@ def streaming_lsh_candidates(
         stateStructType=_DEDUP_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- streaming LSH dedup with an eviction horizon (VERDICT r8 #1) -----------
+
+#: Default dedup horizon: 7 days.  The role the reference's per-stream
+#: `storageDays` plays for stored data (src/storage/DeleteExpiredCmd.ts:91
+#: — data older than the horizon is reclaimed), applied to dedup state:
+#: a bucket whose last touch is more than the horizon behind the event-
+#: time watermark is evicted, so the state store holds only the buckets
+#: touched within the trailing horizon — bounded by horizon occupancy,
+#: not corpus size.
+DEFAULT_DEDUP_HORIZON_MS = 7 * 86_400_000
+
+#: state per (band_id, band_key) bucket within the horizon: claiming doc,
+#: last event-time touch (ms), docs seen this session
+_DEDUP_H_STATE = StructType(
+    [
+        StructField("first_doc_id", LongType(), True),
+        StructField("last_ts_ms", LongType(), True),
+        StructField("n_seen", LongType(), True),
+    ]
+)
+
+
+def _band_dedup_horizon_func(horizon_ms: int):
+    def fn(
+        key: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per LSH bucket, horizon-bounded claiming: the first document of
+        each SESSION (a run of arrivals no more than `horizon_ms` apart in
+        event time) claims the bucket; later arrivals within the horizon
+        of the last touch emit (doc_id, dup_of claimer).  A gap wider than
+        the horizon re-claims the bucket — duplicates separated by more
+        than the horizon are deliberately NOT matched (the documented
+        retention contract; same answer the eviction gives, decided
+        row-locally so output never depends on WHEN the timeout fired).
+        The EventTimeTimeout removal below is therefore pure memory
+        reclamation: by watermark correctness any doc arriving after the
+        bucket evicted must be more than the horizon past the last touch,
+        which the gap rule would have re-claimed anyway."""
+        if state.hasTimedOut:
+            # bucket idle past the horizon: reclaim the state row
+            state.remove()
+            yield pd.DataFrame(
+                {"doc_id": [], "band_id": [], "band_key": [], "dup_of": []}
+            )
+            return
+        first, last_ms, n = state.get if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "doc_id"]
+        )
+        out_doc, out_dup = [], []
+        for d, t in zip(rows["doc_id"].astype("int64"), rows["ts"]):
+            d = int(d)
+            ms = int(t.value // 1_000_000)  # pandas ns -> event-time ms
+            if first is None or (last_ms is not None and ms - last_ms > horizon_ms):
+                first = d  # claim (or re-claim after a horizon-wide gap)
+            elif d != first:
+                out_doc.append(d)
+                out_dup.append(first)
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+            n += 1
+        state.update((first, last_ms, n))
+        # evict once the watermark passes last touch + horizon; clamped
+        # strictly above the current watermark (Spark rejects a timeout
+        # at or behind it)
+        state.setTimeoutTimestamp(
+            max(last_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "band_id": [int(key[0])] * len(out_doc),
+                "band_key": [key[1]] * len(out_doc),
+                "dup_of": out_dup,
+            }
+        )
+
+    return fn
+
+
+def streaming_lsh_candidates_horizon(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    horizon_ms: int = DEFAULT_DEDUP_HORIZON_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """`streaming_lsh_candidates` with the EVICTION CONTRACT an unbounded
+    stream needs (VERDICT r8 #1): dedup only within a trailing event-time
+    horizon.  Semantics — per (band_id, band_key) bucket, arrivals are
+    sessionized by event time with gap = `horizon_ms`; the first doc of a
+    session claims the bucket, later docs in the session emit
+    (doc_id, dup_of claimer), and a doc more than the horizon past the
+    bucket's last touch starts a fresh session (NOT matched against the
+    stale claimer).  State — one (claimer, last_touch, count) row per
+    bucket, registered for GroupStateTimeout.EventTimeTimeout at
+    last_touch + horizon, so the store holds only buckets touched within
+    the trailing horizon: on a 100 TB stream, state is bounded by
+    horizon occupancy (docs/day x horizon days x bands), not by corpus
+    size — the streaming analog of the reference reclaiming data older
+    than `storageDays` (src/storage/DeleteExpiredCmd.ts:91).
+
+    The gap rule decides matches row-locally from event times, so output
+    is identical whether or not the timeout fired between two arrivals —
+    eviction is memory reclamation, never a semantics change; the
+    `streaming_lsh_replay_horizon` catalog entry certifies exactly that
+    against a sessionized SQL oracle.
+
+    `docs` is a streaming DataFrame with (doc_id long, text string,
+    ts timestamp); the event-time watermark is applied here."""
+    from broker_spark.pipeline.dedup import minhash_signature
+    from pyspark.sql import functions as F
+
+    sig = docs.withWatermark("ts", watermark_delay).select(
+        "doc_id", "ts", *minhash_signature(F.col("text"), num_hashes)
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{j}")
+                    for j in range(b, min(b + rows_per_band, num_hashes))
+                ],
+            )
+            for b in range(0, num_hashes, rows_per_band)
+        ]
+    )
+    banded = (
+        sig.select(
+            "doc_id", "ts", F.posexplode(band_keys).alias("band_id", "band_key")
+        )
+        .filter(F.col("band_key") != "")  # docs too short to shingle never match
+        .withColumn("band_id", F.col("band_id").cast("long"))
+    )
+    return banded.groupBy("band_id", "band_key").applyInPandasWithState(
+        _band_dedup_horizon_func(horizon_ms),
+        outputStructType=_DEDUP_OUTPUT,
+        stateStructType=_DEDUP_H_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -205,6 +363,12 @@ def streaming_threshold_alerts(keyed: DataFrame, threshold: int) -> DataFrame:
     input; here the state store is the running index, two longs per key,
     RocksDB-backed on a cluster, and the count survives micro-batch and
     restart boundaries via the checkpoint).
+
+    State bound: two longs per ENTITY key.  NoTimeout is part of the
+    alert's meaning — "lifetime count crossed N" must not forget counts
+    for idle keys; bounding memory for an unbounded entity space means
+    changing the question to "count within a horizon", which is the
+    windowed-rollup family's job, not this operator's.
 
     `keyed` is a streaming DataFrame with a `key long` column."""
     return keyed.groupBy("key").applyInPandasWithState(
@@ -408,7 +572,9 @@ def streaming_holt(keyed: DataFrame) -> DataFrame:
     """`keyed` must have columns (key string, bucket long, value double).
     Returns appended (key, bucket, value, level, trend, forecast) rows
     per micro-batch — the stateful-streaming form of Holt smoothing,
-    state = two floats + bookkeeping per key in the checkpointed store."""
+    state = two floats + bookkeeping per key in the checkpointed store.
+    Key space is metric-name cardinality (like `streaming_ewma`), so
+    NoTimeout is the same deliberate never-forget-a-level contract."""
     return keyed.groupBy("key").applyInPandasWithState(
         _holt_func,
         outputStructType=_HOLT_OUTPUT,
