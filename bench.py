@@ -77,7 +77,7 @@ HEADLINE = [
     "dedup_cluster_keepers",
     "dedup_minhash_pairs_guarded",
     "dedup_ngram_jaccard_guarded",
-    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_guarded",
     "text_quality",
     "language_id",
     "token_stats",
@@ -230,6 +230,11 @@ COMPARISON = [
     # density; the max_bucket_size=8 twins carry the headline
     "dedup_graph_triangles",
     "minhash_estimate_error",
+    # round-9 (VERDICT r8 #2, guard default-on): the unguarded simhash
+    # census — the sf0.1 fixture's hottest 15-bit band bucket holds 269
+    # docs (a 36k-pair expansion from one key), so the exact census is the
+    # measured contrast to the new dedup_simhash_pairs_guarded headline
+    "dedup_simhash_pairs",
 ]
 
 #: Accounting for every other catalog entry (the registered==swept guard in
@@ -246,6 +251,7 @@ NOT_BENCHED_REPLAYS = [
     "streaming_holt_replay",
     "streaming_ewma_replay_shuffled",
     "streaming_lsh_replay_shuffled",
+    "streaming_lsh_replay_horizon",
     "streaming_outer_join_replay_shuffled",
     "streaming_trailing_distinct_replay_shuffled",
     "log_roundtrip_resend",
@@ -272,82 +278,88 @@ NOT_BENCHED_REPLAYS = [
 #:    twin, the exact-parity twin, a coarser/finer rollup of the same scan)
 #:    plus no-oracle property-test-pinned certificates — benching both
 #:    siblings would double-count the same plan in the headline total.
-NOT_BENCHED_SIBLINGS = [
-    "ann_ivf_pq_agreement",
-    "ann_ivf_pq_exact_parity",
-    "ann_ivf_pq_rerank_topk",
-    "ann_label_ivf_topk",
-    "ann_recall_vs_nprobe",
-    "ann_trained_ivf_topk",
-    "anomaly_zscore",
-    "approx_distinct_users_daily",
-    "approx_value_percentiles",
-    "assignment_diff",
-    "corpus_hash_sample",
-    "corpus_histogram",
-    "cube_order_stats",
-    "customers_open_and_pending",
-    "customers_with_open_orders",
-    "customers_without_pending_orders",
-    "cusum_daily_alarms",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_containment",
-    "dedup_edit_distance_pairs",
-    "dedup_exact_kept",
-    "dedup_graph_pagerank",
-    "dedup_incremental_pairs",
-    "dedup_minhash_signatures",
-    "dedup_pagerank_keepers",
-    "dedup_simhash",
-    "distinct_stream_partitions",
-    "doc_fingerprint",
-    "doc_winnow_fingerprints",
-    "embedding_pca_scores",
-    "embedding_quantize_int8",
-    "events_lag_deltas",
-    "events_pivot_daily",
-    "grouping_sets_order_stats",
-    "json_parsed_projection",
-    "lsh_precision_recall",
-    "lsh_s_curve",
-    "moving_avg_daily",
-    "multimodal_audio_chunks",
-    "multimodal_bmp_roundtrip",
-    "multimodal_features",
-    "multimodal_frame_plan",
-    "multimodal_image_resize",
-    "multimodal_metadata_stats",
-    "multimodal_png_roundtrip",
-    "multimodal_wav_roundtrip",
-    "pii_redaction",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "quality_topk_per_lang",
-    "range_join_clicks_before_purchase",
-    "resend_from_publisher",
-    "resend_union_merge",
-    "rollup_daily_cascade",
-    "salted_stream_totals",
-    "source_dedup_stats",
-    "stopword_stats",
-    "stratified_sample_per_lang",
-    "term_document_frequency",
-    "tfidf_top_terms",
-    "train_val_test_split",
-    "training_mix_weights",
-    "unigram_logprob_score",
-    "value_percentiles",
-    "wordpiece_encode_counts",
-]
+#:    Every sibling carries its one-line justification (VERDICT r8 #6) so
+#:    the partition stays auditable: the value names the benched twin (or
+#:    family) whose plan already covers it; tests/test_catalog_integrity
+#:    asserts no entry sits here without a reason.
+NOT_BENCHED_SIBLING_REASONS = {
+    "ann_ivf_pq_agreement": "PQ-vs-exact agreement certificate over the same index benched as ann_ivf_pq_topk",
+    "ann_ivf_pq_exact_parity": "exact-parity twin of benched ann_ivf_pq_topk (identical scan, parity check)",
+    "ann_ivf_pq_rerank_topk": "rerank-stage variant of benched ann_ivf_pq_topk",
+    "ann_label_ivf_topk": "label-filtered variant of benched ann_ivf_topk",
+    "ann_recall_vs_nprobe": "recall sweep over the same trained index benched as ann_trained_ivf_multiprobe",
+    "ann_trained_ivf_topk": "single-probe sibling of benched ann_trained_ivf_multiprobe",
+    "anomaly_zscore": "same scan and window shape as benched zscore_anomaly_events",
+    "approx_distinct_users_daily": "approx twin of benched distinct_users_daily / hll_distinct_users_daily",
+    "approx_value_percentiles": "approx twin of benched events_value_percentiles_exact",
+    "assignment_diff": "set-diff component certificate of the storage-assignment filter (F6), trivial scan",
+    "corpus_hash_sample": "deterministic-sample sibling of benched weighted_sample_docs (same documents scan)",
+    "corpus_histogram": "profile sibling of benched table_profile_documents",
+    "cube_order_stats": "CUBE form of benched rollup_order_stats (same aggregation scan)",
+    "customers_open_and_pending": "INTERSECT form of the same customer/orders semi-join family as the benched q13 shape",
+    "customers_with_open_orders": "semi-join form of the same customer/orders family (EXCEPT/INTERSECT triplet)",
+    "customers_without_pending_orders": "anti-join form of the same customer/orders family (EXCEPT/INTERSECT triplet)",
+    "cusum_daily_alarms": "CUSUM variant over the same daily-counts scan as benched dow_adjusted_anomalies",
+    "dedup_components": "iterative-CC form superseded by benched dedup_components_incremental",
+    "dedup_components_star": "star-CC form superseded by benched dedup_components_incremental",
+    "dedup_containment": "containment variant of benched dedup_ngram_jaccard_guarded (same shingle explode)",
+    "dedup_edit_distance_pairs": "edit-distance verify stage over the candidates benched as dedup_prefix_filter_pairs",
+    "dedup_exact_kept": "kept-rows projection of benched dedup_exact_groups",
+    "dedup_graph_pagerank": "pagerank over the same pair graph benched as dedup_graph_degrees",
+    "dedup_incremental_pairs": "new-vs-corpus form of benched dedup_minhash_pairs_guarded",
+    "dedup_minhash_signatures": "signature-stage component of benched dedup_minhash_pairs_guarded",
+    "dedup_pagerank_keepers": "keeper selection over dedup_graph_pagerank's scores (same graph)",
+    "dedup_simhash": "signature-stage component of benched dedup_simhash_pairs",
+    "distinct_stream_partitions": "DISTINCT projection of the scan benched as metadata_counts",
+    "doc_fingerprint": "fingerprint-stage component of benched passage_dedup_stats",
+    "doc_winnow_fingerprints": "winnowing variant of doc_fingerprint (same rolling-hash scan)",
+    "embedding_pca_scores": "projection stage of benched embedding_pca_power_iter",
+    "embedding_quantize_int8": "quantize stage of benched int8_quant_error_stats",
+    "events_lag_deltas": "lag-window sibling of benched events_gap_fill (same events scan)",
+    "events_pivot_daily": "pivot form of benched events_hourly_rollup",
+    "grouping_sets_order_stats": "GROUPING SETS form of benched rollup_order_stats",
+    "json_parsed_projection": "projection component of benched json_content_stats",
+    "lsh_precision_recall": "precision/recall census over benched dedup_minhash_pairs_guarded candidates",
+    "lsh_s_curve": "analytic S-curve table for the banding parameters (constant-size, no data scan)",
+    "moving_avg_daily": "window sibling of benched ewma_hourly (same rollup scan)",
+    "multimodal_audio_chunks": "multimodal plumbing certificate (batch shape, pytest-pinned, not a query plan)",
+    "multimodal_bmp_roundtrip": "codec roundtrip certificate, pytest-pinned, not a query plan",
+    "multimodal_features": "feature-extract plumbing certificate over the same binary scan as the roundtrips",
+    "multimodal_frame_plan": "frame-sampling plan certificate, constant-size metadata, not a query plan",
+    "multimodal_image_resize": "resize plumbing certificate, pytest-pinned, not a query plan",
+    "multimodal_metadata_stats": "typed-metadata rollup over the same multimodal scan as the roundtrips",
+    "multimodal_png_roundtrip": "codec roundtrip certificate, pytest-pinned, not a query plan",
+    "multimodal_wav_roundtrip": "codec roundtrip certificate, pytest-pinned, not a query plan",
+    "pii_redaction": "regex-projection sibling of the benched text_quality scan",
+    "q11_important_parts": "TPC-H sibling: group-by + HAVING-subquery shape covered by benched q16/q13 joins",
+    "q12_priority_lines": "TPC-H sibling: lineitem-orders join shape covered by benched q3/q10",
+    "q14_promo_revenue": "TPC-H sibling: part-lineitem join shape covered by benched q17",
+    "q15_top_supplier": "TPC-H sibling: max-over-aggregate shape covered by benched q18/q21 family",
+    "q16_supplier_part_count": "TPC-H sibling: anti-join + distinct-count shape covered by benched q13/q21",
+    "q19_disjunctive_revenue": "TPC-H sibling: disjunctive-predicate scan covered by benched q6/q17",
+    "q20_part_promotion": "TPC-H sibling: nested-semi-join shape covered by benched q21_sole_returner",
+    "q22_idle_customers": "TPC-H sibling: anti-join + scalar-subquery shape covered by benched q13/q18",
+    "q2_min_cost_supplier": "TPC-H sibling: correlated-min join shape covered by benched q15-family joins",
+    "q4_order_priority": "TPC-H sibling: EXISTS semi-join shape covered by benched q21_sole_returner",
+    "quality_topk_per_lang": "top-k projection of benched quality_percentile_filter (same quality scan)",
+    "range_join_clicks_before_purchase": "range-join sibling of benched asof_click_purchase",
+    "resend_from_publisher": "composite-lower-bound sibling of benched resend_range_publisher",
+    "resend_union_merge": "k-way sorted-merge sibling of the benched resend family (same pruned scan)",
+    "rollup_daily_cascade": "cascade of benched events_hourly_rollup levels (re-aggregates its output)",
+    "salted_stream_totals": "salted-aggregation demonstration twin of benched metadata_counts",
+    "source_dedup_stats": "per-source rollup of benched cross_source_dup_groups",
+    "stopword_stats": "ratio component of benched text_quality",
+    "stratified_sample_per_lang": "stratified sibling of benched weighted_sample_docs",
+    "term_document_frequency": "document-frequency stage of benched bm25_topk",
+    "tfidf_top_terms": "top-terms projection of benched tfidf_cosine_pairs_guarded",
+    "train_val_test_split": "hash-split sibling of benched training_manifest",
+    "training_mix_weights": "weights stage of benched temperature_mix_allocation",
+    "unigram_logprob_score": "unigram sibling of benched bigram_logprob_score (same token explode)",
+    "value_percentiles": "percentile sibling of benched events_value_percentiles_exact",
+    "wordpiece_encode_counts": "encode stage of benched wordpiece_fertility_by_lang",
+}
+
+NOT_BENCHED_SIBLINGS = sorted(NOT_BENCHED_SIBLING_REASONS)
 
 NOT_BENCHED = NOT_BENCHED_REPLAYS + NOT_BENCHED_SIBLINGS
 
@@ -363,9 +375,13 @@ MAX_RUNS = 7
 def time_entry(spark, sf_dir: str, fn, runs: int):
     """Best-of-N wall time for one catalog entry — the ONE timing loop
     both tiers share (ADVICE r7), so headline and comparison numbers can
-    never drift methodologically.  Returns (best, sorted_samples, rows).
-    Best-of-N is monotone in N, so adaptive extension can only tighten a
-    number, never inflate it — cross-round totals stay comparable."""
+    never drift methodologically.  Returns (best, sorted_samples, rows,
+    best3) where best3 is the best of the FIRST `runs` chronological
+    samples — the prior rounds' best-of-3 methodology, recorded alongside
+    the extended best so a cross-round 'improvement' on a sub-second
+    entry can be attributed to the engine, not to the extra sampling
+    (ADVICE r8).  Best-of-N is monotone in N, so adaptive extension can
+    only tighten a number, never inflate it — totals stay comparable."""
     samples: list[float] = []
     n = 0
     while len(samples) < runs or (
@@ -374,8 +390,55 @@ def time_entry(spark, sf_dir: str, fn, runs: int):
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
         samples.append(time.perf_counter() - t0)
+    best3 = round(min(samples[:runs]), 3)
     samples.sort()
-    return round(samples[0], 3), [round(s, 3) for s in samples], n
+    return round(samples[0], 3), [round(s, 3) for s in samples], n, best3
+
+
+#: A new best must exceed the previous run's own WORST sample by this
+#: margin before it can be flagged: the committed per-query spreads are
+#: the direct record of that query's run-to-run variance, which the
+#: single global probe threshold under-models for multi-stage queries
+#: (VERDICT r8 #3 — the r8 driver run flagged 11 queries, all noise).
+SPREAD_MARGIN = 1.3
+
+#: Sub-noise jitter: deltas smaller than this are never regressions.
+ABS_FLOOR = 0.25
+
+
+def effective_threshold(noise_band: float, machine_ratio: float | None) -> float:
+    """Global flag threshold: probe band (floored at 1.5x) rescaled by the
+    cross-round machine ratio, then floored at 1.0 — a probe that got
+    FASTER (machine_ratio < 1) must never flag a query that absolutely
+    improved (ADVICE r8: the probe is scan-bound; heavier shuffle-bound
+    queries don't track machine conditions proportionally)."""
+    return round(max(1.0, max(1.5, noise_band) * (machine_ratio or 1.0)), 3)
+
+
+def flag_regressions(
+    timings: dict[str, float | None],
+    prev_queries: dict,
+    prev_spreads: dict,
+    threshold: float,
+) -> list[str]:
+    """Per-query regression flags (VERDICT r8 #3): flag only when the new
+    best exceeds BOTH the global-threshold bar (threshold x previous
+    best) AND the previous run's own worst sample x SPREAD_MARGIN.  The
+    second bar is per-query: a query whose committed spread already
+    showed 2x run-to-run variance needs a correspondingly larger delta
+    before the flag means anything.  The absolute floor drops sub-noise
+    jitter on sub-second entries."""
+    flagged = []
+    for name, t in timings.items():
+        prev = prev_queries.get(name)
+        if t is None or not isinstance(prev, (int, float)):
+            continue
+        spread = prev_spreads.get(name)
+        prev_worst = max(spread) if spread else prev
+        bar = max(prev * threshold, prev_worst * SPREAD_MARGIN)
+        if t > bar and t - prev > ABS_FLOOR:
+            flagged.append(name)
+    return sorted(flagged)
 
 
 def _noise_probe(spark, sf_dir: str, runs: int = 5) -> list[float]:
@@ -443,13 +506,15 @@ def main() -> None:
     probe_start = _noise_probe(spark, sf_dir)
     timings: dict[str, float | None] = {}
     spreads: dict[str, list[float]] = {}
+    best3s: dict[str, float] = {}
     for name in HEADLINE:
         # Per-query isolation: one broken query must never zero the round's
         # bench record — record null and keep going, always emit the JSON.
         try:
-            best, samples, n = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
+            best, samples, n, best3 = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
             timings[name] = best
             spreads[name] = samples
+            best3s[name] = best3
             print(
                 f"# {name}: {best:.3f}s ({n} rows) runs={samples}",
                 file=sys.stderr,
@@ -464,11 +529,13 @@ def main() -> None:
     # time_entry loop, so the two tiers' methodology cannot drift.
     comparison: dict[str, float | None] = {}
     comparison_spreads: dict[str, list[float]] = {}
+    comparison_best3s: dict[str, float] = {}
     for name in COMPARISON:
         try:
-            best, samples, n = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
+            best, samples, n, best3 = time_entry(spark, sf_dir, CATALOG[name].fn, runs)
             comparison[name] = best
             comparison_spreads[name] = samples
+            comparison_best3s[name] = best3
             print(
                 f"# [comparison] {name}: {best:.3f}s ({n} rows) runs={samples}",
                 file=sys.stderr,
@@ -515,19 +582,14 @@ def main() -> None:
         round(probe_best / min(prev_bests), 3) if prev_bests else None
     )
     # noise_band = the RAW probe-floor drift (reported as-is so a quiet
-    # run reads ~1.0); the flag threshold floors it at 1.5x and rescales
-    # by the cross-round machine ratio — reported separately so telemetry
-    # can tell a quiet VM from one that genuinely swung 1.5x.
-    regression_threshold = round(
-        max(1.5, noise_band) * (machine_ratio or 1.0), 3
-    )
-    flagged_regressions = sorted(
-        n
-        for n, t in timings.items()
-        if t is not None
-        and isinstance(prev_q.get(n), (int, float))
-        and t > prev_q[n] * regression_threshold
-        and t - prev_q[n] > 0.25  # absolute floor: sub-noise jitter
+    # run reads ~1.0); the flag threshold floors it at 1.5x, rescales by
+    # the cross-round machine ratio, and floors the result at 1.0 —
+    # reported separately so telemetry can tell a quiet VM from one that
+    # genuinely swung 1.5x.  Flags additionally respect each query's own
+    # committed spread (flag_regressions; VERDICT r8 #3 + ADVICE r8).
+    regression_threshold = effective_threshold(noise_band, machine_ratio)
+    flagged_regressions = flag_regressions(
+        timings, prev_q, prev.get("spreads") or {}, regression_threshold
     )
     vs_prev = {
         "baseline": prev_name,
@@ -546,8 +608,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spreads": spreads,
+        "queries_best3": best3s,
         "comparison": comparison,
         "comparison_spreads": comparison_spreads,
+        "comparison_best3": comparison_best3s,
         "comparison_failed": comparison_failed,
         "failed": failed,
         "runs_per_query": runs,

@@ -19,6 +19,18 @@ from pyspark.sql.window import Window
 DEFAULT_NUM_HASHES = 4
 DEFAULT_SHINGLE = 3
 
+#: Default stop-bucket cap — the densification guard is ON unless a call
+#: site explicitly opts out (VERDICT r8 #2).  The round-8 densify
+#: experiment (tools/guard_densify.py, BENCH_SCALE.md) measured why: on a
+#: mirror-heavy crawl the unguarded candidate set grows quadratically in
+#: the verbatim-duplication factor (x30 duplication: 500 -> 2.6M pairs)
+#: while capped buckets track corpus growth.  8 keeps per-bucket pair
+#: expansion at <= C(8,2) = 28, and organic near-dup buckets are tiny by
+#: construction (every fixture SF maxes at 8).  Pass None for the exact
+#: census — documented as quadratic under verbatim duplication; the
+#: unguarded COMPARISON entries are the explicit opt-outs.
+DEFAULT_MAX_BUCKET_SIZE = 8
+
 
 def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     """Word k-gram shingles: `concat_ws(' ', words[i..i+k-1])` for each
@@ -85,7 +97,7 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket on (band_id,
     band_key), generate pairs inside each bucket.
@@ -94,10 +106,13 @@ def minhash_lsh_pairs(
     (groupBy band key, collect_list) -> within-bucket pair expansion ->
     distinct.  No self-join: the sorted-doc-id bucket list bounds each
     bucket's work at C(bucket,2), and near-dup buckets are tiny by
-    construction.  `max_bucket_size` (None = unbounded) drops hot buckets —
-    the standard stop-bucket guard at corpus scale, where a degenerate key
-    (empty docs, boilerplate) would otherwise go quadratic.
-    Returns distinct (doc_a, doc_b) with doc_a < doc_b."""
+    construction.  `max_bucket_size` drops hot buckets — the standard
+    stop-bucket guard at corpus scale, where a degenerate key (empty
+    docs, boilerplate) would otherwise go quadratic; DEFAULT-ON at
+    DEFAULT_MAX_BUCKET_SIZE (VERDICT r8 #2).  `None` opts out for the
+    exact census — quadratic under verbatim duplication, measured in
+    tools/guard_densify.py.  Returns distinct (doc_a, doc_b), doc_a <
+    doc_b."""
     sig = minhash_signatures(docs, num_hashes)
     band_keys = F.array(
         *[
@@ -146,7 +161,7 @@ def minhash_lsh_pairs_between(
     corpus: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 2,
-    max_corpus_bucket: int | None = None,
+    max_corpus_bucket: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Incremental dedup: LSH candidates between a NEW batch and an
     EXISTING corpus — the production ingestion shape (dedup what's coming
@@ -157,7 +172,8 @@ def minhash_lsh_pairs_between(
     |new| x |corpus|.  At scale, persist the corpus's banded signatures as
     a bucketed table on the band key and each batch joins shuffle-free.
     `max_corpus_bucket` drops corpus band keys hotter than the cap (the
-    boilerplate guard).  Returns distinct (new_doc_id, corpus_doc_id)."""
+    boilerplate guard) — DEFAULT-ON at DEFAULT_MAX_BUCKET_SIZE; `None`
+    opts out.  Returns distinct (new_doc_id, corpus_doc_id)."""
     nb = _banded(minhash_signatures(new_docs, num_hashes), num_hashes, rows_per_band)
     cb = _banded(minhash_signatures(corpus, num_hashes), num_hashes, rows_per_band)
     if max_corpus_bucket is not None:
@@ -262,11 +278,18 @@ def simhash_band_keys(sig: Column) -> Column:
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one 15-bit band
     (pigeonhole: hamming <= 3 over 4 bands guarantees a clean band), then
     exact hamming = bit_count(xor) filter.
+
+    The stop-bucket guard is DEFAULT-ON here too (`None` = exact census)
+    — and simhash needs it MORE than minhash: a 15-bit band key over
+    structurally-templated text collects real hubs (the sf0.1 fixture
+    already has a 269-doc band bucket; its unguarded C(269,2) expansion
+    is 36k pairs from ONE key), so at crawl scale the unguarded form is
+    quadratic on boilerplate even without verbatim duplication.
 
     Same bucket-local shape as minhash_lsh_pairs: ONE shuffle on
     (band_id, band_key), collect (doc_id, simhash) structs per bucket,
@@ -692,7 +715,7 @@ def minhash_estimate_error(
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 2,
     shingle: int = DEFAULT_SHINGLE,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH estimator-quality certificate: for every MinHash-LSH candidate
     pair, the signature-agreement Jaccard ESTIMATE next to the EXACT

@@ -94,7 +94,8 @@ class TestGuardedDedup:
         combined = docs.select("doc_id", "text").unionByName(flood)
 
         unguarded_base = {
-            (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, max_bucket_size=None).collect()
         }
         found = truth & unguarded_base
         assert found, "unguarded LSH must find true pairs"
@@ -111,7 +112,7 @@ class TestGuardedDedup:
 
     def test_guard_actually_drops_buckets(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        unguarded = dedup.minhash_lsh_pairs(docs).count()
+        unguarded = dedup.minhash_lsh_pairs(docs, max_bucket_size=None).count()
         guarded = dedup.minhash_lsh_pairs(docs, max_bucket_size=2).count()
         assert guarded < unguarded  # the cap bites on this fixture
 

@@ -140,6 +140,46 @@ class TestStreamingLshHorizon:
         # exist after the final file)
         assert final_total <= 2 * 2 * 2  # <= 2 batches x 1 text x 2 bands x 2 docs
 
+    def test_default_guard_is_on(self, spark):
+        """VERDICT r8 #2: the stop-bucket guard is the ZERO-CONFIG path —
+        a hot bucket's quadratic pair expansion is dropped without any
+        call-site argument; None is the documented census opt-out."""
+        from broker_spark.pipeline import dedup
+
+        assert dedup.DEFAULT_MAX_BUCKET_SIZE == 8
+        flood = spark.createDataFrame(
+            [(i, "boiler plate legal footer repeated verbatim again") for i in range(40)],
+            "doc_id long, text string",
+        )
+        assert dedup.minhash_lsh_pairs(flood).count() == 0  # default guards
+        census = dedup.minhash_lsh_pairs(flood, max_bucket_size=None).count()
+        assert census == 40 * 39 // 2  # explicit opt-out: full C(40,2)
+        # simhash: identical texts collide on every band -> same contract
+        assert dedup.simhash_pairs(flood).count() == 0
+        assert dedup.simhash_pairs(flood, max_bucket_size=None).count() > 0
+
+    def test_default_guard_between_corpus_side(self, spark):
+        """The batch-vs-corpus form guards the CORPUS side by default:
+        a 40-doc boilerplate hub in the corpus contributes no candidates,
+        while a genuine small bucket still matches."""
+        from broker_spark.pipeline import dedup
+
+        hub = [(100 + i, "boiler plate legal footer repeated verbatim again") for i in range(40)]
+        small = [(200, "one genuinely unique sentence about marmots in spring")]
+        corpus = spark.createDataFrame(hub + small, "doc_id long, text string")
+        new = spark.createDataFrame(
+            [
+                (1, "boiler plate legal footer repeated verbatim again"),
+                (2, "one genuinely unique sentence about marmots in spring"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["new_doc_id"], r["corpus_doc_id"])
+            for r in dedup.minhash_lsh_pairs_between(new, corpus).collect()
+        }
+        assert got == {(2, 200)}  # hub suppressed, organic pair kept
+
     def test_output_schema_matches_unbounded_form(self, spark, tmp_path):
         """Horizon and NoTimeout forms share the output contract, so a
         pipeline can swap one in for the other."""
@@ -153,3 +193,92 @@ class TestStreamingLshHorizon:
             "band_key",
             "dup_of",
         ]
+
+
+class TestRegressionFlagger:
+    """bench.flag_regressions (VERDICT r8 #3): per-query spread-aware
+    thresholds — the r8 driver run's 11 false flags replayed against the
+    new rule, and a synthetic true regression that must still flag."""
+
+    def test_noisy_rerun_within_spread_not_flagged(self):
+        import bench
+
+        prev_q = {"a": 0.25, "b": 2.4}
+        prev_spreads = {"a": [0.25, 0.31, 0.52], "b": [2.4, 2.7, 3.2]}
+        # a noisy box: every query reads ~1.6x over the committed best but
+        # inside (or near) the run's own recorded worst x margin
+        noisy = {"a": 0.55, "b": 3.9}
+        assert bench.flag_regressions(noisy, prev_q, prev_spreads, 1.75) == []
+
+    def test_true_3x_regression_still_flags(self):
+        import bench
+
+        prev_q = {"a": 0.25, "b": 2.4}
+        prev_spreads = {"a": [0.25, 0.31, 0.52], "b": [2.4, 2.7, 3.2]}
+        bad = {"a": 0.8, "b": 7.2}
+        assert bench.flag_regressions(bad, prev_q, prev_spreads, 1.75) == ["a", "b"]
+
+    def test_replay_r8_committed_detail_against_itself(self):
+        """Identity replay: re-presenting the committed r8 timings against
+        their own record must flag nothing (sanity for the rule's shape)."""
+        import json
+
+        import bench
+
+        with open("BENCH_DETAIL_r08.json") as fh:
+            prev = json.load(fh)
+        flags = bench.flag_regressions(
+            prev["queries"], prev["queries"], prev.get("spreads") or {}, 1.5
+        )
+        assert flags == []
+
+    def test_replay_r8_driver_noise_yields_no_flags(self):
+        """The r8 adjudication, encoded: the driver's flagged queries sat
+        1.2-1.8x over the builder's committed best on a box with a 6x
+        intra-run outlier — under the spread-aware rule a uniform 1.7x
+        noisy rerun of the committed record flags ~nothing (each query's
+        own worst sample x margin absorbs it) while the old prev-best-only
+        rule would have flagged every query whose spread was tight."""
+        import json
+
+        import bench
+
+        with open("BENCH_DETAIL_r08.json") as fh:
+            prev = json.load(fh)
+        noisy = {
+            k: v * 1.7 for k, v in prev["queries"].items() if v is not None
+        }
+        flags = bench.flag_regressions(
+            noisy, prev["queries"], prev.get("spreads") or {}, 1.75
+        )
+        # sub-1% of the headline may legitimately flag (queries whose
+        # three samples were all near-identical); the r8 run flagged 7%
+        assert len(flags) <= 2, flags
+
+    def test_threshold_floor_never_flags_absolute_improvement(self):
+        import bench
+
+        # probe got 2x FASTER (machine_ratio 0.5): unfloored threshold
+        # would be 0.75 and flag a query that improved; the floor forbids it
+        assert bench.effective_threshold(1.0, 0.5) >= 1.0
+        prev_q = {"a": 1.0}
+        assert (
+            bench.flag_regressions(
+                {"a": 0.9}, prev_q, {"a": [1.0]}, bench.effective_threshold(1.0, 0.5)
+            )
+            == []
+        )
+
+
+class TestSiblingReasons:
+    def test_every_not_benched_sibling_carries_a_reason(self):
+        """VERDICT r8 #6: the NOT_BENCHED_SIBLINGS partition stays
+        auditable — every sibling names the benched twin/family whose
+        plan covers it, in a non-empty justification string."""
+        import bench
+
+        assert set(bench.NOT_BENCHED_SIBLINGS) == set(
+            bench.NOT_BENCHED_SIBLING_REASONS
+        )
+        for name, reason in bench.NOT_BENCHED_SIBLING_REASONS.items():
+            assert isinstance(reason, str) and len(reason) >= 15, name

@@ -91,6 +91,7 @@ AUDITED = [
     "events_trailing_distinct_interval",  # interval deltas + 2-pass prefix sum
     # round-8
     "dedup_graph_triangles_guarded",   # stop-bucket-capped candidate census
+    "dedup_simhash_pairs_guarded",     # r9: default-on guard headline twin
     "minhash_estimate_error_guarded",  # bucket-guarded estimator certificate
 ]
 
