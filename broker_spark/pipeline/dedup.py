@@ -874,9 +874,13 @@ def lsh_s_curve(
             ).alias("jaccard"),
         )
     )
-    cand = minhash_lsh_pairs(docs, num_hashes, rows_per_band).select(
-        "doc_a", "doc_b", F.lit(1).alias("is_cand")
-    )
+    # EXPLICIT guard opt-out: the S-curve grades the BANDING's capture
+    # rate per Jaccard decile — capping hot buckets here would grade the
+    # guard, not the (bands, rows) choice (same rationale as the
+    # precision/recall census)
+    cand = minhash_lsh_pairs(
+        docs, num_hashes, rows_per_band, max_bucket_size=None
+    ).select("doc_a", "doc_b", F.lit(1).alias("is_cand"))
     flagged = universe.join(cand, ["doc_a", "doc_b"], "left").select(
         "jaccard", F.coalesce(F.col("is_cand"), F.lit(0)).alias("is_cand")
     )

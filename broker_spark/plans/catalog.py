@@ -988,7 +988,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     SELECT DISTINCT nb.doc_id AS new_doc_id, cb.doc_id AS corpus_doc_id
     FROM nb JOIN cb ON nb.band_id = cb.band_id AND nb.band_key = cb.band_key
     JOIN cbsz z ON cb.band_id = z.band_id AND cb.band_key = z.band_key
-    WHERE nb.doc_id <> cb.doc_id AND z.n <= 8
+    WHERE nb.doc_id <> cb.doc_id AND z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     """,
 )
 def q_dedup_incremental_pairs(spark, sf_dir):
@@ -1004,7 +1004,8 @@ def q_dedup_incremental_pairs(spark, sf_dir):
 
 
 #: Shared CC oracle prefix.  The pairs CTE carries the DEFAULT-ON
-#: stop-bucket cap (z.n <= 8 = dedup.DEFAULT_MAX_BUCKET_SIZE, VERDICT r8
+#: stop-bucket cap (z.n <= dedup.DEFAULT_MAX_BUCKET_SIZE, interpolated so
+#: the constant can never drift from the oracles, VERDICT r8
 #: #2) because the Spark entries built on it call minhash_lsh_pairs with
 #: the default — oracle and engine agree at ANY scale, not just on
 #: fixtures where no bucket happens to exceed the cap.
@@ -1023,7 +1024,7 @@ _CC_SQL_PREFIX = f"""
       FROM banded l JOIN banded r
         ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     ),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
@@ -1213,7 +1214,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     JOIN banded r ON l.band_id = r.band_id AND l.band_key = r.band_key
                   AND l.doc_id < r.doc_id
     JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3 AND z.n <= 8
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3 AND z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     """,
 )
 def q_dedup_simhash_pairs_guarded(spark, sf_dir):
@@ -4646,7 +4647,7 @@ def q_bigram_logprob_score(spark, sf_dir):
       FROM banded l JOIN banded r
         ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     ),
     deg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
@@ -6800,7 +6801,7 @@ def _pagerank_sql(damping: float = 0.85, iters: int = 10) -> str:
         ON l.band_id = r.band_id AND l.band_key = r.band_key
        AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     ),
     edges AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
@@ -8259,7 +8260,7 @@ def q_cusum_daily_alarms(spark, sf_dir):
       FROM banded l JOIN banded r
         ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     )
     SELECT p.doc_a, p.doc_b,
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
@@ -11155,7 +11156,7 @@ def q_streaming_lsh_replay_shuffled(spark, sf_dir):
       JOIN banded r ON l.band_id = r.band_id AND l.band_key = r.band_key
                     AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     ),
     deg AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
@@ -11202,10 +11203,8 @@ def q_dedup_graph_triangles_guarded(spark, sf_dir):
     with duplication density.  Degree-oriented wedge closure unchanged —
     this guards the INPUT graph, the O(m^1.5) bound then holds on a
     bounded m."""
-    pairs = dedup.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), max_bucket_size=8
-    )
-    return dedup.triangle_stats(pairs)
+    pairs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return dedup.triangle_stats(pairs)  # guard default-on since r9
 
 
 @register(
@@ -11226,7 +11225,7 @@ def q_dedup_graph_triangles_guarded(spark, sf_dir):
       JOIN banded r ON l.band_id = r.band_id AND l.band_key = r.band_key
                     AND l.doc_id < r.doc_id
       JOIN bsz z ON l.band_id = z.band_id AND l.band_key = z.band_key
-      WHERE z.n <= 8
+      WHERE z.n <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
     ),
     est AS (
       SELECT p.doc_a, p.doc_b,
@@ -11266,7 +11265,7 @@ def q_minhash_estimate_error_guarded(spark, sf_dir):
     comparison itself is unchanged; the guard only shrinks which pairs
     get certified, exactly the pairs the guarded dedup would consider."""
     return dedup.minhash_estimate_error(
-        load(spark, sf_dir, "documents"), max_bucket_size=8
+        load(spark, sf_dir, "documents")  # guard default-on since r9
     )
 
 

@@ -220,7 +220,18 @@ def _band_dedup_horizon_func(horizon_ms: int):
         The EventTimeTimeout removal below is therefore pure memory
         reclamation: by watermark correctness any doc arriving after the
         bucket evicted must be more than the horizon past the last touch,
-        which the gap rule would have re-claimed anyway."""
+        which the gap rule would have re-claimed anyway.
+
+        LATE-DATA CONTRACT (arrival order vs event order): rows are
+        folded in (ts, doc_id) order WITHIN a micro-batch, but across
+        batches the fold is arrival-ordered and `last_ms` is a running
+        MAX — a late row (admitted by a nonzero watermark delay) has
+        ms - last_ms <= 0 <= horizon and thus matches the bucket's
+        CURRENT claimer; it can neither re-claim retroactively nor
+        resurrect an expired session.  Event-time sessionization and
+        arrival-order folding coincide exactly when arrival is
+        event-time-ordered, which is what the replay certificate stages
+        (delay 0, ascending files) so its SQL oracle is exact."""
         if state.hasTimedOut:
             # bucket idle past the horizon: reclaim the state row
             state.remove()
@@ -238,6 +249,7 @@ def _band_dedup_horizon_func(horizon_ms: int):
             ms = int(t.value // 1_000_000)  # pandas ns -> event-time ms
             if first is None or (last_ms is not None and ms - last_ms > horizon_ms):
                 first = d  # claim (or re-claim after a horizon-wide gap)
+                n = 0  # the count is per SESSION, like the claimer
             elif d != first:
                 out_doc.append(d)
                 out_dup.append(first)
@@ -289,6 +301,14 @@ def streaming_lsh_candidates_horizon(
     eviction is memory reclamation, never a semantics change; the
     `streaming_lsh_replay_horizon` catalog entry certifies exactly that
     against a sessionized SQL oracle.
+
+    Out-of-order arrivals (a nonzero `watermark_delay` admits event
+    times up to the delay behind the watermark) follow the late-data
+    contract documented on the fold function: a late row matches the
+    bucket's CURRENT claimer — sessions advance strictly forward on the
+    last-touch maximum, they are never re-cut retroactively.  The exact
+    event-time sessionization semantics (what the oracle models) holds
+    under event-time-ordered arrival.
 
     `docs` is a streaming DataFrame with (doc_id long, text string,
     ts timestamp); the event-time watermark is applied here."""

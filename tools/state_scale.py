@@ -118,7 +118,10 @@ def run_scale(spark, copies: int, batches: int, horizon_ms: int):
         .start()
     )
     if not q.awaitTermination(1200):
-        q.stop()
+        import contextlib
+
+        with contextlib.suppress(Exception):  # never mask the timeout
+            q.stop()
         raise RuntimeError(f"x{copies} replay did not terminate")
     wall = round(time.perf_counter() - t0, 1)
 
@@ -127,7 +130,8 @@ def run_scale(spark, copies: int, batches: int, horizon_ms: int):
         for so in p["stateOperators"] or []:
             removed += so["numRowsRemoved"] or 0
             peak = max(peak, so["numRowsTotal"] or 0)
-            final = so["numRowsTotal"] or final
+            if so["numRowsTotal"] is not None:  # 0 is a real final count
+                final = so["numRowsTotal"]
             mem = max(mem, so.get("memoryUsedBytes") or 0)
 
     # horizon model, two-sided: a bucket CANNOT be evicted while
