@@ -270,6 +270,62 @@ class TestRegressionFlagger:
         )
 
 
+class TestStagingRowGuard:
+    def test_out_of_range_batch_expr_fails_loudly(self, spark, tmp_path):
+        """ADVICE r8: a batch_expr value outside [0, n_batches) must raise
+        at the staging step, not surface as a distant oracle mismatch
+        (Spark's % keeps the dividend's sign, so negative keys vanish)."""
+        from broker_spark.plans.catalog import _stage_ordered_batches
+
+        df = spark.createDataFrame([(-3,), (1,), (2,)], "k long")
+        with pytest.raises(RuntimeError, match="dropped rows"):
+            _stage_ordered_batches(df, F.col("k") % 2, 2, str(tmp_path / "d"))
+
+    def test_in_range_batch_expr_stages_all_rows(self, spark, tmp_path):
+        from broker_spark.plans.catalog import _stage_ordered_batches
+
+        df = spark.createDataFrame([(0,), (1,), (2,), (3,)], "k long")
+        _stage_ordered_batches(df, F.col("k") % 2, 2, str(tmp_path / "d"))
+        assert spark.read.parquet(str(tmp_path / "d")).count() == 4
+
+
+class TestGuardConstantSync:
+    def test_oracles_interpolate_the_default_cap(self):
+        """The cap is ONE constant: every default-guarded entry's oracle
+        must render `z.n <= DEFAULT_MAX_BUCKET_SIZE` — a change to the
+        constant re-renders the SQL, so engine and oracle cannot drift."""
+        from broker_spark.pipeline.dedup import DEFAULT_MAX_BUCKET_SIZE
+        from broker_spark.plans.catalog import CATALOG
+
+        pred = f"z.n <= {DEFAULT_MAX_BUCKET_SIZE}"
+        for name in (
+            "dedup_components",
+            "dedup_components_star",
+            "dedup_cluster_keepers",
+            "dedup_components_incremental",
+            "dedup_graph_degrees",
+            "dedup_graph_pagerank",
+            "dedup_pagerank_keepers",
+            "dedup_edit_distance_pairs",
+            "dedup_incremental_pairs",
+            "dedup_simhash_pairs_guarded",
+            "dedup_graph_triangles_guarded",
+            "minhash_estimate_error_guarded",
+        ):
+            assert pred in CATALOG[name].sql, name
+        # and the explicit census opt-outs must NOT carry the cap
+        for name in (
+            "dedup_minhash_pairs",
+            "dedup_simhash_pairs",
+            "dedup_graph_triangles",
+            "minhash_estimate_error",
+            "lsh_precision_recall",
+            "lsh_s_curve",
+            "link_prediction_adamic_adar",
+        ):
+            assert "z.n <=" not in (CATALOG[name].sql or ""), name
+
+
 class TestSiblingReasons:
     def test_every_not_benched_sibling_carries_a_reason(self):
         """VERDICT r8 #6: the NOT_BENCHED_SIBLINGS partition stays
