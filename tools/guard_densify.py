@@ -72,6 +72,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--entries", nargs="+", default=ENTRIES,
+        help="catalog entries to time (default: the r8 minhash four)",
+    )
     args = ap.parse_args()
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -83,9 +87,9 @@ def main() -> None:
     spark.range(1).count()
 
     base, dense, rows_base, rows_dense = {}, {}, {}, {}
-    for name in ENTRIES:
+    for name in args.entries:
         base[name], rows_base[name] = time_one(spark, name, src, args.runs)
-    for name in ENTRIES:
+    for name in args.entries:
         dense[name], rows_dense[name] = time_one(spark, name, dst, args.runs)
 
     # The real pipeline shape: exact-hash dedup removes verbatim copies
@@ -116,7 +120,7 @@ def main() -> None:
         "| result rows 1x -> kx |"
     )
     print("|---|---|---|---|---|")
-    for name in ENTRIES:
+    for name in args.entries:
         r = dense[name] / base[name] if base[name] else float("inf")
         print(
             f"| {name} | {base[name]} | {dense[name]} | {r:.1f}x "
