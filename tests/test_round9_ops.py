@@ -180,6 +180,69 @@ class TestStreamingLshHorizon:
         }
         assert got == {(2, 200)}  # hub suppressed, organic pair kept
 
+    def test_state_survives_checkpoint_restart(self, spark, tmp_path):
+        """Exactly-once claim: the horizon state lives in the CHECKPOINT,
+        not the process — a second availableNow run against the same
+        checkpoint folds new files into the first run's claims (within
+        the horizon) and re-claims across a wide gap, identically to one
+        uninterrupted replay."""
+        import glob as glob_mod
+        import os
+        import shutil
+        import time
+
+        horizon = 168 * HOUR_MS
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def stage(i, rows_):
+            stage_dir = str(tmp_path / f"st{i}")
+            spark.createDataFrame(rows_, DOC_SCHEMA).coalesce(1).write.parquet(
+                stage_dir
+            )
+            part = glob_mod.glob(f"{stage_dir}/part-*.parquet")[0]
+            target = str(src / f"b{i:02d}.parquet")
+            shutil.move(part, target)
+            t = time.time() - (10 - i) * 10
+            os.utime(target, (t, t))
+            shutil.rmtree(stage_dir, ignore_errors=True)
+
+        def run():
+            stream = (
+                spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+            q = (
+                stateful.streaming_lsh_candidates_horizon(
+                    stream, horizon_ms=horizon
+                )
+                .writeStream.format("parquet")
+                .option("path", str(tmp_path / "sink"))
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180)
+
+        stage(0, [(1, TXT, _ts(0))])
+        run()  # first process: doc 1 claims
+        stage(1, [(2, TXT, _ts(1)), (3, TXT, _ts(400))])
+        run()  # restart: 2 matches the RECOVERED claim; 3 re-claims
+        stage(2, [(4, TXT, _ts(401))])
+        run()  # second restart: 4 matches the recovered re-claim
+        out = {
+            (r["doc_id"], r["band_id"]): r["dup_of"]
+            for r in spark.read.parquet(str(tmp_path / "sink")).collect()
+        }
+        by_doc = {}
+        for (doc, _b), dup in out.items():
+            by_doc.setdefault(doc, set()).add(dup)
+        assert by_doc.get(2) == {1}  # claim crossed the restart
+        assert 3 not in by_doc  # horizon re-claim crossed the restart
+        assert by_doc.get(4) == {3}  # and the re-claim itself recovered
+
     def test_output_schema_matches_unbounded_form(self, spark, tmp_path):
         """Horizon and NoTimeout forms share the output contract, so a
         pipeline can swap one in for the other."""
