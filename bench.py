@@ -252,6 +252,7 @@ NOT_BENCHED_REPLAYS = [
     "streaming_ewma_replay_shuffled",
     "streaming_lsh_replay_shuffled",
     "streaming_lsh_replay_horizon",
+    "streaming_lsh_replay_horizon_shuffled",
     "streaming_outer_join_replay_shuffled",
     "streaming_trailing_distinct_replay_shuffled",
     "log_roundtrip_resend",

@@ -11373,6 +11373,106 @@ def q_streaming_lsh_replay_horizon(spark, sf_dir):
     return out
 
 
+@register(
+    "streaming_lsh_replay_horizon_shuffled",
+    f"""
+    WITH RECURSIVE w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shl),
+    banded AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS band_id, mh0 || '|' || mh1 AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, CAST(1 AS BIGINT) AS band_id, mh2 || '|' || mh3 AS band_key FROM sig
+    ),
+    filtered AS (
+      SELECT * FROM banded WHERE band_key IS NOT NULL AND band_key <> ''
+    ),
+    -- arrival order is the r8 deterministic schedule: file i carries
+    -- doc_id % 4 == i (ascending mtimes), and within a micro-batch the
+    -- fold sorts by (ts, doc_id) = doc_id; event time is doc_id hours
+    seq AS (
+      SELECT *, doc_id * 3600000 AS ms,
+             row_number() OVER (PARTITION BY band_id, band_key
+                                ORDER BY doc_id % 4, doc_id) AS rn
+      FROM filtered
+    ),
+    -- the documented late-data contract, folded in arrival order: the
+    -- claimer re-claims only when the arriving doc is more than the
+    -- 168 h horizon PAST the bucket's running-max last touch; a LATE
+    -- arrival (ms <= last_ms) has a non-positive gap and matches the
+    -- CURRENT claimer; last touch is a running MAX, never rewound
+    rec(band_id, band_key, rn, doc_id, first_doc, last_ms, dup_of) AS (
+      SELECT band_id, band_key, rn, doc_id, doc_id, ms, CAST(NULL AS BIGINT)
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.band_id, s.band_key, s.rn, s.doc_id,
+             CASE WHEN s.ms - r.last_ms > 604800000 THEN s.doc_id
+                  ELSE r.first_doc END,
+             GREATEST(r.last_ms, s.ms),
+             CASE WHEN s.ms - r.last_ms > 604800000 THEN CAST(NULL AS BIGINT)
+                  WHEN s.doc_id = r.first_doc THEN CAST(NULL AS BIGINT)
+                  ELSE r.first_doc END
+      FROM seq s JOIN rec r
+        ON s.band_id = r.band_id AND s.band_key = r.band_key
+       AND s.rn = r.rn + 1
+    )
+    SELECT doc_id, band_id, band_key, dup_of
+    FROM rec WHERE dup_of IS NOT NULL
+    """,
+)
+def q_streaming_lsh_replay_horizon_shuffled(spark, sf_dir):
+    """The OUT-OF-ORDER certificate for the horizon dedup — the
+    late-data contract itself (stateful.py: 'a late row matches the
+    bucket's CURRENT claimer; sessions advance strictly forward on the
+    last-touch maximum') exercised and value-checked, completing the
+    horizon family the way r8's shuffled twins completed the
+    order-DEFINED ops: documents staged by doc_id % 4 (the deterministic
+    r8 schedule), so after file 0 every batch delivers event times
+    BEHIND the per-bucket running max.  The watermark delay (600 h)
+    exceeds the stream's whole span, so no row is late-DROPPED and no
+    eviction fires — this entry isolates the arrival-order FOLD of the
+    gap rule (claim / re-claim / late-match decisions), while the
+    in-order `streaming_lsh_replay_horizon` + the state tests certify
+    eviction.  The oracle replays the identical fold as a per-bucket
+    recursive CTE over the arrival order (ORDER BY doc_id % 4, doc_id):
+    a state store that rewound last-touch on a late row, re-claimed on a
+    non-positive gap, or forgot the claimer between micro-batches would
+    shift dup_of and hash-mismatch."""
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("lsh_hzs_")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000) + F.col("doc_id") * F.lit(3_600_000)
+        ).alias("ts"),
+    )
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    _stage_ordered_batches(docs, F.col("doc_id") % 4, 4, f"{tmp}/in")
+    src = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    sink = _run_replay(
+        spark,
+        stateful.streaming_lsh_candidates_horizon(
+            src,
+            horizon_ms=stateful.DEFAULT_DEDUP_HORIZON_MS,
+            # delay > the stream's whole event-time span at ANY sf dir:
+            # no late drops at sf0.1's 5000 h span any more than at 500 h
+            watermark_delay=f"{max_id + 100} hours",
+        ),
+        tmp,
+    )
+    out = spark.read.parquet(sink).select("doc_id", "band_id", "band_key", "dup_of")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
@@ -11390,9 +11490,12 @@ _AUDIT_PRIORITY = [
     # graph entries in it are also the ones whose SQL changed.  Positions
     # 51+ (the cohort's tail) spill to round 10's head; after this round
     # no oracle entry's newest driver row predates round 3.
-    # -- (1) NEW in round 9: the eviction-horizon certificate + the
-    # guarded simhash headline twin (guard default-on, VERDICT r8 #2)
+    # -- (1) NEW in round 9: the eviction-horizon certificate (in-order:
+    # eviction semantics) + its out-of-order twin (the late-data
+    # contract's arrival-order fold) + the guarded simhash headline twin
+    # (guard default-on, VERDICT r8 #2)
     "streaming_lsh_replay_horizon",
+    "streaming_lsh_replay_horizon_shuffled",
     "dedup_simhash_pairs_guarded",
     # guard-flip blast radius: the two entries whose SEMANTICS changed
     # this round (explicit opt-outs stayed identical; these two gained
