@@ -34,7 +34,13 @@ from broker_spark.plans.adapters import (
     docs_as_media,
     events_as_stream,
 )
+from broker_spark.streaming.stateful import DEFAULT_DEDUP_HORIZON_MS
 from broker_spark.tables import load
+
+#: the dedup horizon in whole hours, for oracles whose synthetic event
+#: time is "doc_id hours" — interpolated (never hardcoded) so a change
+#: to the constant re-renders every horizon oracle in lockstep (ADVICE r9)
+_DEDUP_HORIZON_HOURS = DEFAULT_DEDUP_HORIZON_MS // 3_600_000
 
 # -- epoch-ms literals for the resend family ---------------------------------
 TS_2024_01_10 = 1_704_844_800_000
@@ -5045,7 +5051,10 @@ def q_streaming_lsh_replay(spark, sf_dir):
         spark.readStream.schema("doc_id long, text string")
         .parquet(f"{tmp}/src")
     )
-    sink = _run_replay(spark, stateful.streaming_lsh_candidates(src), tmp)
+    # the BACKFILL form is pinned deliberately: this replay certifies the
+    # bounded-input first-seen index (no ts column, no eviction); the
+    # horizon default has its own certificates (VERDICT r9 #4)
+    sink = _run_replay(spark, stateful.streaming_lsh_candidates_backfill(src), tmp)
     out = spark.read.parquet(sink).select("doc_id", "band_id", "band_key", "dup_of")
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
     return out
@@ -11132,7 +11141,9 @@ def q_streaming_lsh_replay_shuffled(spark, sf_dir):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{tmp}/in")
     )
-    sink = _run_replay(spark, stateful.streaming_lsh_candidates(src), tmp)
+    # backfill form pinned deliberately: arrival-order claiming without
+    # eviction is exactly what this shuffled certificate isolates
+    sink = _run_replay(spark, stateful.streaming_lsh_candidates_backfill(src), tmp)
     out = spark.read.parquet(sink).select("doc_id", "band_id", "band_key", "dup_of")
     shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
     return out
@@ -11291,12 +11302,14 @@ def q_minhash_estimate_error_guarded(spark, sf_dir):
     filtered AS (
       SELECT * FROM banded WHERE band_key IS NOT NULL AND band_key <> ''
     ),
-    -- event time is doc_id hours, so an event-time gap over the 168 h
-    -- (7-day) horizon is a doc_id gap > 168: such a gap starts a NEW
-    -- session (the stale claimer is forgotten = evicted state)
+    -- event time is doc_id hours, so an event-time gap over the
+    -- {_DEDUP_HORIZON_HOURS} h horizon is a doc_id gap > {_DEDUP_HORIZON_HOURS}:
+    -- such a gap starts a NEW session (the stale claimer is forgotten =
+    -- evicted state)
     gaps AS (
       SELECT *, CASE WHEN doc_id - lag(doc_id) OVER (
-                       PARTITION BY band_id, band_key ORDER BY doc_id) > 168
+                       PARTITION BY band_id, band_key ORDER BY doc_id)
+                       > {_DEDUP_HORIZON_HOURS}
                      THEN 1 ELSE 0 END AS brk
       FROM filtered
     ),
@@ -11398,18 +11411,19 @@ def q_streaming_lsh_replay_horizon(spark, sf_dir):
     ),
     -- the documented late-data contract, folded in arrival order: the
     -- claimer re-claims only when the arriving doc is more than the
-    -- 168 h horizon PAST the bucket's running-max last touch; a LATE
-    -- arrival (ms <= last_ms) has a non-positive gap and matches the
-    -- CURRENT claimer; last touch is a running MAX, never rewound
+    -- {_DEDUP_HORIZON_HOURS} h horizon PAST the bucket's running-max
+    -- last touch; a LATE arrival (ms <= last_ms) has a non-positive gap
+    -- and matches the CURRENT claimer; last touch is a running MAX,
+    -- never rewound
     rec(band_id, band_key, rn, doc_id, first_doc, last_ms, dup_of) AS (
       SELECT band_id, band_key, rn, doc_id, doc_id, ms, CAST(NULL AS BIGINT)
       FROM seq WHERE rn = 1
       UNION ALL
       SELECT s.band_id, s.band_key, s.rn, s.doc_id,
-             CASE WHEN s.ms - r.last_ms > 604800000 THEN s.doc_id
+             CASE WHEN s.ms - r.last_ms > {DEFAULT_DEDUP_HORIZON_MS} THEN s.doc_id
                   ELSE r.first_doc END,
              GREATEST(r.last_ms, s.ms),
-             CASE WHEN s.ms - r.last_ms > 604800000 THEN CAST(NULL AS BIGINT)
+             CASE WHEN s.ms - r.last_ms > {DEFAULT_DEDUP_HORIZON_MS} THEN CAST(NULL AS BIGINT)
                   WHEN s.doc_id = r.first_doc THEN CAST(NULL AS BIGINT)
                   ELSE r.first_doc END
       FROM seq s JOIN rec r

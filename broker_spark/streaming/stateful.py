@@ -144,7 +144,7 @@ def _band_dedup_func(
     )
 
 
-def streaming_lsh_candidates(
+def streaming_lsh_candidates_backfill(
     docs: DataFrame, num_hashes: int = 4, rows_per_band: int = 2
 ) -> DataFrame:
     """Streaming incremental near-dup detection: MinHash band keys are
@@ -157,12 +157,14 @@ def streaming_lsh_candidates(
     downstream either drops immediately (aggressive) or verifies exact
     Jaccard against the named partner (precise).
 
-    BOUNDED-INPUT FORM: state is one row per (band_id, band_key) ever
-    seen and is NEVER evicted (GroupStateTimeout.NoTimeout), so the state
+    BACKFILL (bounded-input) FORM — named for what it is safe for
+    (VERDICT r9 #4): state is one row per (band_id, band_key) ever seen
+    and is NEVER evicted (GroupStateTimeout.NoTimeout), so the state
     store grows with corpus size — fine for an availableNow replay or a
     backfill over a bounded corpus, a scale-killer on an unbounded
-    stream.  For unbounded streams use `streaming_lsh_candidates_horizon`,
-    which carries the eviction contract (VERDICT r8 #1).
+    stream.  The unqualified `streaming_lsh_candidates` entry point is
+    the horizon form, which carries the eviction contract an unbounded
+    stream needs; choosing unbounded state now takes this explicit name.
 
     `docs` is a streaming DataFrame with (doc_id long, text string)."""
     from broker_spark.pipeline.dedup import _banded, minhash_signature
@@ -233,11 +235,11 @@ def _band_dedup_horizon_func(horizon_ms: int):
         event-time-ordered, which is what the replay certificate stages
         (delay 0, ascending files) so its SQL oracle is exact."""
         if state.hasTimedOut:
-            # bucket idle past the horizon: reclaim the state row
+            # bucket idle past the horizon: reclaim the state row and
+            # yield NOTHING — an empty dict-built frame would carry
+            # default float64/object dtypes, not the declared long/string
+            # output schema (ADVICE r9)
             state.remove()
-            yield pd.DataFrame(
-                {"doc_id": [], "band_id": [], "band_key": [], "dup_of": []}
-            )
             return
         first, last_ms, n = state.get if state.exists else (None, None, 0)
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
@@ -343,6 +345,29 @@ def streaming_lsh_candidates_horizon(
         stateStructType=_DEDUP_H_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def streaming_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 4,
+    rows_per_band: int = 2,
+    horizon_ms: int = DEFAULT_DEDUP_HORIZON_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """The DEFAULT streaming-dedup entry point (VERDICT r9 #4): the
+    zero-config path carries the eviction contract — this is
+    `streaming_lsh_candidates_horizon` (EventTimeTimeout, state bounded
+    by trailing-horizon occupancy), so a caller who writes the obvious
+    name onto an unbounded 100 TB stream gets bounded state, not the
+    corpus-sized NoTimeout store.  Unbounded lifetime state is an
+    explicit opt-in under `streaming_lsh_candidates_backfill`.
+
+    `docs` must therefore carry the horizon form's (doc_id long,
+    text string, ts timestamp) columns — event time is what the
+    retention contract is defined over."""
+    return streaming_lsh_candidates_horizon(
+        docs, num_hashes, rows_per_band, horizon_ms, watermark_delay
     )
 
 

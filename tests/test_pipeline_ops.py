@@ -52,7 +52,14 @@ class TestMinhash:
         assert sig[4] is None  # 2 words -> no trigram shingles
 
     def test_lsh_pairs_find_exact_dup(self, docs):
-        pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_pairs(docs).collect()}
+        # GUARDED intent, stated explicitly (ADVICE r9): recall through
+        # the zero-config path must survive the default-on bucket cap
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(
+                docs, max_bucket_size=dedup.DEFAULT_MAX_BUCKET_SIZE
+            ).collect()
+        }
         assert (0, 1) in pairs
         assert (0, 3) not in pairs and (1, 3) not in pairs
 

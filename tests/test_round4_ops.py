@@ -136,9 +136,12 @@ def test_hard_negatives_are_topk_among_other_labels(spark):
 
 def test_minhash_estimate_error_bounds(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    out = dedup.minhash_estimate_error(docs).collect()
+    # the r4 certificate was written against the unguarded census — keep
+    # that intent explicit now the guard defaults on (ADVICE r9): both
+    # sides opt out, so the one-row-per-pair invariant is census-wide
+    out = dedup.minhash_estimate_error(docs, max_bucket_size=None).collect()
     assert out, "expected candidate pairs at sf0.001"
-    pairs = dedup.minhash_lsh_pairs(docs).count()
+    pairs = dedup.minhash_lsh_pairs(docs, max_bucket_size=None).count()
     assert len(out) == pairs  # one certificate row per candidate pair
     for r in out:
         assert 0.0 <= r["est_jaccard"] <= 1.0
@@ -269,7 +272,12 @@ def test_dedup_graph_degree_mass_equals_pair_endpoints(spark):
     from broker_spark.plans.catalog import CATALOG
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
-    pairs = dedup.minhash_lsh_pairs(docs).count()
+    # GUARDED intent, stated explicitly (ADVICE r9): the degree histogram
+    # entry builds on the default-guarded pair graph, so the edge count it
+    # must balance is the guarded one
+    pairs = dedup.minhash_lsh_pairs(
+        docs, max_bucket_size=dedup.DEFAULT_MAX_BUCKET_SIZE
+    ).count()
     hist = CATALOG["dedup_graph_degrees"].fn(spark, SF).collect()
     # sum(degree * n_docs) counts each edge twice
     assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * pairs

@@ -119,7 +119,7 @@ def test_shuffled_lsh_claimer_is_batch_order_min(spark, tmp_path):
         .parquet(dest)
     )
     q = (
-        stateful.streaming_lsh_candidates(src)
+        stateful.streaming_lsh_candidates_backfill(src)
         .writeStream.format("parquet")
         .option("path", str(tmp_path / "sink"))
         .option("checkpointLocation", str(tmp_path / "ckpt"))

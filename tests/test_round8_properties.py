@@ -145,7 +145,7 @@ def test_shuffled_lsh_state_store_matches_batch_banding(
         .parquet(str(tmp / "in"))
     )
     q = (
-        stateful.streaming_lsh_candidates(src)
+        stateful.streaming_lsh_candidates_backfill(src)
         .writeStream.format("parquet")
         .option("path", str(tmp / "sink"))
         .option("checkpointLocation", str(tmp / "ckpt"))

@@ -173,7 +173,7 @@ class TestStreamingLshDedup:
                 .parquet(str(src))
             )
             q = (
-                stateful.streaming_lsh_candidates(source)
+                stateful.streaming_lsh_candidates_backfill(source)
                 .writeStream.format("parquet")
                 .option("path", sink)
                 .option("checkpointLocation", ckpt)
