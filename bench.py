@@ -257,6 +257,8 @@ NOT_BENCHED_REPLAYS = [
     "streaming_trailing_distinct_replay_shuffled",
     "log_roundtrip_resend",
     "streaming_alerts_replay",
+    "streaming_alerts_replay_horizon",
+    "streaming_alerts_replay_horizon_shuffled",
     "streaming_cdc_upsert_replay",
     "streaming_cdc_upsert_replay_shuffled",
     "streaming_ewma_replay",

@@ -11487,96 +11487,299 @@ def q_streaming_lsh_replay_horizon_shuffled(spark, sf_dir):
     return out
 
 
+# ---------------------------------------------------------------------------
+# Round-10 additions (VERDICT r9 #3): the trailing-horizon threshold
+# alerts — the last unbounded-key-space stateful op gets a bounded
+# sibling, certified in-order (eviction semantics) and out-of-order (the
+# late-data fold), mirroring the r9 LSH-horizon family.
+# ---------------------------------------------------------------------------
+
+#: certificate pins: a 12 h horizon over the 30-day events fixture
+#: (~10.7 h mean per-user gap) yields many sessions per key so re-claims
+#: and evictions actually exercise; threshold 8 crosses in 19/204/1985
+#: sessions at sf0.001/0.01/0.1.  Interpolated into the oracles below —
+#: ONE constant each, never hardcoded twice (the r9 sync discipline).
+_ALERT_HORIZON_MS = 12 * 3_600_000
+_ALERT_HORIZON_THRESHOLD = 8
+
+
+@register(
+    "streaming_alerts_replay_horizon",
+    f"""
+    WITH e AS (SELECT user_id AS key, epoch_ms(ts) AS ms FROM events),
+    -- an event-time gap wider than the horizon starts a NEW session:
+    -- the count (and the fired flag) the key carried is forgotten =
+    -- evicted state
+    g AS (
+      SELECT *, CASE WHEN ms - lag(ms) OVER (PARTITION BY key ORDER BY ms)
+                       > {_ALERT_HORIZON_MS} THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY key ORDER BY ms
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY key, sess ORDER BY ms) AS rn
+      FROM s
+    )
+    SELECT key, ms AS crossed_ms FROM r WHERE rn = {_ALERT_HORIZON_THRESHOLD}
+    """,
+)
+def q_streaming_alerts_replay_horizon(spark, sf_dir):
+    """The EVICTION-HORIZON certificate for the trailing-horizon
+    threshold alerts (VERDICT r9 #3): events staged IN ORDER as four
+    ts-quartile files (one per trigger) so the delay-0 watermark advances
+    across micro-batches and EventTimeTimeout evictions fire mid-replay.
+    The oracle models the retention contract as per-key SESSIONIZATION
+    with gap = horizon: each session's row at rank `threshold` is the
+    crossing event, emitted once with its event time.  Because the reset
+    is decided row-locally from event times, output is identical whether
+    a key's state was evicted between two arrivals or merely reset by
+    the gap rule — a store that evicted too EARLY (counts forgotten
+    inside the horizon: crossings missed or late) or too LATE (counts
+    surviving past the horizon: crossings the oracle excludes) both
+    hash-mismatch.  Ranked emission also pins exactly-once-per-session:
+    a fired flag lost across micro-batches would duplicate rows.  State
+    growth is certified separately (tools/state_scale.py --op alerts:
+    final store rows == keys active within the horizon, flat across
+    corpus growth; expired keys' rows GONE)."""
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("alerts_hz_")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).collect()[0]  # bounded scalars
+    step = (hi - lo) // 4 + 1
+    _stage_ordered_batches(
+        ev.select("key", "ts"),
+        F.least(F.floor((F.unix_millis("ts") - F.lit(lo)) / F.lit(step)), F.lit(3)),
+        4,
+        f"{tmp}/in",
+    )
+    src = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    sink = _run_replay(
+        spark,
+        stateful.streaming_threshold_alerts_horizon(
+            src,
+            threshold=_ALERT_HORIZON_THRESHOLD,
+            horizon_ms=_ALERT_HORIZON_MS,
+        ),
+        tmp,
+    )
+    out = spark.read.parquet(sink).select("key", "crossed_ms")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_alerts_replay_horizon_shuffled",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT user_id AS key, epoch_ms(ts) AS ms, event_id,
+             event_id % 4 AS arr
+      FROM events
+    ),
+    -- arrival order is the r8 deterministic schedule: file i carries
+    -- event_id % 4 == i (ascending mtimes), and within a micro-batch the
+    -- fold sorts by event time; event_id breaks rn ties only (equal-ms
+    -- rows are interchangeable for a count/crossing fold)
+    seq AS (
+      SELECT *, row_number() OVER (PARTITION BY key
+                                   ORDER BY arr, ms, event_id) AS rn
+      FROM e
+    ),
+    -- the documented late-data contract, folded in arrival order: a
+    -- horizon-wide POSITIVE gap past the running-max last touch resets
+    -- (count, fired); a LATE arrival (ms <= last touch) has a
+    -- non-positive gap, joins the CURRENT session and increments its
+    -- count; last touch is a running MAX, never rewound
+    rec(key, rn, cnt, fired, last_ms, crossed) AS (
+      SELECT key, rn, 1,
+             CASE WHEN 1 >= {_ALERT_HORIZON_THRESHOLD} THEN 1 ELSE 0 END,
+             ms,
+             CASE WHEN 1 >= {_ALERT_HORIZON_THRESHOLD} THEN ms
+                  ELSE CAST(NULL AS BIGINT) END
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.key, s.rn,
+             CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 1
+                  ELSE r.cnt + 1 END,
+             CASE WHEN (CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 1
+                             ELSE r.cnt + 1 END) >= {_ALERT_HORIZON_THRESHOLD}
+                   AND (CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 0
+                             ELSE r.fired END) = 0
+                  THEN 1
+                  ELSE (CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 0
+                             ELSE r.fired END) END,
+             GREATEST(r.last_ms, s.ms),
+             CASE WHEN (CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 1
+                             ELSE r.cnt + 1 END) >= {_ALERT_HORIZON_THRESHOLD}
+                   AND (CASE WHEN s.ms - r.last_ms > {_ALERT_HORIZON_MS} THEN 0
+                             ELSE r.fired END) = 0
+                  THEN s.ms ELSE CAST(NULL AS BIGINT) END
+      FROM seq s JOIN rec r ON s.key = r.key AND s.rn = r.rn + 1
+    )
+    SELECT key, crossed AS crossed_ms FROM rec WHERE crossed IS NOT NULL
+    """,
+)
+def q_streaming_alerts_replay_horizon_shuffled(spark, sf_dir):
+    """The OUT-OF-ORDER certificate for the horizon alerts — the
+    late-data contract exercised and value-checked, completing the
+    family exactly the way `streaming_lsh_replay_horizon_shuffled`
+    completed the dedup horizon: events staged by event_id % 4 (the
+    deterministic r8 schedule), so after file 0 every micro-batch
+    delivers event times BEHIND each key's running-max last touch.  The
+    watermark delay exceeds the stream's whole event-time span, so no
+    row is late-dropped and no eviction fires — this entry isolates the
+    arrival-order FOLD of the gap rule (reset / count / fire-once
+    decisions), while the in-order twin plus the state tests certify
+    eviction.  The oracle replays the identical fold as a per-key
+    recursive CTE over the arrival order: a state store that rewound
+    last-touch on a late row, reset on a non-positive gap, or dropped
+    the fired flag between micro-batches would shift or duplicate
+    crossings and hash-mismatch."""
+    import shutil
+
+    from broker_spark.streaming import stateful
+
+    tmp = _replay_tmpdir("alerts_hzs_")
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "ts", "event_id"
+    )
+    span_ms = (
+        ev.agg(F.max(F.unix_millis("ts")) - F.min(F.unix_millis("ts"))).collect()
+    )[0][0]  # bounded scalar
+    # the staged files keep event_id (the reader's declared schema
+    # projects it out); the batch expression needs it
+    _stage_ordered_batches(ev, F.col("event_id") % 4, 4, f"{tmp}/in")
+    src = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    sink = _run_replay(
+        spark,
+        stateful.streaming_threshold_alerts_horizon(
+            src,
+            threshold=_ALERT_HORIZON_THRESHOLD,
+            horizon_ms=_ALERT_HORIZON_MS,
+            # delay > the stream's whole event-time span at ANY sf dir:
+            # no late drops, no evictions — the fold is what's certified
+            watermark_delay=f"{span_ms // 1000 + 3600} seconds",
+        ),
+        tmp,
+    )
+    out = spark.read.parquet(sink).select("key", "crossed_ms")
+    shutil.rmtree(f"{tmp}/ckpt", ignore_errors=True)
+    return out
+
+
 #: queries() in iteration order.  Surface the riskiest entries first:
 #: anything new or recently repaired goes at the head; long-stable TPC-H
 #: shapes and the round-1 resend family (green since round 1) at the tail.
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
-    # Rotation policy (VERDICT r3 #2 / r4 #1 / r6 #1 / r7 #1 / r8 #2):
-    # the driver value-checks the first ~50 queries() entries each round.
-    # Every oracle-checkable entry has had a hash-green driver row since
-    # round 8; the window's job is now pure STALENESS RE-CERTIFICATION.
-    # Round 9: (1) the entry NEW this round, (2) the 10 r2-era spill
-    # entries queued from round 8 (the last rows older than round 3),
-    # (3) the 43-strong round-3 cohort — after the r8 flip to the
-    # default-on LSH guard and this round's oracle updates, the dedup/
-    # graph entries in it are also the ones whose SQL changed.  Positions
-    # 51+ (the cohort's tail) spill to round 10's head; after this round
-    # no oracle entry's newest driver row predates round 3.
-    # -- (1) NEW in round 9: the eviction-horizon certificate (in-order:
-    # eviction semantics) + its out-of-order twin (the late-data
-    # contract's arrival-order fold) + the guarded simhash headline twin
-    # (guard default-on, VERDICT r8 #2)
-    "streaming_lsh_replay_horizon",
-    "streaming_lsh_replay_horizon_shuffled",
-    "dedup_simhash_pairs_guarded",
-    # guard-flip blast radius: the two entries whose SEMANTICS changed
-    # this round (explicit opt-outs stayed identical; these two gained
-    # the corpus-side / explicit cap) — fresh driver rows with the new
-    # oracles
-    "dedup_incremental_pairs",
-    "dedup_simhash_pairs",
-    # -- (2) the 10 r2-era spill entries (judge-verified on r8 HEAD;
-    # driver rows land this round)
-    "quality_topk_per_lang",
-    "stratified_sample_per_lang",
-    "top_orders_per_customer",
-    "customers_with_open_orders",
-    "customers_without_pending_orders",
-    "customers_open_and_pending",
-    "cube_order_stats",
-    "rollup_order_stats",
-    "corpus_hash_sample",
-    "value_percentiles",
-    # -- (3) the round-3 cohort (43 entries, newest driver row r3).
-    # Guard-affected dedup/graph entries first (their oracles gained the
-    # default-on bucket cap this round), then the reference-core rows
-    # (bucket index, retention, rollup cascade), then ann/text/stats.
-    "dedup_containment",
-    "substring_dup_pairs",
-    "dedup_kept_by_quality",
-    "embedding_near_dup",
-    "bucket_index",
-    "retention_selection",
-    "rollup_daily_cascade",
-    "events_hourly_rollup",
-    "ewma_hourly",
-    "events_sessionization",
-    "distinct_users_daily",
-    "moving_avg_daily",
-    "events_lag_deltas",
-    "events_pivot_daily",
-    "event_value_ranks",
-    "event_transition_matrix",
-    "funnel_counts",
-    "cohort_retention",
-    "user_session_features",
-    "anomaly_zscore",
-    "robust_stats_mad",
-    "ann_bruteforce_topk",
-    "ann_grid_buckets",
-    "ann_ivf_topk",
-    "ann_label_ivf_topk",
-    "ann_multiprobe_topk",
-    "embedding_quantize_int8",
-    "label_centroids",
-    "bloom_decontamination",
-    "decontamination_overlap",
-    "source_overlap_matrix",
-    "bpe_pair_counts",
-    "gopher_filter_flags",
-    "perplexity_buckets",
-    "pii_redaction",
+    # Rotation policy (VERDICT r3 #2 / r4 #1 / r6 #1 / r7 #1 / r8 #2 /
+    # r9 #1): the driver value-checks the first ~50 queries() entries
+    # each round; the window's job is STALENESS RE-CERTIFICATION.
+    # Round 10, exactly as the r9 verdict queued it: (1) the two entries
+    # NEW this round, (2) the r3-tail — the only oracle entries whose
+    # newest driver row predates round 4, (3) the resend family
+    # (reference-core flagship, newest rows r8), (4) the round-4 cohort
+    # in staleness order (TPC-H tails, streaming replays, trained-ANN,
+    # sparse retrieval...).  Positions 51+ spill to round 11's head;
+    # after this round no oracle entry's newest driver row predates
+    # round 4.
+    # -- (1) NEW in round 10: the trailing-horizon threshold-alert
+    # certificate (in-order: eviction semantics) + its out-of-order twin
+    # (the late-data contract's arrival-order fold) — VERDICT r9 #3
+    "streaming_alerts_replay_horizon",
+    "streaming_alerts_replay_horizon_shuffled",
+    # -- (2) the r3-tail (8 entries, newest driver row r3 — the round-9
+    # window's spill; covering these completes the r9 'done' criterion)
     "repetition_stats",
     "quality_percentile_filter",
     "topk_bigrams_per_lang",
     "pack_sequences",
-    # -- round-10 spill starts here (positions 51+): the cohort's tail
     "pack_sequences_sharded",
     "train_val_test_split",
     "training_manifest",
     "training_mix_weights",
+    # -- (3) the resend family (the reference's core query surface,
+    # src/storage/Storage.ts:101-435)
+    "resend_last",
+    "resend_from",
+    "resend_from_publisher",
+    "resend_range",
+    "resend_range_publisher",
+    "resend_last_global",
+    "resend_union_merge",
+    # -- (4) the round-4 cohort (49 oracle-checkable entries, newest
+    # driver row r4).  The entry whose CODE was touched this round
+    # (renamed backfill call site) first, then the other streaming
+    # replays, reference-core roundtrip, dedup/graph, the TPC-H tail,
+    # trained ANN, then text/stats (whose tail spills to round 11).
+    "streaming_lsh_replay",
+    "streaming_ewma_replay",
+    "streaming_alerts_replay",
+    "streaming_hourly_rollup_replay",
+    "streaming_exact_dedup_replay",
+    "streaming_sessionization_replay",
+    "log_roundtrip_resend",
+    "dedup_components",
+    "dedup_components_star",
+    "dedup_cluster_keepers",
+    "dedup_graph_degrees",
+    "minhash_estimate_error",
+    "lsh_s_curve",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_lines",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "ann_trained_ivf_topk",
+    "ann_trained_ivf_multiprobe",
+    "ann_ivf_pq_exact_parity",
+    "ann_rp_lsh_topk",
+    "ann_recall_vs_nprobe",
+    "hard_negative_mining",
+    "semantic_dedup_clusters",
+    "bm25_topk",
+    "tfidf_cosine_pairs",
+    # -- round-11 spill starts here (positions 51+): the cohort's
+    # text/stats tail
+    "vocab_coverage",
+    "bigram_logprob_score",
+    "passage_dedup_stats",
+    "quality_classifier_score",
+    "cms_heavy_hitters",
+    "events_gap_fill",
+    "domain_cap_sample",
+    "temperature_mix_allocation",
+    "doc_entropy_stats",
+    "split_leakage_audit",
+    "wordpiece_encode_counts",
+    "embedding_pca_power_iter",
+    "embedding_pca_scores",
+    "events_rolling_hour_stats",
+    "events_rolling_hour_sharded",
+    "curated_mix_manifest",
 ]
 
 

@@ -409,11 +409,14 @@ def streaming_threshold_alerts(keyed: DataFrame, threshold: int) -> DataFrame:
     RocksDB-backed on a cluster, and the count survives micro-batch and
     restart boundaries via the checkpoint).
 
-    State bound: two longs per ENTITY key.  NoTimeout is part of the
+    State bound: two longs per ENTITY key.  NoTimeout is part of THIS
     alert's meaning — "lifetime count crossed N" must not forget counts
-    for idle keys; bounding memory for an unbounded entity space means
-    changing the question to "count within a horizon", which is the
-    windowed-rollup family's job, not this operator's.
+    for idle keys, so it is the right op only where the key space is
+    bounded (stream ids, metric names).  For an unbounded entity space
+    (user_id on an unbounded stream) use
+    `streaming_threshold_alerts_horizon`, which asks "count within a
+    trailing horizon crossed N" and carries the eviction contract
+    (VERDICT r9 #3).
 
     `keyed` is a streaming DataFrame with a `key long` column."""
     return keyed.groupBy("key").applyInPandasWithState(
@@ -422,6 +425,130 @@ def streaming_threshold_alerts(keyed: DataFrame, threshold: int) -> DataFrame:
         stateStructType=_ALERT_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# -- trailing-horizon threshold alerts (VERDICT r9 #3) -----------------------
+
+#: Default alert horizon: 7 days, the same trailing-retention role the
+#: dedup horizon plays (and the reference's storageDays reclamation,
+#: src/storage/DeleteExpiredCmd.ts:91) applied to alert counting.
+DEFAULT_ALERT_HORIZON_MS = 7 * 86_400_000
+
+_ALERT_H_OUTPUT = StructType(
+    [
+        StructField("key", LongType(), False),
+        StructField("crossed_ms", LongType(), False),
+    ]
+)
+
+#: state per key within the horizon: session count, fired flag, last touch
+_ALERT_H_STATE = StructType(
+    [
+        StructField("count", LongType(), True),
+        StructField("fired", LongType(), True),
+        StructField("last_ms", LongType(), True),
+    ]
+)
+
+
+def _threshold_horizon_func(threshold: int, horizon_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per key, horizon-bounded threshold alerting: events are
+        sessionized by event time with gap = `horizon_ms` (exactly the
+        LSH-horizon gap rule); within a session the count increments
+        row-by-row and ONE row (key, crossed_ms) is emitted at the event
+        whose arrival makes the session count reach `threshold`.  A gap
+        wider than the horizon resets (count, fired) — counts older than
+        the horizon are deliberately forgotten, which is what lets the
+        EventTimeTimeout below reclaim idle keys' state without changing
+        any answer: an evicted key's next arrival starts at zero, the
+        same zero the gap rule would have produced.  All decisions are
+        row-local on event times, so output never depends on WHEN the
+        timeout fired.
+
+        LATE-DATA CONTRACT (same as the LSH horizon fold): rows are
+        folded in ts order WITHIN a micro-batch but arrival order across
+        batches, with last touch a running MAX — a late row (admitted by
+        a nonzero watermark delay) has a non-positive gap, joins the
+        CURRENT session and increments its count; it can neither re-cut
+        past sessions nor resurrect an expired one.  Event-time
+        sessionization (the oracle's model) coincides with this fold
+        under event-time-ordered arrival, which the in-order certificate
+        stages."""
+        if state.hasTimedOut:
+            # key idle past the horizon: the count it carried can never
+            # matter again (the gap rule would reset it) — reclaim, and
+            # yield nothing (no dtype-less empty frame)
+            state.remove()
+            return
+        count, fired, last_ms = state.get if state.exists else (0, 0, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        out_ms: list[int] = []
+        for t in rows["ts"]:
+            ms = int(t.value // 1_000_000)  # pandas ns -> event-time ms
+            if last_ms is not None and ms - last_ms > horizon_ms:
+                count, fired = 0, 0  # horizon-wide gap: a fresh session
+            count += 1
+            if count >= threshold and not fired:
+                out_ms.append(ms)
+                fired = 1
+            last_ms = ms if last_ms is None else max(last_ms, ms)
+        state.update((count, fired, last_ms))
+        # evict once the watermark passes last touch + horizon; clamped
+        # strictly above the current watermark (Spark rejects a timeout
+        # at or behind it)
+        state.setTimeoutTimestamp(
+            max(last_ms + horizon_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield pd.DataFrame(
+            {"key": [int(key[0])] * len(out_ms), "crossed_ms": out_ms}
+        )
+
+    return fn
+
+
+def streaming_threshold_alerts_horizon(
+    keyed: DataFrame,
+    threshold: int,
+    horizon_ms: int = DEFAULT_ALERT_HORIZON_MS,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """`streaming_threshold_alerts` with the BOUNDED-STATE contract an
+    unbounded entity space needs (VERDICT r9 #3): the question changes
+    from "lifetime count crossed N" (which inherently needs one state row
+    per entity ever seen — that exact semantics keeps the NoTimeout op)
+    to "count within a trailing event-time horizon crossed N", and with
+    it the state store changes from entity-ever cardinality to keys
+    TOUCHED WITHIN THE HORIZON: per key the state is three longs,
+    registered for GroupStateTimeout.EventTimeTimeout at
+    last_touch + horizon, so on a 100 TB stream keyed by user_id the
+    store holds only the horizon's active users.
+
+    Semantics — per key, events are sessionized by event time with
+    gap = `horizon_ms`; a session emits ONE (key, crossed_ms) row at the
+    event that brings its count to `threshold` (crossed_ms = that
+    event's time); sessions never reaching the threshold emit nothing.
+    Eviction is pure memory reclamation: the gap rule makes the same
+    reset decision row-locally, certified by the
+    `streaming_alerts_replay_horizon` catalog entry against a
+    sessionized SQL oracle and by the state tests (expired keys' rows
+    are GONE from the store).
+
+    `keyed` is a streaming DataFrame with (key long, ts timestamp); the
+    event-time watermark is applied here."""
+    return (
+        keyed.withWatermark("ts", watermark_delay)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _threshold_horizon_func(threshold, horizon_ms),
+            outputStructType=_ALERT_H_OUTPUT,
+            stateStructType=_ALERT_H_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

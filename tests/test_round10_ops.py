@@ -136,6 +136,127 @@ class TestDefaultEntryPointIsHorizon:
         assert st.removed
 
 
+def _replay_alerts(spark, tmp_path, batches, threshold, horizon_ms, delay="0 seconds"):
+    src_dir = _stage_batches(spark, tmp_path, batches, "key long, ts timestamp")
+    stream = (
+        spark.readStream.schema("key long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out, q = _replay(
+        spark,
+        tmp_path,
+        stateful.streaming_threshold_alerts_horizon(
+            stream, threshold=threshold, horizon_ms=horizon_ms, watermark_delay=delay
+        ),
+    )
+    return sorted((r["key"], r["crossed_ms"]) for r in out.collect()), q
+
+
+class TestAlertsHorizon:
+    """VERDICT r9 #3: the trailing-horizon threshold alerts — session
+    semantics, fire-once, the late-data contract, and state eviction."""
+
+    def test_fires_once_per_session_and_forgets_across_gaps(self, spark, tmp_path):
+        horizon = 24 * HOUR_MS
+        batches = [
+            # session 1: three events inside the horizon -> alert at the
+            # third event's time; the fourth must NOT re-fire
+            [(1, _ts(0)), (1, _ts(1)), (1, _ts(2)), (1, _ts(3))],
+            # 997 h gap > 24 h: the count is FORGOTTEN (two events are
+            # not enough to fire in the new session)
+            [(1, _ts(1000)), (1, _ts(1001))],
+            # another gap, a full session again -> second alert
+            [(1, _ts(2000)), (1, _ts(2001)), (1, _ts(2002))],
+            # a key that never reaches the threshold emits nothing
+            [(2, _ts(2000)), (2, _ts(2001))],
+        ]
+        got, _ = _replay_alerts(spark, tmp_path, batches, 3, horizon)
+        assert got == [
+            (1, BASE_MS + 2 * HOUR_MS),
+            (1, BASE_MS + 2002 * HOUR_MS),
+        ]
+
+    def test_lifetime_form_would_differ(self, spark, tmp_path):
+        """The same schedule through the NoTimeout lifetime op fires on
+        the 5th event ever — the horizon form's second-session alert is a
+        genuinely different (and bounded-state) question."""
+        horizon = 24 * HOUR_MS
+        batches = [
+            [(1, _ts(0)), (1, _ts(1))],
+            [(1, _ts(1000)), (1, _ts(1001))],
+            [(1, _ts(2000))],
+        ]
+        got, _ = _replay_alerts(spark, tmp_path, batches, 3, horizon)
+        assert got == []  # no session ever holds 3 events
+
+    def test_late_row_joins_current_session(self, spark, tmp_path):
+        """The late-data contract: an event admitted behind the running
+        max (non-positive gap) increments the CURRENT session — here it
+        is the crossing event, so the alert carries the LATE event's
+        time."""
+        horizon = 24 * HOUR_MS
+        batches = [
+            [(1, _ts(0)), (1, _ts(10))],
+            [(1, _ts(5))],  # late: behind the running max 10 h
+        ]
+        got, _ = _replay_alerts(
+            spark, tmp_path, batches, 3, horizon, delay="100 hours"
+        )
+        assert got == [(1, BASE_MS + 5 * HOUR_MS)]
+
+    def test_expired_key_state_rows_are_gone(self, spark, tmp_path):
+        """VERDICT r9 #3 'done' condition: keys idle past the horizon are
+        REMOVED from the state store — numRowsRemoved fires mid-replay
+        and the final store holds fewer rows than keys-ever (what the
+        NoTimeout form would retain)."""
+        horizon = 24 * HOUR_MS
+        # 8 keys, each alive in its own 1000 h epoch: every earlier
+        # key's state expires as later batches advance the watermark
+        batches = [
+            [(k, _ts(k * 1000)), (k, _ts(k * 1000 + 1))] for k in range(8)
+        ]
+        got, q = _replay_alerts(spark, tmp_path, batches, 2, horizon)
+        # semantics unaffected by eviction: every key's second event fires
+        assert [k for k, _ in got] == list(range(8))
+        removed, final_total = 0, None
+        for p in q.recentProgress:
+            for so in p["stateOperators"] or []:
+                removed += so["numRowsRemoved"] or 0
+                if so["numRowsTotal"] is not None:
+                    final_total = so["numRowsTotal"]
+        assert removed > 0, "no state rows were ever evicted"
+        assert final_total is not None and final_total < 8
+
+    def test_timeout_branch_yields_nothing(self):
+        class FakeState:
+            hasTimedOut = True
+            exists = False
+            removed = False
+
+            def remove(self):
+                self.removed = True
+
+        st = FakeState()
+        fn = stateful._threshold_horizon_func(3, HOUR_MS)
+        out = list(fn((7,), iter([]), st))
+        assert out == []
+        assert st.removed
+
+    def test_certificate_constants_are_interpolated(self):
+        """The 12 h horizon / threshold 8 pins appear in BOTH certificate
+        oracles via interpolation from the module constants."""
+        from broker_spark.plans import catalog
+
+        for name in (
+            "streaming_alerts_replay_horizon",
+            "streaming_alerts_replay_horizon_shuffled",
+        ):
+            sql = catalog.CATALOG[name].sql
+            assert f"> {catalog._ALERT_HORIZON_MS}" in sql
+            assert f"{catalog._ALERT_HORIZON_THRESHOLD}" in sql
+
+
 class TestHorizonConstantSync:
     def test_oracles_interpolate_the_default_horizon(self):
         """ADVICE r9 (mirrors TestGuardConstantSync): the dedup horizon
