@@ -604,10 +604,46 @@ def main() -> None:
         "flagged_regressions": flagged_regressions,
     }
 
+    # Same-HEAD run accumulation (VERDICT r9 #6): the committed detail
+    # must carry EVERY total measured at this HEAD, not just the run
+    # whose full per-query map happened to be written last — the r9
+    # builder record's 91.4/101.8/96.0 s spread lived only in prose and
+    # cross-round comparisons had to be adjudicated by narrative.  Each
+    # bench run appends {total, total_ok, probe_best} keyed to the git
+    # HEAD; a new HEAD starts the list over.
+    import subprocess
+
+    try:
+        git_head = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        git_head = None
+    run_totals = []
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path) as fh:
+            prev_snapshot = json.load(fh)
+        if git_head and prev_snapshot.get("git_head") == git_head:
+            run_totals = list(prev_snapshot.get("run_totals") or [])
+    except (OSError, ValueError):
+        pass
+    run_totals.append(
+        {"total": value, "total_ok": total_ok, "probe_best": probe_best}
+    )
+
     detail = {
         "metric": "headline_queries_total",
         "value": value,
         "total_ok": total_ok,
+        "git_head": git_head,
+        "run_totals": run_totals,
         "unit": "sec",
         "queries": timings,
         "spreads": spreads,

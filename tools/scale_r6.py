@@ -87,18 +87,35 @@ ENTRIES_S5 = [
 ]
 
 
+#: round 10 (pass --sessions 6): the five most expensive r9 headline
+#: queries re-measured at the CURRENT HEAD (VERDICT r9 #5 — some of
+#: their committed slopes date to r7 measurements of earlier plans).
+ENTRIES_S6 = [
+    "dedup_components_incremental",
+    "layout_pruning_multidim",
+    "link_prediction_adamic_adar",
+    "dedup_prefix_filter_pairs",
+    "ann_rp_lsh_topk",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--sessions", type=int, default=1)
+    ap.add_argument(
+        "--entries", nargs="+", default=None,
+        help="explicit entry names (overrides --sessions)",
+    )
     args = ap.parse_args()
-    entries = {
+    entries = args.entries or {
         1: ENTRIES,
         2: ENTRIES_S2,
         3: ENTRIES_S3,
         4: ENTRIES_S4,
         5: ENTRIES_S5,
+        6: ENTRIES_S6,
     }[args.sessions]
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
