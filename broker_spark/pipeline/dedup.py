@@ -81,12 +81,28 @@ def minhash_signature(
     ]
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(
+    df: DataFrame, n_rows: int | None = None, rows_per_partition: int = 2000
+) -> DataFrame:
     """Spread rows across all cores before expensive per-row expressions —
     a small parquet file arrives as 1-2 input splits, which would leave
-    most executors idle for the signature map work."""
+    most executors idle for the signature map work.
+
+    Pass `n_rows` whenever the spread frame is about to be EXPLODED AND
+    PINNED (the shingle inverted-index builders): an eager localCheckpoint
+    materializes one deserialized block per partition, so the partition
+    count must scale with the corpus — at 100x data the core-count spread
+    (32) put ~3M exploded shingles into each block and the checkpoint
+    OOMed the heap before any join ran (r10 slope refresh).  ~2000 docs
+    per partition keeps blocks tens of MB; small corpora still get one
+    partition per core for the map work.  The one count() job that
+    supplies `n_rows` is the statistic AQE lacks at materialization time
+    (AQE sizes shuffle reads, never checkpoint blocks)."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    n = sc.defaultParallelism
+    if n_rows is not None:
+        n = max(n, n_rows // rows_per_partition)
+    return df.repartition(n)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
@@ -340,7 +356,7 @@ def ngram_containment_pairs(
     shingle, so only documents sharing a shingle meet; `max_doc_freq`
     drops boilerplate stop-shingles whose posting lists would go
     quadratic at corpus scale."""
-    sh = _spread(docs).select(
+    sh = _spread(docs, n_rows=docs.count()).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
     )
@@ -494,7 +510,7 @@ def ngram_jaccard_pairs(
     (boilerplate stop-shingles whose posting lists go quadratic at corpus
     scale); None keeps exact Jaccard semantics.
     """
-    sh = _spread(docs).select(
+    sh = _spread(docs, n_rows=docs.count()).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
     )
     if max_doc_freq is not None:
@@ -772,6 +788,10 @@ def minhash_estimate_error(
         .union(pairs.select(F.col("doc_b")))
         .distinct()
     )
+    # core-sized spread is safe HERE despite the explode-and-pin: the
+    # semi-join bounds the exploded frame to candidate-pair members,
+    # which the default bucket guard caps (the unguarded census opt-outs
+    # were measured through 100x in r7/r8 without block pressure)
     sh = (
         _spread(docs)
         .join(pair_docs, "doc_id", "left_semi")
@@ -1097,7 +1117,11 @@ def prefix_filter_jaccard_pairs(
     `/root/reference/` dedup queries; algorithm from the public
     similarity-join literature.
     """
-    tok = _spread(docs).select(
+    # One count() job supplies BOTH data-driven decisions below (the
+    # join-strategy switch and the pin's partition sizing) — the same
+    # measured sizing rule as ANN's nlist scaling.
+    n_docs = docs.count()
+    tok = _spread(docs, n_rows=n_docs).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(F.col("text"), shingle))
@@ -1115,10 +1139,8 @@ def prefix_filter_jaccard_pairs(
     # builds them as broadcasts unconditionally — which OOMed the driver
     # at 100x data.  Below the bound (vocab comfortably driver-sized)
     # broadcasting is the right plan and ~3x faster; above it every join
-    # carries a merge hint so the plan is shuffle-based end to end.  The
-    # one count() job supplies the statistic AQE lacks at plan time —
-    # the same measured sizing rule as ANN's nlist scaling.
-    small = docs.count() <= broadcast_below_docs
+    # carries a merge hint so the plan is shuffle-based end to end.
+    small = n_docs <= broadcast_below_docs
     hinted = (lambda d: d) if small else (lambda d: d.hint("merge"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (

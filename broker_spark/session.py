@@ -51,6 +51,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size reduce-side partitions by DATA, not by the core count:
+        # shuffles start at 8x the configured parallelism and AQE
+        # coalesces them to the advisory size, so a small query still
+        # runs on a handful of post-coalesce partitions while a 100x
+        # corpus gets fine-grained tasks whose sort buffers fit the
+        # heap (with the previous fixed 32, the prefix-filter similarity
+        # join at 100x put ~3M rows per side into each SMJ task — r10
+        # slope refresh).  Deliberately 8x the EXPLICIT setting, no
+        # absolute floor: a caller that asked for 4 shuffle partitions
+        # (the test suite) means small.  On a real cluster this number
+        # scales with the executor count, not a constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(8 * int(shuffle_partitions)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep wide plans (simhash bit counters, unpivoted percentile grids)
