@@ -1129,8 +1129,6 @@ def prefix_filter_jaccard_pairs(
     )
     # one materialization, three readers (df agg, prefix build, verify join)
     tok = tok.transform(pin)
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
 
     # Join-strategy switch on a REAL stat: vocabulary, per-doc sizes,
     # prefix postings and token sets all grow ~linearly with the corpus
@@ -1142,9 +1140,32 @@ def prefix_filter_jaccard_pairs(
     # carries a merge hint so the plan is shuffle-based end to end.
     small = n_docs <= broadcast_below_docs
     hinted = (lambda d: d) if small else (lambda d: d.hint("merge"))
+    # Above the bound, the shuffle-based plan additionally CO-PARTITIONS
+    # every heavy exchange at a corpus-scaled width instead of the
+    # session's core-count shuffle partitions: at 100x data, 32 reduce
+    # partitions put ~3M exploded-shingle rows PER SIDE into each
+    # concurrent SMJ sort and the heap died before spill thresholds
+    # engaged (r10; a blanket AQE initialPartitionNum bump fixed it but
+    # cost ~9% on the whole small-scale headline — this is the targeted
+    # form).  The token-keyed index is partitioned ONCE per key shape;
+    # the df aggregate, the prefix self-join, and the verify joins all
+    # reuse that partitioning with zero extra exchanges (aliases keep
+    # hash partitioning, aggregates keep their grouping-key clustering).
+    # ~2000 docs of postings per partition — the _spread sizing rule.
+    if small:
+        part = lambda d, *k: d  # noqa: E731 — identity, AQE coalesces freely
+    else:
+        n_part = max(
+            docs.sparkSession.sparkContext.defaultParallelism, n_docs // 2000
+        )
+        part = lambda d, *k: d.repartition(n_part, *k)  # noqa: E731
+    tok_t = part(tok, "tok")
+    tok_d = part(tok, "doc_id")
+    dfreq = tok_t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    sizes = tok_d.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
-        tok.join(hinted(dfreq), "tok")
+        part(tok_t.join(hinted(dfreq), "tok"), "doc_id")
         .withColumn("pos", F.row_number().over(pos_w))
         .join(hinted(sizes), "doc_id")
         .withColumn(
@@ -1152,8 +1173,11 @@ def prefix_filter_jaccard_pairs(
             (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
         )
     )
-    prefix = ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-        "doc_id", "tok", "n_tok"
+    prefix = part(
+        ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+            "doc_id", "tok", "n_tok"
+        ),
+        "tok",
     )
     cand = (
         prefix.alias("a")
@@ -1172,12 +1196,15 @@ def prefix_filter_jaccard_pairs(
             F.col("a.n_tok").alias("na"),
             F.col("b.n_tok").alias("nb"),
         )
+        .transform(lambda d: part(d, "doc_a", "doc_b"))
         .distinct()
     )
-    ta = tok.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = tok.select(F.col("doc_id").alias("doc_b"), "tok")
+    ta = tok_d.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = part(tok.select(F.col("doc_id").alias("doc_b"), "tok"), "doc_b", "tok")
     common = (
-        cand.join(hinted(ta), "doc_a")
+        part(cand, "doc_a")
+        .join(hinted(ta), "doc_a")
+        .transform(lambda d: part(d, "doc_b", "tok"))
         .join(hinted(tb), ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))

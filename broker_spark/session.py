@@ -51,21 +51,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Size reduce-side partitions by DATA, not by the core count:
-        # shuffles start at 8x the configured parallelism and AQE
-        # coalesces them to the advisory size, so a small query still
-        # runs on a handful of post-coalesce partitions while a 100x
-        # corpus gets fine-grained tasks whose sort buffers fit the
-        # heap (with the previous fixed 32, the prefix-filter similarity
-        # join at 100x put ~3M rows per side into each SMJ task — r10
-        # slope refresh).  Deliberately 8x the EXPLICIT setting, no
-        # absolute floor: a caller that asked for 4 shuffle partitions
-        # (the test suite) means small.  On a real cluster this number
-        # scales with the executor count, not a constant.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            str(8 * int(shuffle_partitions)),
-        )
+        # initialPartitionNum is deliberately UNSET (= shuffle.partitions):
+        # a blanket 8x start for every exchange was measured at +9% on the
+        # sf0.1 headline subset and compounds over a long session's AQE /
+        # map-status bookkeeping (r10 A/B, BENCH_DETAIL run at 118 s vs
+        # 96 s).  The one shape that needed finer reduce partitions at
+        # 100x — the shingle inverted-index SMJ joins — gets them from the
+        # operator itself (corpus-scaled co-partitioning in
+        # pipeline/dedup.py), and SMJ sorts spill to disk by design when a
+        # partition outgrows its buffer.  On a real cluster, size
+        # shuffle_partitions to the executor fleet via spark-submit.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep wide plans (simhash bit counters, unpivoted percentile grids)
