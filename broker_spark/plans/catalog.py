@@ -4841,8 +4841,8 @@ def q_embedding_pca_scores(spark, sf_dir):
         .collect()
     )
     mean = [r["mval"] for r in sorted(means, key=lambda r: r["i0"])]
-    lv = F.array(*[F.lit(c) for c in loadings])
-    mv = F.array(*[F.lit(c) for c in mean])
+    lv = ann.lit_vector(loadings)
+    mv = ann.lit_vector(mean)
     centered = F.zip_with(ann._as_double(F.col("embedding")), mv, lambda a, b: a - b)
     return emb.select(
         "vec_id",

@@ -27,6 +27,23 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Per-session memo of resolved table DataFrames (WeakKeyDictionary so a
+#: stopped session's entries are GC-reclaimed with it).  `spark.read
+#: .parquet` costs ~80 ms of file listing + footer schema read PER CALL;
+#: across a catalog run that re-loads the same static tables hundreds of
+#: times it adds tens of seconds of pure metadata latency.  Reusing the
+#: resolved (immutable, lazy) DataFrame is exactly what a metastore
+#: `spark.table(...)` gives on a real cluster — the relation and its file
+#: index resolve once, every query re-plans and re-scans from there.  The
+#: driver testdata dirs are read-only, so the cached file index can never
+#: go stale; loaders for MUTABLE paths (the partitioned storage log) do
+#: not go through this function.
+from weakref import WeakKeyDictionary
+
+_LOAD_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table, normalizing `ts` to TimestampType.
@@ -42,6 +59,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       UTC, so the cast is value-identical to DuckDB's naive reading.
     - timestamp[us, tz=UTC]: already TimestampType, no-op.
     """
+    memo = _LOAD_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = memo.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -53,6 +75,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and isinstance(field.dataType, TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    memo[key] = df
     return df
 
 
