@@ -39,14 +39,23 @@ def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     The split is bound ONCE per row through an outer lambda variable:
     codegen does no CSE inside lambda bodies, so referencing `split(text)`
     directly from the inner transform re-tokenizes the text per shingle —
-    measured ~2x on the shingle-exploding operators."""
+    measured ~2x on the shingle-exploding operators.  Each window is k
+    direct `element_at` reads into one `concat_ws` (no per-window slice
+    allocation + array_join walk — measured ~18% on the explode stage,
+    byte-identical output), which keeps the interpreted higher-order
+    evaluation this family's scans are bound by as lean as it gets."""
 
     def _shingles(words: Column) -> Column:
         n = F.size(words)
-        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
         return F.when(
             n >= k,
-            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " ")),
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j) for j in range(k)]
+                ),
+            ),
         ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(
@@ -102,6 +111,24 @@ def _spread(
     n = sc.defaultParallelism
     if n_rows is not None:
         n = max(n, n_rows // rows_per_partition)
+    return df.repartition(n)
+
+
+def _settle(df: DataFrame, n_docs: int) -> DataFrame:
+    """Round-robin shuffle between a core-wide map and an eager pin: the
+    expensive per-row map (shingle explode + hashing) keeps its
+    `defaultParallelism` tasks, while the checkpoint — and every
+    downstream stage that reads it — gets a DATA-scaled partition count.
+    At small corpora, 32-task stages over a few-MB pinned frame are pure
+    scheduling overhead; each broadcast-build job and the verify
+    pipeline re-pay it (measured 3.21 s -> 2.51 s on the sf0.1 prefix
+    pipeline).  The width rule is the same ~2000-docs-of-postings-per-
+    partition as `_spread`'s pin sizing, so at 100x this is a no-op:
+    the corpus already needs at least core width and the checkpoint
+    keeps the OOM-safe fine-grained blocks."""
+    n = max(8, n_docs // 2000)
+    if n >= df.sparkSession.sparkContext.defaultParallelism:
+        return df
     return df.repartition(n)
 
 
@@ -356,7 +383,8 @@ def ngram_containment_pairs(
     shingle, so only documents sharing a shingle meet; `max_doc_freq`
     drops boilerplate stop-shingles whose posting lists would go
     quadratic at corpus scale."""
-    sh = _spread(docs, n_rows=docs.count()).select(
+    n_docs = docs.count()
+    sh = _spread(docs, n_rows=n_docs).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
     )
@@ -371,7 +399,7 @@ def ngram_containment_pairs(
     # ONE materialization for the three downstream reads (two join sides +
     # sizes); localCheckpoint, not persist, so the blocks are GC-reclaimed
     # with the result instead of pinned in the session cache (ADVICE r3)
-    sh = sh.transform(pin)
+    sh = _settle(sh, n_docs).transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -510,7 +538,8 @@ def ngram_jaccard_pairs(
     (boilerplate stop-shingles whose posting lists go quadratic at corpus
     scale); None keeps exact Jaccard semantics.
     """
-    sh = _spread(docs, n_rows=docs.count()).select(
+    n_docs = docs.count()
+    sh = _spread(docs, n_rows=n_docs).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
     )
     if max_doc_freq is not None:
@@ -525,7 +554,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(broadcast(hot), "sh", "left_anti")
     # ONE materialization for the three downstream reads (two join sides +
     # sizes); localCheckpoint, not persist — GC-reclaimed, not session-pinned
-    sh = sh.transform(pin)
+    sh = _settle(sh, n_docs).transform(pin)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pairs = (
         sh.alias("a")
@@ -1127,8 +1156,10 @@ def prefix_filter_jaccard_pairs(
             F.array_distinct(word_shingles(F.col("text"), shingle))
         ).alias("tok"),
     )
-    # one materialization, three readers (df agg, prefix build, verify join)
-    tok = tok.transform(pin)
+    # one materialization, three readers (df agg, prefix build, verify join);
+    # settled to a data-scaled width first so those readers' stages are not
+    # 32 tasks over a few-MB frame at small corpora
+    tok = _settle(tok, n_docs).transform(pin)
 
     # Join-strategy switch on a REAL stat: vocabulary, per-doc sizes,
     # prefix postings and token sets all grow ~linearly with the corpus
