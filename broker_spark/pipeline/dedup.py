@@ -665,8 +665,14 @@ def connected_components_star(
         from pyspark.sql.types import StructField, StructType
 
         spark = docs.sparkSession
+        # 4 slices, not the parallelize default (= core count): the label
+        # list is at most local_threshold-bounded (a few MB), and every
+        # downstream stage over the returned frame — the singleton
+        # anti-join, the caller's relabel joins, the final count — pays
+        # one task per slice; 32 slices of a driver-local list was ~1/4
+        # of the incremental-CC entry's job time in task overhead
         labels = spark.createDataFrame(
-            list(comp.items()),
+            spark.sparkContext.parallelize(list(comp.items()), 4),
             StructType(
                 [StructField(id_col, id_type), StructField("component", id_type)]
             ),
