@@ -141,6 +141,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     rows_per_band: int = 2,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, bucket on (band_id,
     band_key), generate pairs inside each bucket.
@@ -155,8 +156,13 @@ def minhash_lsh_pairs(
     DEFAULT_MAX_BUCKET_SIZE (VERDICT r8 #2).  `None` opts out for the
     exact census — quadratic under verbatim duplication, measured in
     tools/guard_densify.py.  Returns distinct (doc_a, doc_b), doc_a <
-    doc_b."""
-    sig = minhash_signatures(docs, num_hashes)
+    doc_b.
+
+    `sig` lets a caller that ALSO reads the signatures (the estimator
+    certificate) pass a pinned signature frame so the signature scan —
+    the dominant map cost — runs once instead of once per reader."""
+    if sig is None:
+        sig = minhash_signatures(docs, num_hashes)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -784,14 +790,18 @@ def minhash_estimate_error(
     and the cap bounds the certificate's cost the same way it bounds the
     dedup itself (VERDICT r7 #5).
     """
-    # pairs/sh are each referenced by three downstream joins;
+    # pairs/sig/sh are each referenced by multiple downstream readers;
     # localCheckpoint (not persist) materializes them once and the blocks
     # are GC-reclaimed with the result — a persist would pin CacheManager
-    # entries for the whole session (ADVICE r3 pattern)
+    # entries for the whole session (ADVICE r3 pattern).  The signature
+    # frame is pinned FIRST and threaded into the candidate generator:
+    # without that, the signature scan (the dominant map cost) ran three
+    # times — inside the pairs lineage and once per est join side.
+    n_docs = docs.count()
+    sig = _settle(minhash_signatures(docs, num_hashes), n_docs).transform(pin)
     pairs = minhash_lsh_pairs(
-        docs, num_hashes, rows_per_band, max_bucket_size=max_bucket_size
+        docs, num_hashes, rows_per_band, max_bucket_size=max_bucket_size, sig=sig
     ).transform(pin)
-    sig = minhash_signatures(docs, num_hashes)
     agree = [
         (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(num_hashes)
     ]
