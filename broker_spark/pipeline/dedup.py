@@ -296,21 +296,25 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .select("doc_id", word_hash60(F.col("w")).alias("_h"))
     )
-    h = F.col("_h")
+    # each counter/bit as ONE F.expr string, not a chain of Column ops:
+    # the 60-wide aggregate + fold costs ~900 Py4J round-trips (~1 s of
+    # plan-build latency inside every timed run) built operator-by-
+    # operator; as SQL snippets the JVM parses each in one call and the
+    # resulting expression tree — and therefore the plan and the values —
+    # is identical
     counters = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_words"),
         *[
-            F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+            F.expr(f"sum(shiftright(_h, {b}) & 1)").alias(f"c{b}")
             for b in range(SIMHASH_BITS)
         ],
     )
-    sig = None
-    for b in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"c{b}") * 2 > F.col("n_words"), F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = bit if sig is None else sig + bit
-    return counters.select("doc_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(CASE WHEN c{b} * 2 > n_words THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return counters.select("doc_id", F.expr(sig_sql).alias("simhash"))
 
 
 def simhash_band_keys(sig: Column) -> Column:
