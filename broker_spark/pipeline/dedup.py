@@ -160,9 +160,22 @@ def minhash_lsh_pairs(
 
     `sig` lets a caller that ALSO reads the signatures (the estimator
     certificate) pass a pinned signature frame so the signature scan —
-    the dominant map cost — runs once instead of once per reader."""
+    the dominant map cost — runs once instead of once per reader.
+    `docs` is UNUSED in that case, and the frame must carry exactly the
+    mh0..mh{num_hashes-1} columns the banding loop expects — checked
+    eagerly so a mismatched num_hashes fails with a clear message instead
+    of an unresolved-column analysis error (or silently banding over a
+    subset when sig is wider)."""
     if sig is None:
         sig = minhash_signatures(docs, num_hashes)
+    else:
+        have = {c for c in sig.columns if c.startswith("mh")}
+        want = {f"mh{j}" for j in range(num_hashes)}
+        if have != want:
+            raise ValueError(
+                f"caller-supplied sig has hash columns {sorted(have)}; "
+                f"num_hashes={num_hashes} requires exactly {sorted(want)}"
+            )
     band_keys = F.array(
         *[
             F.concat_ws(

@@ -5099,7 +5099,10 @@ def q_streaming_alerts_replay(spark, sf_dir):
         .select(F.col("user_id").alias("key"))
     )
     q = (
-        stateful.streaming_threshold_alerts(source, threshold=75)
+        # pins the LIFETIME form deliberately: this certificate's oracle IS
+        # lifetime GROUP BY / HAVING; the unqualified name is the horizon
+        # form since r11 (the r10 default-entry doctrine)
+        stateful.streaming_threshold_alerts_lifetime(source, threshold=75)
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)

@@ -27,22 +27,26 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Per-session memo of resolved table DataFrames (WeakKeyDictionary so a
-#: stopped session's entries are GC-reclaimed with it).  `spark.read
-#: .parquet` costs ~80 ms of file listing + footer schema read PER CALL;
-#: across a catalog run that re-loads the same static tables hundreds of
-#: times it adds tens of seconds of pure metadata latency.  Reusing the
-#: resolved (immutable, lazy) DataFrame is exactly what a metastore
-#: `spark.table(...)` gives on a real cluster — the relation and its file
-#: index resolve once, every query re-plans and re-scans from there.  The
-#: driver testdata dirs are read-only, so the cached file index can never
-#: go stale; loaders for MUTABLE paths (the partitioned storage log) do
-#: not go through this function.
-from weakref import WeakKeyDictionary
-
-_LOAD_MEMO: "WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    WeakKeyDictionary()
-)
+#: Name of the per-session memo attribute of resolved table DataFrames.
+#: `spark.read.parquet` costs ~80 ms of file listing + footer schema read
+#: PER CALL; across a catalog run that re-loads the same static tables
+#: hundreds of times it adds tens of seconds of pure metadata latency.
+#: Reusing the resolved (immutable, lazy) DataFrame is exactly what a
+#: metastore `spark.table(...)` gives on a real cluster — the relation and
+#: its file index resolve once, every query re-plans and re-scans from
+#: there.  The driver testdata dirs are read-only, so the cached file
+#: index can never go stale; loaders for MUTABLE paths (the partitioned
+#: storage log) do not go through this function —
+#: tests/test_round11_ops.py pins that invariant.
+#:
+#: The dict lives ON the session object (not in a module-level
+#: WeakKeyDictionary): cached DataFrames hold a strong reference back to
+#: their session, and a WeakKeyDictionary value that refers to its key is
+#: never discarded — stopped sessions would accumulate for process
+#: lifetime.  As a plain attribute the session -> dict -> DataFrame ->
+#: session loop is an ordinary reference CYCLE, collectable by gc as soon
+#: as the last outside reference to the session drops.
+_MEMO_ATTR = "_broker_spark_load_memo"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,7 +63,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       UTC, so the cast is value-identical to DuckDB's naive reading.
     - timestamp[us, tz=UTC]: already TimestampType, no-op.
     """
-    memo = _LOAD_MEMO.setdefault(spark, {})
+    memo = spark.__dict__.setdefault(_MEMO_ATTR, {})
     key = (os.path.abspath(sf_dir), name)
     cached = memo.get(key)
     if cached is not None:

@@ -1,0 +1,257 @@
+"""Round-11 operators and invariants: the default threshold-alert entry
+point carries the eviction contract (VERDICT r10 #2), the table-load memo
+invariant is pinned by tests (VERDICT r10 #5 + ADVICE r10), the
+caller-supplied minhash signature frame is validated eagerly (ADVICE r10),
+and the prefix-filter family gains a bounded interactive twin
+(VERDICT r10 #3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.streaming import stateful
+
+HOUR_MS = 3_600_000
+BASE_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _ts(hours: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(
+        (BASE_MS + hours * HOUR_MS) / 1000.0, tz=dt.timezone.utc
+    ).replace(tzinfo=None)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #5 + ADVICE r10: the table-load memo
+# ---------------------------------------------------------------------------
+
+
+class TestLoadMemoInvariants:
+    """`tables.load` memoizes resolved DataFrames — safe ONLY because every
+    caller reads the immutable driver testdata.  These tests turn the
+    comment into a machine-checked invariant."""
+
+    def test_memo_lives_on_the_session_object(self, spark):
+        """ADVICE r10: a module-level WeakKeyDictionary never evicts
+        (cached DataFrames hold their session, and a value that refers to
+        its key pins the entry).  The memo must be an ordinary attribute
+        on the session — session -> dict -> DataFrame -> session is then a
+        collectable cycle."""
+        from broker_spark import tables
+
+        assert not hasattr(tables, "_LOAD_MEMO")
+        a = tables.load(spark, SF_SMALL, "region")
+        b = tables.load(spark, SF_SMALL, "region")
+        assert a is b, "memo must return the SAME resolved DataFrame"
+        memo = spark.__dict__.get(tables._MEMO_ATTR)
+        assert isinstance(memo, dict) and memo, "memo dict not on the session"
+        # no module-global container holds DataFrames keyed by session
+        module_state = [
+            v
+            for k, v in vars(tables).items()
+            if isinstance(v, dict) and not k.startswith("__")
+        ]
+        assert module_state == [], "tables.py must hold no module-level caches"
+
+    def test_mutable_path_readers_never_route_through_the_memo(self):
+        """VERDICT r10 #5: the partitioned-log readers (storage/store.py,
+        the streaming sinks/maintenance jobs) re-list their directories on
+        every read — a memoized relation would serve stale file indexes
+        after an append.  Pin it statically: those modules must not
+        reference tables.load at all.  (storage/bucketed.py is exempt by
+        design: it loads the IMMUTABLE sf_dir tables to write bucketed
+        copies.)"""
+        import broker_spark
+
+        pkg = os.path.dirname(broker_spark.__file__)
+        mutable_modules = [os.path.join(pkg, "storage", "store.py")] + sorted(
+            glob.glob(os.path.join(pkg, "streaming", "*.py"))
+        )
+        assert mutable_modules
+        for path in mutable_modules:
+            with open(path) as f:
+                src = f.read()
+            assert "from broker_spark.tables" not in src, path
+            assert "broker_spark.tables import" not in src, path
+            assert "tables.load(" not in src, path
+
+    def test_store_reads_see_appends_immediately(self, spark, tmp_path):
+        """Runtime form of the same invariant: a Storage append is visible
+        to the very next read — impossible if the log reader memoized its
+        resolved file index."""
+        from broker_spark.schema import STREAM_MESSAGE_SCHEMA
+        from broker_spark.storage.store import Storage
+
+        from tests.conftest import make_msg
+
+        st = Storage(spark, str(tmp_path / "log"))
+        st.store(
+            spark.createDataFrame(
+                [make_msg("s1", 0, ts=1000)], STREAM_MESSAGE_SCHEMA
+            )
+        )
+        assert st.request_last("s1", 0, 10).count() == 1
+        st.store(
+            spark.createDataFrame(
+                [make_msg("s1", 0, ts=2000)], STREAM_MESSAGE_SCHEMA
+            )
+        )
+        assert st.request_last("s1", 0, 10).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: caller-supplied minhash signature validation
+# ---------------------------------------------------------------------------
+
+
+class TestMinhashSigValidation:
+    def test_mismatched_sig_fails_eagerly_with_a_clear_message(self, spark):
+        from broker_spark.pipeline import dedup
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+        )
+        sig2 = dedup.minhash_signatures(docs, num_hashes=2)
+        with pytest.raises(ValueError, match="num_hashes=4 requires exactly"):
+            dedup.minhash_lsh_pairs(docs, num_hashes=4, sig=sig2)
+        # a WIDER sig is just as wrong: silently banding over a subset
+        # would under-generate candidates
+        sig4 = dedup.minhash_signatures(docs, num_hashes=4)
+        with pytest.raises(ValueError, match="num_hashes=2 requires exactly"):
+            dedup.minhash_lsh_pairs(docs, num_hashes=2, sig=sig4)
+
+    def test_matching_sig_equals_default_path(self, spark):
+        from broker_spark.pipeline import dedup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "the quick brown fox jumps over the lazy dog tonight"),
+                (3, "a completely different sentence with other words here"),
+            ],
+            "doc_id long, text string",
+        )
+        sig = dedup.minhash_signatures(docs, num_hashes=4)
+        via_sig = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_hashes=4, sig=sig).collect()
+        }
+        default = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_lsh_pairs(docs, num_hashes=4).collect()
+        }
+        assert via_sig == default == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #2: the default threshold-alert entry point is the horizon form
+# ---------------------------------------------------------------------------
+
+
+def _stage_batches(spark, tmp_path, batches, schema):
+    """One parquet file per micro-batch with ascending mtimes."""
+    import shutil
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        target = str(src / f"batch{i:02d}.parquet")
+        shutil.move(part, target)
+        t = now - (len(batches) - i) * 10
+        os.utime(target, (t, t))
+        shutil.rmtree(stage, ignore_errors=True)
+    return str(src)
+
+
+def _replay(spark, tmp_path, df):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(tmp_path / "sink"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "replay did not terminate"
+    return spark.read.parquet(str(tmp_path / "sink")), q
+
+
+class TestDefaultAlertEntryPointIsHorizon:
+    """VERDICT r10 #2 (the round-10 default-entry doctrine applied to
+    threshold alerts): the zero-config name must carry the eviction
+    contract; lifetime counting is an explicit opt-in."""
+
+    # key 1: two events, then a 1000 h gap (> the 7-day default horizon),
+    # then two more — the horizon form forgets the first session's count,
+    # the lifetime form would fire at the 3rd event ever
+    BATCHES = [
+        [(1, _ts(0)), (1, _ts(1))],
+        [(1, _ts(1200)), (1, _ts(1201))],
+    ]
+
+    def test_default_name_applies_the_horizon(self, spark, tmp_path):
+        src_dir = _stage_batches(
+            spark, tmp_path, self.BATCHES, "key long, ts timestamp"
+        )
+        stream = (
+            spark.readStream.schema("key long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out, _ = _replay(
+            spark, tmp_path, stateful.streaming_threshold_alerts(stream, threshold=3)
+        )
+        # no trailing-horizon session ever holds 3 events -> no alert
+        assert out.count() == 0
+
+    def test_default_name_has_event_time_timeout(self, spark, tmp_path):
+        """The 'done' condition verbatim: the default path registers
+        EventTimeTimeout eviction — expired keys' state rows are GONE."""
+        batches = [[(k, _ts(k * 1000)), (k, _ts(k * 1000 + 1))] for k in range(4)]
+        src_dir = _stage_batches(spark, tmp_path, batches, "key long, ts timestamp")
+        stream = (
+            spark.readStream.schema("key long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out, q = _replay(
+            spark, tmp_path, stateful.streaming_threshold_alerts(stream, threshold=2)
+        )
+        assert sorted(r["key"] for r in out.collect()) == list(range(4))
+        removed = 0
+        final_total = None
+        for p in q.recentProgress:
+            for so in p["stateOperators"] or []:
+                removed += so["numRowsRemoved"] or 0
+                if so["numRowsTotal"] is not None:
+                    final_total = so["numRowsTotal"]
+        assert removed > 0, "default entry point never evicted state"
+        assert final_total is not None and final_total < 4
+
+    def test_lifetime_name_never_forgets(self, spark, tmp_path):
+        rows = [(k, ) for batch in self.BATCHES for (k, _t) in batch]
+        src_dir = _stage_batches(spark, tmp_path, [[r] for r in rows], "key long")
+        stream = (
+            spark.readStream.schema("key long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out, _ = _replay(
+            spark,
+            tmp_path,
+            stateful.streaming_threshold_alerts_lifetime(stream, threshold=3),
+        )
+        got = [(r["key"], r["total"]) for r in out.collect()]
+        assert got == [(1, 3)]  # fires at the 3rd event EVER, gap or not

@@ -189,7 +189,7 @@ class TestStreamingThresholdAlerts:
         def run_batch():
             source = spark.readStream.schema("key long").parquet(str(src))
             q = (
-                stateful.streaming_threshold_alerts(source, threshold=5)
+                stateful.streaming_threshold_alerts_lifetime(source, threshold=5)
                 .writeStream.format("parquet")
                 .option("path", sink)
                 .option("checkpointLocation", ckpt)

@@ -12,6 +12,7 @@ can't see.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -30,12 +31,11 @@ def _api(base: str, path: str):
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = "/root/testdata/sf0.1"
-    for i, a in enumerate(sys.argv[1:]):
-        if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-            args.remove(sf_dir) if sf_dir in args else None
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("entries", nargs="+", help="catalog entry names to profile")
+    ap.add_argument("--sf", default="/root/testdata/sf0.1", dest="sf_dir")
+    ns = ap.parse_args()
+    args, sf_dir = ns.entries, ns.sf_dir
 
     spark = get_spark(app_name="qprofile", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,6 +64,14 @@ def main() -> None:
         job_total = 0.0
         print(f"\n=== {name}  wall={wall:.3f}s  rows={n}  n_jobs={len(jobs)}")
         for j in jobs:
+            if not j.get("submissionTime") or not j.get("completionTime"):
+                # failed, or not finalized despite the settle sleep — flag
+                # it and keep profiling instead of killing the whole run
+                print(
+                    f"  job {j['jobId']:>4}  <no completionTime: "
+                    f"status={j.get('status')}>  skipped"
+                )
+                continue
             t_sub = time.mktime(
                 time.strptime(j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S")
             ) + float(j["submissionTime"][20:23]) / 1000
