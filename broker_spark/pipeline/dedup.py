@@ -1148,6 +1148,8 @@ def prefix_filter_jaccard_pairs(
     threshold: float = 0.7,
     shingle: int = DEFAULT_SHINGLE,
     broadcast_below_docs: int = 100_000,
+    max_candidates_per_doc: int | None = None,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact-Jaccard similarity self-join with PREFIX FILTERING (the
     AllPairs / PPJoin family, Bayardo et al. WWW'07, Xiao et al. WWW'08)
@@ -1178,7 +1180,35 @@ def prefix_filter_jaccard_pairs(
     measured: the broadcast variant OOMed the driver at 100x data.  Reference parity: same near-dup surface as
     `/root/reference/` dedup queries; algorithm from the public
     similarity-join literature.
-    """
+
+    `max_candidates_per_doc` (VERDICT r10 #3): the EXACT form's verify
+    stage is data-proportional by construction — every candidate sharing
+    a prefix token pays a common-token join, which is the right batch
+    semantics but the most expensive plan in the repo at 100x (~linear
+    wall).  With a cap K, each anchor doc (the smaller id of a pair)
+    verifies only its K most-promising candidates, ranked by the size
+    upper bound ``least(na,nb)/greatest(na,nb)`` (the tightest Jaccard
+    bound available before counting common tokens; ties broken by
+    doc_b), so the verify join's input is at most K rows per doc — the
+    interactive twin, the same role `max_bucket_size` plays for the LSH
+    census.  `None` (the default) keeps the exact lossless form
+    unchanged.  The cap prunes CANDIDATES, not results: a true pair
+    ranked past K by its size bound is dropped, which is the documented
+    trade; every pair it does return carries its exact verified Jaccard.
+
+    `max_posting_size` is the stop-bucket guard for the CANDIDATE JOIN
+    itself: prefix tokens whose posting list exceeds the cap are dropped
+    before the self-join, bounding its fan-out at C(cap, 2) per token.
+    The exact form needs no such cap under organic growth (frequent
+    tokens sort to the suffix and never enter a prefix), but under
+    VERBATIM duplication (mirror dumps, re-crawls) every clone lands in
+    the SAME prefix postings and the join goes quadratic in the clone
+    factor — the identical failure mode `minhash_lsh_pairs`'s
+    `max_bucket_size` guards, measured in tools/guard_densify.py.  A
+    clone family wider than the cap then yields no near-dup candidates
+    at all, which is the documented division of labor: verbatim
+    duplication belongs to `exact_dedup_groups` (one hash-groupBy), not
+    to a similarity join."""
     # One count() job supplies BOTH data-driven decisions below (the
     # join-strategy switch and the pin's partition sizing) — the same
     # measured sizing rule as ANN's nlist scaling.
@@ -1243,6 +1273,16 @@ def prefix_filter_jaccard_pairs(
         ),
         "tok",
     )
+    if max_posting_size is not None:
+        # hot-token set is tiny by construction (tokens with > cap prefix
+        # postings) — broadcast anti-join, the minhash stop-bucket recipe
+        hot = (
+            prefix.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting_size)
+            .select("tok")
+        )
+        prefix = prefix.join(broadcast(hot), "tok", "left_anti")
     cand = (
         prefix.alias("a")
         .join(
@@ -1263,6 +1303,18 @@ def prefix_filter_jaccard_pairs(
         .transform(lambda d: part(d, "doc_a", "doc_b"))
         .distinct()
     )
+    if max_candidates_per_doc is not None:
+        # rank per anchor by the size upper bound BEFORE the common-token
+        # join — one window shuffle over the (narrow) candidate rows buys
+        # a verify stage bounded at K rows per doc
+        ub = F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast("double")
+        w = Window.partitionBy("doc_a").orderBy(F.col("_ub").desc(), F.col("doc_b"))
+        cand = (
+            cand.withColumn("_ub", ub)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_candidates_per_doc)
+            .drop("_ub", "_rn")
+        )
     ta = tok_d.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = part(tok.select(F.col("doc_id").alias("doc_b"), "tok"), "doc_b", "tok")
     common = (

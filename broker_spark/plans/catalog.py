@@ -8345,6 +8345,85 @@ def q_dedup_prefix_filter_pairs(spark, sf_dir):
     )
 
 
+#: the guarded-twin certificate's pins (VERDICT r10 #3) — interpolated
+#: into BOTH the engine call and the oracle SQL so they cannot drift.
+#: Deliberately tight so both cuts BIND on the fixture (hot tokens exist,
+#: anchors hold more candidates than K) — the hash then certifies the cut
+#: itself, not just the untouched pairs.
+_PREFIX_GUARD_T = 0.3
+_PREFIX_GUARD_POSTING = 2
+_PREFIX_GUARD_TOPK = 2
+
+
+@register(
+    "dedup_prefix_filter_pairs_guarded",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM shl),
+    df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+    ranked AS (
+      SELECT t.doc_id, t.tok, s.n_tok,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS pos
+      FROM tok t JOIN df d USING (tok) JOIN sizes s USING (doc_id)
+    ),
+    prefix0 AS (
+      SELECT doc_id, tok, n_tok FROM ranked
+      WHERE pos <= n_tok - CAST(ceil({_PREFIX_GUARD_T} * n_tok) AS BIGINT) + 1
+    ),
+    hot AS (
+      SELECT tok FROM prefix0 GROUP BY tok HAVING COUNT(*) > {_PREFIX_GUARD_POSTING}
+    ),
+    prefix AS (SELECT * FROM prefix0 WHERE tok NOT IN (SELECT tok FROM hot)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.n_tok AS na, b.n_tok AS nb
+      FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      WHERE {_PREFIX_GUARD_T} * greatest(a.n_tok, b.n_tok) <= least(a.n_tok, b.n_tok)
+    ),
+    kept AS (
+      SELECT doc_a, doc_b, na, nb FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_a
+          ORDER BY least(na, nb) * 1.0 / greatest(na, nb) DESC, doc_b
+        ) AS rn FROM cand
+      ) WHERE rn <= {_PREFIX_GUARD_TOPK}
+    ),
+    common AS (
+      SELECT k.doc_a, k.doc_b, k.na, k.nb, CAST(COUNT(*) AS BIGINT) AS common
+      FROM kept k
+      JOIN tok a ON a.doc_id = k.doc_a
+      JOIN tok b ON b.doc_id = k.doc_b AND b.tok = a.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, common,
+           round(common * 1.0 / (na + nb - common), 6) AS jaccard
+    FROM common
+    WHERE round(common * 1.0 / (na + nb - common), 6) >= {_PREFIX_GUARD_T}
+    """,
+)
+def q_dedup_prefix_filter_pairs_guarded(spark, sf_dir):
+    """The prefix-filter join's BOUNDED interactive twin (VERDICT r10 #3):
+    the exact form's verify stage is honestly data-proportional — the
+    most expensive plan in the repo at 100x — so this entry caps BOTH
+    ends: prefix tokens hotter than `max_posting_size` never enter the
+    candidate self-join (the verbatim-duplication quadratic killer,
+    guard_densify's stop-bucket recipe), and each anchor doc verifies
+    only its `max_candidates_per_doc` best candidates by the size upper
+    bound least(na,nb)/greatest(na,nb) (ties by doc_b).  The oracle
+    replays the ENTIRE guarded pipeline — prefix build, hot-token drop,
+    size filter, top-K cut, exact verification — so the hash certifies
+    the cut semantics, not just the surviving pairs.  The exact lossless
+    form stays `dedup_prefix_filter_pairs`, the documented batch path."""
+    return dedup.prefix_filter_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=_PREFIX_GUARD_T,
+        max_candidates_per_doc=_PREFIX_GUARD_TOPK,
+        max_posting_size=_PREFIX_GUARD_POSTING,
+    )
+
+
 @register(
     "scd2_user_event_type",
     """
@@ -11693,80 +11772,17 @@ def q_streaming_alerts_replay_horizon_shuffled(spark, sf_dir):
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
     # Rotation policy (VERDICT r3 #2 / r4 #1 / r6 #1 / r7 #1 / r8 #2 /
-    # r9 #1): the driver value-checks the first ~50 queries() entries
-    # each round; the window's job is STALENESS RE-CERTIFICATION.
-    # Round 10, exactly as the r9 verdict queued it: (1) the two entries
-    # NEW this round, (2) the r3-tail — the only oracle entries whose
-    # newest driver row predates round 4, (3) the resend family
-    # (reference-core flagship, newest rows r8), (4) the round-4 cohort
-    # in staleness order (TPC-H tails, streaming replays, trained-ANN,
-    # sparse retrieval...).  Positions 51+ spill to round 11's head;
-    # after this round no oracle entry's newest driver row predates
-    # round 4.
-    # -- (1) NEW in round 10: the trailing-horizon threshold-alert
-    # certificate (in-order: eviction semantics) + its out-of-order twin
-    # (the late-data contract's arrival-order fold) — VERDICT r9 #3
-    "streaming_alerts_replay_horizon",
-    "streaming_alerts_replay_horizon_shuffled",
-    # -- (2) the r3-tail (8 entries, newest driver row r3 — the round-9
-    # window's spill; covering these completes the r9 'done' criterion)
-    "repetition_stats",
-    "quality_percentile_filter",
-    "topk_bigrams_per_lang",
-    "pack_sequences",
-    "pack_sequences_sharded",
-    "train_val_test_split",
-    "training_manifest",
-    "training_mix_weights",
-    # -- (3) the resend family (the reference's core query surface,
-    # src/storage/Storage.ts:101-435)
-    "resend_last",
-    "resend_from",
-    "resend_from_publisher",
-    "resend_range",
-    "resend_range_publisher",
-    "resend_last_global",
-    "resend_union_merge",
-    # -- (4) the round-4 cohort (49 oracle-checkable entries, newest
-    # driver row r4).  The entry whose CODE was touched this round
-    # (renamed backfill call site) first, then the other streaming
-    # replays, reference-core roundtrip, dedup/graph, the TPC-H tail,
-    # trained ANN, then text/stats (whose tail spills to round 11).
-    "streaming_lsh_replay",
-    "streaming_ewma_replay",
-    "streaming_alerts_replay",
-    "streaming_hourly_rollup_replay",
-    "streaming_exact_dedup_replay",
-    "streaming_sessionization_replay",
-    "log_roundtrip_resend",
-    "dedup_components",
-    "dedup_components_star",
-    "dedup_cluster_keepers",
-    "dedup_graph_degrees",
-    "minhash_estimate_error",
-    "lsh_s_curve",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_lines",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "ann_trained_ivf_topk",
-    "ann_trained_ivf_multiprobe",
-    "ann_ivf_pq_exact_parity",
-    "ann_rp_lsh_topk",
-    "ann_recall_vs_nprobe",
-    "hard_negative_mining",
-    "semantic_dedup_clusters",
-    "bm25_topk",
-    "tfidf_cosine_pairs",
-    # -- round-11 spill starts here (positions 51+): the cohort's
-    # text/stats tail
+    # r9 #1 / r10 #1): the driver value-checks the first ~50 queries()
+    # entries each round; the window's job is STALENESS
+    # RE-CERTIFICATION.  Round 11, exactly as the r10 verdict queued it:
+    # (1) the 16 entries with NO committed driver-window row in rounds
+    # 6-10 (the round-10 window's spill — covering these completes the
+    # r10 'done' criterion: every oracle entry then has a driver row
+    # from round 6 or later), (2) the entry NEW this round + the entry
+    # whose CODE was touched this round, (3) the pure re-certification
+    # cadence begins — the r6 cohort (the oldest committed rows) in
+    # catalog order; its tail spills to round 12's head.
+    # -- (1) the never-windowed 16 (VERDICT r10 #1, queued verbatim)
     "vocab_coverage",
     "bigram_logprob_score",
     "passage_dedup_stats",
@@ -11783,6 +11799,65 @@ _AUDIT_PRIORITY = [
     "events_rolling_hour_stats",
     "events_rolling_hour_sharded",
     "curated_mix_manifest",
+    # -- (2) NEW in round 11: the prefix-filter guarded twin (VERDICT
+    # r10 #3); plus the lifetime-alert certificate whose call site was
+    # renamed this round (VERDICT r10 #2 — pins streaming_threshold_
+    # alerts_lifetime explicitly)
+    "dedup_prefix_filter_pairs_guarded",
+    "streaming_alerts_replay",
+    # -- (3) re-certification: the r6 cohort (newest driver row r6, the
+    # oldest in the repo), catalog order; the remaining 17 r6 entries
+    # spill to round 12
+    "corpus_histogram",
+    "salted_stream_totals",
+    "multimodal_features",
+    "assignment_diff",
+    "json_parsed_projection",
+    "asof_click_purchase",
+    "multimodal_metadata_stats",
+    "multimodal_frame_plan",
+    "multimodal_audio_chunks",
+    "multimodal_image_resize",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_promotion",
+    "q21_sole_returner",
+    "q22_idle_customers",
+    "grouping_sets_order_stats",
+    "range_join_clicks_before_purchase",
+    "source_dedup_stats",
+    "chunk_documents",
+    "tfidf_cosine_pairs_guarded",
+    "streaming_hourly_rollup_replay_shuffled",
+    "events_value_percentiles_exact",
+    "funnel_conversion",
+    "table_profile_documents",
+    "events_hopping_rollup",
+    "compaction_plan",
+    "zorder_layout_keys",
+    "hll_distinct_users_daily",
+    "dedup_graph_triangles",
+    "streaming_join_replay",
+    "multimodal_png_roundtrip",
+    "bpe_learn_merges",
+    # -- round-12 spill starts here (positions 51+): the r6 cohort's tail
+    "bpe_vocab_after_merges",
+    "record_linkage_pairs",
+    "entity_resolution_names",
+    "holt_trend_daily",
+    "theil_sen_daily_trend",
+    "seasonal_naive_mape",
+    "multitouch_attribution",
+    "streaming_holt_replay",
+    "seasonal_trend_anomalies",
+    "link_prediction_adamic_adar",
+    "heaps_vocab_growth",
+    "matryoshka_recall",
+    "layout_pruning_benefit",
+    "k_anonymity_audit",
+    "churn_label_features",
+    "conversion_latency_quantiles",
+    "bpe_fertility_by_lang",
 ]
 
 

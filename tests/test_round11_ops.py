@@ -255,3 +255,99 @@ class TestDefaultAlertEntryPointIsHorizon:
         )
         got = [(r["key"], r["total"]) for r in out.collect()]
         assert got == [(1, 3)]  # fires at the 3rd event EVER, gap or not
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #3: the prefix-filter join's bounded interactive twin
+# ---------------------------------------------------------------------------
+
+
+class TestPrefixFilterGuards:
+    TEXTS = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "the quick brown fox jumps over the lazy dog today ok",
+        "a completely different sentence with other words entirely here",
+        "pack my box with five dozen liquor jugs right now",
+        "pack my box with five dozen liquor jugs right here",
+    ]
+
+    def _docs(self, spark, texts=None):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts or self.TEXTS)],
+            "doc_id long, text string",
+        )
+
+    def test_wide_caps_equal_the_exact_form(self, spark):
+        from broker_spark.pipeline import dedup
+
+        docs = self._docs(spark)
+        key = lambda r: (r["doc_a"], r["doc_b"], r["common"], r["jaccard"])  # noqa: E731
+        exact = {
+            key(r)
+            for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        capped = {
+            key(r)
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs,
+                threshold=0.3,
+                max_candidates_per_doc=10_000,
+                max_posting_size=10_000,
+            ).collect()
+        }
+        assert capped == exact and exact
+
+    def test_topk_bounds_verified_candidates_per_anchor(self, spark):
+        """With K=1 each anchor keeps only its single best size-bound
+        candidate — output is a subset of the exact pairs and no anchor
+        appears more than once."""
+        from broker_spark.pipeline import dedup
+
+        docs = self._docs(spark)
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in dedup.prefix_filter_jaccard_pairs(docs, threshold=0.3).collect()
+        }
+        capped = dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=0.3, max_candidates_per_doc=1
+        ).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+        assert pairs <= exact
+        anchors = [r["doc_a"] for r in capped]
+        assert len(anchors) == len(set(anchors))
+
+    def test_posting_cap_drops_verbatim_clone_families(self, spark):
+        """The stop-bucket semantics: a clone family wider than the cap
+        shares every prefix token, so all its postings go hot and the
+        family yields NO candidates — verbatim duplication is
+        exact_dedup_groups' job.  Organic near-dups below the cap
+        survive."""
+        from broker_spark.pipeline import dedup
+
+        clones = ["copy of this exact sentence repeated verbatim each time"] * 5
+        organic = [
+            "one organic near duplicate sentence with shared words inside",
+            "one organic near duplicate sentence with shared words outside",
+        ]
+        docs = self._docs(spark, clones + organic)
+        got = dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=0.3, max_posting_size=2
+        ).collect()
+        pairs = {(r["doc_a"], r["doc_b"]) for r in got}
+        assert pairs == {(5, 6)}  # the organic pair; no clone-family pairs
+        # without the cap the 5-clone family contributes C(5,2) = 10 pairs
+        exact = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.3).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in exact} >= {
+            (a, b) for a in range(5) for b in range(a + 1, 5)
+        }
+
+    def test_guard_constants_are_interpolated(self):
+        """The certificate pins (threshold, posting cap, top-K) appear in
+        the oracle SQL via interpolation from the module constants."""
+        from broker_spark.plans import catalog
+
+        sql = catalog.CATALOG["dedup_prefix_filter_pairs_guarded"].sql
+        assert f"> {catalog._PREFIX_GUARD_POSTING}" in sql
+        assert f"rn <= {catalog._PREFIX_GUARD_TOPK}" in sql
+        assert f"{catalog._PREFIX_GUARD_T} * greatest" in sql
