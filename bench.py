@@ -209,6 +209,12 @@ HEADLINE = [
     # whole point is the measured win over the 24x hop expansion
     "layout_pruning_multidim",
     "events_trailing_distinct_interval",
+    # round-11 (VERDICT r10 #3): the prefix-filter join's bounded
+    # interactive twin — hot-posting cap + per-anchor top-K before
+    # verify; the exact lossless form stays benched above as the batch
+    # path (different threshold, different question — not a sibling
+    # double-count)
+    "dedup_prefix_filter_pairs_guarded",
 ]
 
 #: Comparison tier (VERDICT r6 #3 / r7 #3): correct and oracle-certified,

@@ -34,6 +34,17 @@ state violates its model:
            window is still open at the final watermark.  Guard (final
            only, two-sided like lsh): strict <= final_l1 <= upper;
            level-2's open hour windows reported and bounded by upper_l2.
+- ewma /   streaming_ewma / streaming_holt (VERDICT r10 #4 — the last
+  holt     NoTimeout ops without a measured bound): the contract is
+           "state == METRIC-KEY cardinality, never event volume", so
+           each run measures BOTH shapes from the same key formula
+           (event_type#user_id): SKEW (same users repeat kx — volume
+           grows kx, keys constant, state must stay flat) and
+           ADVERSARIAL (disjoint user spaces — key cardinality itself
+           grows kx, state grows exactly with it: the documented
+           linear-in-keys boundary of the NoTimeout contract).  Guard:
+           final state rows == distinct keys ever AND zero evictions,
+           in both shapes.
 
 Construction notes: every corpus is laid out CONTIGUOUSLY in event time
 (copies back-to-back) and staged as `--batches` in-order files (the
@@ -569,7 +580,93 @@ def run_trailing(spark, copies: int, batches: int):
     }
 
 
+# ---------------------------------------------------------------------------
+# ewma / holt (VERDICT r10 #4): state == key cardinality, never volume
+# ---------------------------------------------------------------------------
+
+
+def run_smoother(spark, copies: int, batches: int, op: str = "ewma"):
+    """Certify the per-key smoothers' NoTimeout contract on both its
+    designed shape and its adversarial boundary (see module docstring)."""
+    fn = stateful.streaming_ewma if op == "ewma" else stateful.streaming_holt
+    from broker_spark.plans.catalog import _stage_ordered_batches
+
+    out = {"copies": copies, "ok": True, "wall_s": 0.0}
+    for shape, disjoint in (("skew", False), ("adv", True)):
+        ev, _lo, _hi = build_events(spark, copies, disjoint_users=disjoint)
+        n_events = ev.count()
+        # one deterministic (key, bucket, value) row per metric-key and
+        # hour — the smoothers' input shape (a windowed rollup level)
+        keyed = (
+            ev.select(
+                F.concat(
+                    F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")
+                ).alias("key"),
+                F.floor(F.unix_millis("ts") / F.lit(HOUR_MS)).cast("long").alias(
+                    "bucket"
+                ),
+                "value",
+            )
+            .groupBy("key", "bucket")
+            .agg(F.avg("value").alias("value"))
+        ).localCheckpoint()
+        n_keys = keyed.select("key").distinct().count()
+        tmp = tempfile.mkdtemp(prefix=f"state_{op}_{shape}_x{copies}_")
+        # strictly-forward contract: stage in bucket order so each key's
+        # buckets are non-decreasing across micro-batches
+        bmin, bmax = keyed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+        step = (bmax - bmin) // batches + 1
+        _stage_ordered_batches(
+            keyed,
+            F.least(
+                F.floor((F.col("bucket") - F.lit(bmin)) / F.lit(step)),
+                F.lit(batches - 1),
+            ),
+            batches,
+            f"{tmp}/in",
+        )
+        src = (
+            spark.readStream.schema("key string, bucket long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        q, wall = _replay(spark, fn(src), tmp)
+        removed, peak, final, mem = _drain_progress(q)
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the model: one state row per metric key ever, zero evictions —
+        # volume-scaling must not move it (skew), key-scaling moves it
+        # 1:1 (adv)
+        ok = final[0] == n_keys and removed == 0 and peak[0] == n_keys
+        out.update(
+            {
+                f"events_{shape}": n_events,
+                f"keys_{shape}": n_keys,
+                f"peak_{shape}": peak[0],
+                f"final_{shape}": final[0],
+                f"removed_{shape}": removed,
+                f"mem_{shape}": mem,
+            }
+        )
+        out["ok"] = out["ok"] and ok
+        out["wall_s"] += wall
+    out["wall_s"] = round(out["wall_s"], 1)
+    return out
+
+
+def _smoother_table(op: str):
+    return (
+        lambda spark, copies, batches: run_smoother(spark, copies, batches, op),
+        "| scale | skew: events | keys | final rows (model: keys) "
+        "| adversarial: events | keys | final rows (model: keys) | evicted |",
+        lambda r: f"| x{r['copies']} | {r['events_skew']:,} | {r['keys_skew']:,} "
+        f"| {r['final_skew']:,} | {r['events_adv']:,} | {r['keys_adv']:,} "
+        f"| {r['final_adv']:,} | {r['removed_skew'] + r['removed_adv']:,} |",
+    )
+
+
 TABLES = {
+    "ewma": _smoother_table("ewma"),
+    "holt": _smoother_table("holt"),
     "lsh": (
         run_lsh,
         "| scale | docs | buckets ever (NoTimeout state) | peak state rows "
