@@ -316,6 +316,7 @@ NOT_BENCHED_SIBLING_REASONS = {
     "dedup_exact_kept": "kept-rows projection of benched dedup_exact_groups",
     "dedup_graph_pagerank": "pagerank over the same pair graph benched as dedup_graph_degrees",
     "dedup_incremental_pairs": "new-vs-corpus form of benched dedup_minhash_pairs_guarded",
+    "dedup_prefix_filter_incremental": "new-vs-corpus form of benched dedup_prefix_filter_pairs (same prefix pipeline, split input)",
     "dedup_minhash_signatures": "signature-stage component of benched dedup_minhash_pairs_guarded",
     "dedup_pagerank_keepers": "keeper selection over dedup_graph_pagerank's scores (same graph)",
     "dedup_simhash": "signature-stage component of benched dedup_simhash_pairs",

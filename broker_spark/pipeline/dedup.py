@@ -1337,6 +1337,122 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    shingle: int = DEFAULT_SHINGLE,
+    max_posting_size: int | None = None,
+) -> DataFrame:
+    """Incremental exact-Jaccard similarity join with prefix filtering:
+    candidates between a NEW batch and an EXISTING corpus — the
+    production ingestion shape (`minhash_lsh_pairs_between`'s exact
+    counterpart: dedup what's coming in against what's stored, never
+    corpus x corpus, with NO sketch approximation).
+
+    The prefix lemma is pairwise, so it holds across two sets exactly as
+    within one — PROVIDED both sides' prefixes are ranked under the SAME
+    global (document-frequency, token) order; df is therefore computed
+    over the UNION of both sides' distinct shingles.  At scale the
+    corpus's prefix postings and its df table are maintained as stored
+    tables bucketed on the token (df is a mergeable count — each batch's
+    delta is one groupBy), so a batch joins shuffle-free against the
+    posting buckets and the work scales with the BATCH, not the corpus:
+    candidates = batch-prefix x matching corpus postings, verification =
+    candidate-scoped.  `max_posting_size` drops corpus prefix tokens
+    hotter than the cap (the stop-bucket guard, same trade as
+    `minhash_lsh_pairs_between.max_corpus_bucket`); `None` keeps the
+    join lossless.  Returns (new_doc_id, corpus_doc_id, common, jaccard)
+    with jaccard >= threshold, exact.
+    """
+    n_new = new_docs.count()
+    n_corp = corpus.count()
+
+    def toks(docs, n_rows):
+        t = _spread(docs, n_rows=n_rows).select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+                "tok"
+            ),
+        )
+        return _settle(t, n_rows).transform(pin)
+
+    tn = toks(new_docs, n_new)
+    tc = toks(corpus, n_corp)
+    # ONE shared token order: df over the union of both sides
+    dfreq = (
+        tn.select("tok")
+        .unionByName(tc.select("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+
+    def prefix_of(tok):
+        sizes = tok.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok")
+        )
+        pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+        ranked = (
+            tok.join(dfreq, "tok")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .join(sizes, "doc_id")
+            .withColumn(
+                "prefix_len",
+                (
+                    F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+                ).cast("int"),
+            )
+        )
+        return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+            "doc_id", "tok", "n_tok"
+        )
+
+    pn = prefix_of(tn)
+    pc = prefix_of(tc)
+    if max_posting_size is not None:
+        hot = (
+            pc.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_posting_size)
+            .select("tok")
+        )
+        pc = pc.join(broadcast(hot), "tok", "left_anti")
+    cand = (
+        pn.alias("n")
+        .join(pc.alias("c"), "tok")
+        .filter(F.col("n.doc_id") != F.col("c.doc_id"))
+        .filter(
+            F.lit(threshold) * F.greatest("n.n_tok", "c.n_tok")
+            <= F.least("n.n_tok", "c.n_tok")
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            F.col("n.n_tok").alias("na"),
+            F.col("c.n_tok").alias("nb"),
+        )
+        .distinct()
+    )
+    ta = tn.select(F.col("doc_id").alias("new_doc_id"), "tok")
+    tb = tc.select(F.col("doc_id").alias("corpus_doc_id"), "tok")
+    common = (
+        cand.join(ta, "new_doc_id")
+        .join(tb, ["corpus_doc_id", "tok"])
+        .groupBy("new_doc_id", "corpus_doc_id", "na", "nb")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    jac = F.round(
+        F.col("common").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        6,
+    )
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc_id", "corpus_doc_id", "common", "jaccard")
+    )
+
+
 def incremental_components(
     docs: DataFrame,
     old_pairs: DataFrame,

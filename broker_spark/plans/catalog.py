@@ -8425,6 +8425,48 @@ def q_dedup_prefix_filter_pairs_guarded(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter_incremental",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS new_doc_id, b.doc_id AS corpus_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM tok a JOIN tok b ON a.tok = b.tok
+      WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      GROUP BY 1, 2
+    )
+    SELECT new_doc_id, corpus_doc_id, common,
+           round(common * 1.0 / (x.n_tok + y.n_tok - common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes x ON new_doc_id = x.doc_id
+    JOIN sizes y ON corpus_doc_id = y.doc_id
+    WHERE round(common * 1.0 / (x.n_tok + y.n_tok - common), 6) >= 0.5
+    """,
+)
+def q_dedup_prefix_filter_incremental(spark, sf_dir):
+    """The prefix-filter join's INGESTION shape: exact-threshold Jaccard
+    candidates between a new batch (doc_id % 7 == 0) and the stored
+    corpus (the rest) — `minhash_lsh_pairs_between` without the sketch
+    approximation.  Both sides rank prefixes under ONE shared
+    (df, token) order (df over the union), so the pairwise prefix lemma
+    holds across sides; the oracle is the FULL cross-side inverted-index
+    join (every shingle), so a green hash is a machine-checked proof the
+    incremental prefix filter dropped no qualifying pair.  At scale the
+    corpus postings and df table persist bucketed on the token and each
+    batch joins against them — work scales with the batch, never
+    corpus x corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_pairs_between(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        threshold=0.5,
+    )
+
+
+@register(
     "scd2_user_event_type",
     """
     WITH ordered AS (
@@ -11800,10 +11842,12 @@ _AUDIT_PRIORITY = [
     "events_rolling_hour_sharded",
     "curated_mix_manifest",
     # -- (2) NEW in round 11: the prefix-filter guarded twin (VERDICT
-    # r10 #3); plus the lifetime-alert certificate whose call site was
-    # renamed this round (VERDICT r10 #2 — pins streaming_threshold_
-    # alerts_lifetime explicitly)
+    # r10 #3) + the ingestion-shaped incremental prefix join; plus the
+    # lifetime-alert certificate whose call site was renamed this round
+    # (VERDICT r10 #2 — pins streaming_threshold_alerts_lifetime
+    # explicitly)
     "dedup_prefix_filter_pairs_guarded",
+    "dedup_prefix_filter_incremental",
     "streaming_alerts_replay",
     # -- (3) re-certification: the r6 cohort (newest driver row r6, the
     # oldest in the repo), catalog order; the remaining 17 r6 entries
@@ -11839,8 +11883,8 @@ _AUDIT_PRIORITY = [
     "dedup_graph_triangles",
     "streaming_join_replay",
     "multimodal_png_roundtrip",
-    "bpe_learn_merges",
     # -- round-12 spill starts here (positions 51+): the r6 cohort's tail
+    "bpe_learn_merges",
     "bpe_vocab_after_merges",
     "record_linkage_pairs",
     "entity_resolution_names",

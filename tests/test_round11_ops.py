@@ -342,6 +342,62 @@ class TestPrefixFilterGuards:
             (a, b) for a in range(5) for b in range(a + 1, 5)
         }
 
+    def test_incremental_form_is_lossless_vs_brute_force(self, spark):
+        """The cross-side prefix join must find exactly the pairs a full
+        new x corpus comparison finds at the threshold (the pairwise
+        prefix lemma under one shared df order)."""
+        from broker_spark.pipeline import dedup
+
+        texts = self.TEXTS + [
+            "the quick brown fox jumps over the lazy dog toniiight",
+            "pack my box with five dozen liquor jugs right now ok",
+        ]
+        docs = self._docs(spark, texts)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        corp = docs.filter(F.col("doc_id") % 3 != 0)
+        got = {
+            (r["new_doc_id"], r["corpus_doc_id"], r["common"], r["jaccard"])
+            for r in dedup.prefix_filter_jaccard_pairs_between(
+                new, corp, threshold=0.3
+            ).collect()
+        }
+        # brute force: shingle sets in python
+        rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+        def sh(t):
+            w = t.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        want = set()
+        for a in rows:
+            if a % 3 != 0:
+                continue
+            for b in rows:
+                if b % 3 == 0 or a == b:
+                    continue
+                sa, sb = sh(rows[a]), sh(rows[b])
+                common = len(sa & sb)
+                if common == 0:
+                    continue
+                j = round(common / (len(sa) + len(sb) - common), 6)
+                if j >= 0.3:
+                    want.add((a, b, common, j))
+        assert got == want and want
+
+    def test_incremental_posting_cap_drops_hot_corpus_tokens(self, spark):
+        from broker_spark.pipeline import dedup
+
+        clone = "copy of this exact sentence repeated verbatim each time"
+        corp = self._docs(spark, [clone] * 6)
+        new = spark.createDataFrame([(100, clone)], "doc_id long, text string")
+        exact = dedup.prefix_filter_jaccard_pairs_between(
+            new, corp, threshold=0.5
+        ).count()
+        capped = dedup.prefix_filter_jaccard_pairs_between(
+            new, corp, threshold=0.5, max_posting_size=2
+        ).count()
+        assert exact == 6 and capped == 0
+
     def test_guard_constants_are_interpolated(self):
         """The certificate pins (threshold, posting cap, top-K) appear in
         the oracle SQL via interpolation from the module constants."""
