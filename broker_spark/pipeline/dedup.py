@@ -1343,6 +1343,7 @@ def prefix_filter_jaccard_pairs_between(
     threshold: float = 0.7,
     shingle: int = DEFAULT_SHINGLE,
     max_posting_size: int | None = None,
+    broadcast_below_docs: int = 100_000,
 ) -> DataFrame:
     """Incremental exact-Jaccard similarity join with prefix filtering:
     candidates between a NEW batch and an EXISTING corpus — the
@@ -1353,7 +1354,12 @@ def prefix_filter_jaccard_pairs_between(
     The prefix lemma is pairwise, so it holds across two sets exactly as
     within one — PROVIDED both sides' prefixes are ranked under the SAME
     global (document-frequency, token) order; df is therefore computed
-    over the UNION of both sides' distinct shingles.  At scale the
+    over the UNION of both sides' distinct shingles.  Above
+    `broadcast_below_docs` TOTAL docs the plan switches to merge-hinted,
+    corpus-co-partitioned joins exactly like the self-join above (the
+    unhinted form built the linearly-growing df/size aggregates as
+    driver broadcasts and OOMed at 100x — caught by the r11 slope run;
+    big-path == small-path equality pinned by test).  At scale the
     corpus's prefix postings and its df table are maintained as stored
     tables bucketed on the token (df is a mergeable count — each batch's
     delta is one groupBy), so a batch joins shuffle-free against the
@@ -1367,6 +1373,24 @@ def prefix_filter_jaccard_pairs_between(
     """
     n_new = new_docs.count()
     n_corp = corpus.count()
+    # Same join-strategy switch as the self-join above (and for the same
+    # measured reason): shingle vocabulary, df and per-doc size aggregates
+    # all grow ~linearly with the corpus, and Catalyst's static estimate
+    # of an aggregate's output builds them as driver broadcasts
+    # unconditionally — the unhinted form OOMed the driver at 100x (r11
+    # slope run).  Below the bound broadcasting is the right plan; above
+    # it every join carries a merge hint and the heavy exchanges
+    # co-partition at a corpus-scaled width.
+    n_total = n_new + n_corp
+    small = n_total <= broadcast_below_docs
+    hinted = (lambda d: d) if small else (lambda d: d.hint("merge"))
+    if small:
+        part = lambda d, *k: d  # noqa: E731 — identity, AQE coalesces freely
+    else:
+        n_part = max(
+            corpus.sparkSession.sparkContext.defaultParallelism, n_total // 2000
+        )
+        part = lambda d, *k: d.repartition(n_part, *k)  # noqa: E731
 
     def toks(docs, n_rows):
         t = _spread(docs, n_rows=n_rows).select(
@@ -1381,21 +1405,22 @@ def prefix_filter_jaccard_pairs_between(
     tc = toks(corpus, n_corp)
     # ONE shared token order: df over the union of both sides
     dfreq = (
-        tn.select("tok")
-        .unionByName(tc.select("tok"))
+        part(tn.select("tok").unionByName(tc.select("tok")), "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
 
     def prefix_of(tok):
-        sizes = tok.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("long").alias("n_tok")
+        sizes = (
+            part(tok, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
         )
         pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
         ranked = (
-            tok.join(dfreq, "tok")
+            part(part(tok, "tok").join(hinted(dfreq), "tok"), "doc_id")
             .withColumn("pos", F.row_number().over(pos_w))
-            .join(sizes, "doc_id")
+            .join(hinted(sizes), "doc_id")
             .withColumn(
                 "prefix_len",
                 (
@@ -1408,7 +1433,7 @@ def prefix_filter_jaccard_pairs_between(
         )
 
     pn = prefix_of(tn)
-    pc = prefix_of(tc)
+    pc = part(prefix_of(tc), "tok")
     if max_posting_size is not None:
         hot = (
             pc.groupBy("tok")
@@ -1418,8 +1443,9 @@ def prefix_filter_jaccard_pairs_between(
         )
         pc = pc.join(broadcast(hot), "tok", "left_anti")
     cand = (
-        pn.alias("n")
-        .join(pc.alias("c"), "tok")
+        part(pn, "tok")
+        .alias("n")
+        .join(hinted(pc).alias("c"), "tok")
         .filter(F.col("n.doc_id") != F.col("c.doc_id"))
         .filter(
             F.lit(threshold) * F.greatest("n.n_tok", "c.n_tok")
@@ -1431,13 +1457,20 @@ def prefix_filter_jaccard_pairs_between(
             F.col("n.n_tok").alias("na"),
             F.col("c.n_tok").alias("nb"),
         )
+        .transform(lambda d: part(d, "new_doc_id", "corpus_doc_id"))
         .distinct()
     )
     ta = tn.select(F.col("doc_id").alias("new_doc_id"), "tok")
-    tb = tc.select(F.col("doc_id").alias("corpus_doc_id"), "tok")
+    tb = part(
+        tc.select(F.col("doc_id").alias("corpus_doc_id"), "tok"),
+        "corpus_doc_id",
+        "tok",
+    )
     common = (
-        cand.join(ta, "new_doc_id")
-        .join(tb, ["corpus_doc_id", "tok"])
+        part(cand, "new_doc_id")
+        .join(hinted(ta), "new_doc_id")
+        .transform(lambda d: part(d, "corpus_doc_id", "tok"))
+        .join(hinted(tb), ["corpus_doc_id", "tok"])
         .groupBy("new_doc_id", "corpus_doc_id", "na", "nb")
         .agg(F.count(F.lit(1)).cast("long").alias("common"))
     )

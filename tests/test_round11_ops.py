@@ -384,6 +384,36 @@ class TestPrefixFilterGuards:
                     want.add((a, b, common, j))
         assert got == want and want
 
+    def test_incremental_big_path_equals_small_path(self, spark):
+        """Partitioning must never change the answer: forcing the merge-
+        hinted co-partitioned path (broadcast_below_docs=0) returns
+        exactly the broadcast path's pairs."""
+        from broker_spark.pipeline import dedup
+
+        texts = self.TEXTS + [
+            "the quick brown fox jumps over the lazy dog toniiight",
+            "pack my box with five dozen liquor jugs right now ok",
+        ]
+        docs = self._docs(spark, texts)
+        new = docs.filter(F.col("doc_id") % 3 == 0)
+        corp = docs.filter(F.col("doc_id") % 3 != 0)
+        key = lambda r: (  # noqa: E731
+            r["new_doc_id"], r["corpus_doc_id"], r["common"], r["jaccard"]
+        )
+        small = {
+            key(r)
+            for r in dedup.prefix_filter_jaccard_pairs_between(
+                new, corp, threshold=0.3
+            ).collect()
+        }
+        big = {
+            key(r)
+            for r in dedup.prefix_filter_jaccard_pairs_between(
+                new, corp, threshold=0.3, broadcast_below_docs=0
+            ).collect()
+        }
+        assert small == big and small
+
     def test_incremental_posting_cap_drops_hot_corpus_tokens(self, spark):
         from broker_spark.pipeline import dedup
 
