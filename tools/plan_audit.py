@@ -93,6 +93,9 @@ AUDITED = [
     "dedup_graph_triangles_guarded",   # stop-bucket-capped candidate census
     "dedup_simhash_pairs_guarded",     # r9: default-on guard headline twin
     "minhash_estimate_error_guarded",  # bucket-guarded estimator certificate
+    # round-11
+    "dedup_prefix_filter_pairs_guarded",  # hot-posting cap + per-anchor top-K
+    "dedup_prefix_filter_incremental",    # cross-side prefix join, shared df order
 ]
 
 
