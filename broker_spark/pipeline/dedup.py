@@ -1143,6 +1143,50 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _prefix_index(tok, dfreq, threshold: float, part, hinted):
+    """The AllPairs prefix index shared by the self-join and the
+    new-vs-corpus form: rank each doc's tokens under the global
+    (document-frequency, token) total order via a per-doc window and keep
+    the ``|x| - ceil(t*|x|) + 1`` rarest — the lossless pigeonhole prefix.
+    `part`/`hinted` carry the caller's scale strategy (identity below the
+    broadcast bound; corpus-scaled co-partitioning + merge hints above
+    it), so BOTH forms inherit the r10 co-partitioning and r11 merge-hint
+    OOM fixes from one place instead of hand-mirrored copies."""
+    sizes = (
+        part(tok, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    )
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        part(part(tok, "tok").join(hinted(dfreq), "tok"), "doc_id")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(hinted(sizes), "doc_id")
+        .withColumn(
+            "prefix_len",
+            (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
+        )
+    )
+    return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
+        "doc_id", "tok", "n_tok"
+    )
+
+
+def _drop_hot_postings(index: DataFrame, cap: int) -> DataFrame:
+    """Stop-bucket guard for posting-list joins: drop tokens whose posting
+    list exceeds `cap` before the join, bounding its fan-out at C(cap, 2)
+    per token.  The hot set is tiny by construction (only tokens hotter
+    than the cap), so a broadcast anti-join — the minhash stop-bucket
+    recipe."""
+    hot = (
+        index.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("tok")
+    )
+    return index.join(broadcast(hot), "tok", "left_anti")
+
+
 def prefix_filter_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.7,
@@ -1253,36 +1297,13 @@ def prefix_filter_jaccard_pairs(
             docs.sparkSession.sparkContext.defaultParallelism, n_docs // 2000
         )
         part = lambda d, *k: d.repartition(n_part, *k)  # noqa: E731
-    tok_t = part(tok, "tok")
     tok_d = part(tok, "doc_id")
-    dfreq = tok_t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    sizes = tok_d.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        part(tok_t.join(hinted(dfreq), "tok"), "doc_id")
-        .withColumn("pos", F.row_number().over(pos_w))
-        .join(hinted(sizes), "doc_id")
-        .withColumn(
-            "prefix_len",
-            (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
-        )
+    dfreq = (
+        part(tok, "tok").groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    prefix = part(
-        ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-            "doc_id", "tok", "n_tok"
-        ),
-        "tok",
-    )
+    prefix = part(_prefix_index(tok, dfreq, threshold, part, hinted), "tok")
     if max_posting_size is not None:
-        # hot-token set is tiny by construction (tokens with > cap prefix
-        # postings) — broadcast anti-join, the minhash stop-bucket recipe
-        hot = (
-            prefix.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_posting_size)
-            .select("tok")
-        )
-        prefix = prefix.join(broadcast(hot), "tok", "left_anti")
+        prefix = _drop_hot_postings(prefix, max_posting_size)
     cand = (
         prefix.alias("a")
         .join(
@@ -1410,38 +1431,10 @@ def prefix_filter_jaccard_pairs_between(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
 
-    def prefix_of(tok):
-        sizes = (
-            part(tok, "doc_id")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
-        )
-        pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
-        ranked = (
-            part(part(tok, "tok").join(hinted(dfreq), "tok"), "doc_id")
-            .withColumn("pos", F.row_number().over(pos_w))
-            .join(hinted(sizes), "doc_id")
-            .withColumn(
-                "prefix_len",
-                (
-                    F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
-                ).cast("int"),
-            )
-        )
-        return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-            "doc_id", "tok", "n_tok"
-        )
-
-    pn = prefix_of(tn)
-    pc = part(prefix_of(tc), "tok")
+    pn = _prefix_index(tn, dfreq, threshold, part, hinted)
+    pc = part(_prefix_index(tc, dfreq, threshold, part, hinted), "tok")
     if max_posting_size is not None:
-        hot = (
-            pc.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_posting_size)
-            .select("tok")
-        )
-        pc = pc.join(broadcast(hot), "tok", "left_anti")
+        pc = _drop_hot_postings(pc, max_posting_size)
     cand = (
         part(pn, "tok")
         .alias("n")

@@ -11850,7 +11850,7 @@ _AUDIT_PRIORITY = [
     "dedup_prefix_filter_incremental",
     "streaming_alerts_replay",
     # -- (3) re-certification: the r6 cohort (newest driver row r6, the
-    # oldest in the repo), catalog order; the remaining 17 r6 entries
+    # oldest in the repo), catalog order; the remaining 18 r6 entries
     # spill to round 12
     "corpus_histogram",
     "salted_stream_totals",

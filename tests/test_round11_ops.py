@@ -75,12 +75,32 @@ class TestLoadMemoInvariants:
             glob.glob(os.path.join(pkg, "streaming", "*.py"))
         )
         assert mutable_modules
-        for path in mutable_modules:
-            with open(path) as f:
-                src = f.read()
-            assert "from broker_spark.tables" not in src, path
-            assert "broker_spark.tables import" not in src, path
-            assert "tables.load(" not in src, path
+        import ast
+
+        def imports_tables(path: str) -> bool:
+            """True if the module imports broker_spark.tables under ANY
+            spelling: absolute, relative (from ..tables import load),
+            aliased, or via `from broker_spark import tables` — an AST
+            walk, so string tricks can't evade the pin."""
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    if any(a.name.startswith("broker_spark.tables") for a in node.names):
+                        return True
+                elif isinstance(node, ast.ImportFrom):
+                    mod = node.module or ""
+                    if mod == "broker_spark.tables" or (
+                        node.level > 0 and mod.split(".")[-1] == "tables"
+                    ):
+                        return True
+                    if mod == "broker_spark" and any(
+                        a.name == "tables" for a in node.names
+                    ):
+                        return True
+            return False
+
+        offenders = [p for p in mutable_modules if imports_tables(p)]
+        assert offenders == [], f"mutable-path modules import tables: {offenders}"
 
     def test_store_reads_see_appends_immediately(self, spark, tmp_path):
         """Runtime form of the same invariant: a Storage append is visible
