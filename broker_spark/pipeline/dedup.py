@@ -1162,9 +1162,20 @@ def _prefix_index(tok, dfreq, threshold: float, part, hinted):
         part(part(tok, "tok").join(hinted(dfreq), "tok"), "doc_id")
         .withColumn("pos", F.row_number().over(pos_w))
         .join(hinted(sizes), "doc_id")
+        # ceil over a 9-decimal-rounded product, not the raw double: for
+        # thresholds whose binary product lands epsilon ABOVE the exact
+        # integer (t*n = k + 1e-16), raw ceil gives k+1 and the prefix
+        # silently loses one token — shorter than the lossless pigeonhole
+        # bound, so a qualifying pair could vanish.  The DuckDB oracles
+        # evaluate t*n in exact decimal; round(., 9) makes both engines
+        # agree for any threshold with <= 9 decimal digits.
         .withColumn(
             "prefix_len",
-            (F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1).cast("int"),
+            (
+                F.col("n_tok")
+                - F.ceil(F.round(F.lit(threshold) * F.col("n_tok"), 9))
+                + 1
+            ).cast("int"),
         )
     )
     return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
@@ -1172,19 +1183,24 @@ def _prefix_index(tok, dfreq, threshold: float, part, hinted):
     )
 
 
-def _drop_hot_postings(index: DataFrame, cap: int) -> DataFrame:
+def _drop_hot_postings(index: DataFrame, cap: int, guard=None) -> DataFrame:
     """Stop-bucket guard for posting-list joins: drop tokens whose posting
     list exceeds `cap` before the join, bounding its fan-out at C(cap, 2)
-    per token.  The hot set is tiny by construction (only tokens hotter
-    than the cap), so a broadcast anti-join — the minhash stop-bucket
-    recipe."""
+    per token.  Under ORGANIC skew the hot set is tiny (only tokens hotter
+    than the cap) and a broadcast anti-join is right; under verbatim
+    duplication with a tight cap the hot set scales with the duplicated
+    VOCABULARY, so `guard` carries the caller's big-path strategy (the
+    merge hint) exactly like every other linearly-growing aggregate in
+    this pipeline — an unconditional broadcast here would re-introduce
+    the driver-pressure class the r11 merge-hint work fixed."""
     hot = (
         index.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > cap)
         .select("tok")
     )
-    return index.join(broadcast(hot), "tok", "left_anti")
+    hot = broadcast(hot) if guard is None else guard(hot)
+    return index.join(hot, "tok", "left_anti")
 
 
 def prefix_filter_jaccard_pairs(
@@ -1303,7 +1319,9 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = part(_prefix_index(tok, dfreq, threshold, part, hinted), "tok")
     if max_posting_size is not None:
-        prefix = _drop_hot_postings(prefix, max_posting_size)
+        prefix = _drop_hot_postings(
+            prefix, max_posting_size, guard=None if small else hinted
+        )
     cand = (
         prefix.alias("a")
         .join(
@@ -1327,8 +1345,17 @@ def prefix_filter_jaccard_pairs(
     if max_candidates_per_doc is not None:
         # rank per anchor by the size upper bound BEFORE the common-token
         # join — one window shuffle over the (narrow) candidate rows buys
-        # a verify stage bounded at K rows per doc
-        ub = F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast("double")
+        # a verify stage bounded at K rows per doc.  The bound is rounded
+        # to 9 decimals before ordering (and the certificate oracle
+        # mirrors it): IEEE-double division and DuckDB's decimal division
+        # can round two exactly-distinct ratios to equal (or reordered)
+        # values, and an engine-dependent tie-break would change the kept
+        # candidate set; after the round both engines see the same keys
+        # and fall through to the same doc_b tie-break.
+        ub = F.round(
+            F.least("na", "nb").cast("double") / F.greatest("na", "nb").cast("double"),
+            9,
+        )
         w = Window.partitionBy("doc_a").orderBy(F.col("_ub").desc(), F.col("doc_b"))
         cand = (
             cand.withColumn("_ub", ub)
@@ -1364,6 +1391,7 @@ def prefix_filter_jaccard_pairs_between(
     threshold: float = 0.7,
     shingle: int = DEFAULT_SHINGLE,
     max_posting_size: int | None = None,
+    max_new_posting_size: int | None = None,
     broadcast_below_docs: int = 100_000,
 ) -> DataFrame:
     """Incremental exact-Jaccard similarity join with prefix filtering:
@@ -1389,8 +1417,17 @@ def prefix_filter_jaccard_pairs_between(
     candidate-scoped.  `max_posting_size` drops corpus prefix tokens
     hotter than the cap (the stop-bucket guard, same trade as
     `minhash_lsh_pairs_between.max_corpus_bucket`); `None` keeps the
-    join lossless.  Returns (new_doc_id, corpus_doc_id, common, jaccard)
-    with jaccard >= threshold, exact.
+    join lossless.  The cap is DELIBERATELY one-sided: bounding only the
+    corpus postings is the scales-with-the-batch doctrine (a token's
+    candidate fan-out is |pn posting| x cap, and the batch side is
+    bounded by the batch itself under organic ingestion).  For
+    clone-heavy batches — mirror dumps whose hot prefix tokens also
+    appear in corpus postings — that product is quadratic in the
+    batch-side clone factor, so `max_new_posting_size` optionally
+    applies the same stop-bucket cut to the BATCH prefix index,
+    restoring the self-join's two-sided bound (measured in
+    tools/guard_densify.py --between).  Returns (new_doc_id,
+    corpus_doc_id, common, jaccard) with jaccard >= threshold, exact.
     """
     n_new = new_docs.count()
     n_corp = corpus.count()
@@ -1433,8 +1470,11 @@ def prefix_filter_jaccard_pairs_between(
 
     pn = _prefix_index(tn, dfreq, threshold, part, hinted)
     pc = part(_prefix_index(tc, dfreq, threshold, part, hinted), "tok")
+    guard = None if small else hinted
     if max_posting_size is not None:
-        pc = _drop_hot_postings(pc, max_posting_size)
+        pc = _drop_hot_postings(pc, max_posting_size, guard=guard)
+    if max_new_posting_size is not None:
+        pn = _drop_hot_postings(pn, max_new_posting_size, guard=guard)
     cand = (
         part(pn, "tok")
         .alias("n")

@@ -8370,7 +8370,7 @@ _PREFIX_GUARD_TOPK = 2
     ),
     prefix0 AS (
       SELECT doc_id, tok, n_tok FROM ranked
-      WHERE pos <= n_tok - CAST(ceil({_PREFIX_GUARD_T} * n_tok) AS BIGINT) + 1
+      WHERE pos <= n_tok - CAST(ceil(round({_PREFIX_GUARD_T} * n_tok, 9)) AS BIGINT) + 1
     ),
     hot AS (
       SELECT tok FROM prefix0 GROUP BY tok HAVING COUNT(*) > {_PREFIX_GUARD_POSTING}
@@ -8386,7 +8386,7 @@ _PREFIX_GUARD_TOPK = 2
       SELECT doc_a, doc_b, na, nb FROM (
         SELECT *, row_number() OVER (
           PARTITION BY doc_a
-          ORDER BY least(na, nb) * 1.0 / greatest(na, nb) DESC, doc_b
+          ORDER BY round(least(na, nb) * 1.0 / greatest(na, nb), 9) DESC, doc_b
         ) AS rn FROM cand
       ) WHERE rn <= {_PREFIX_GUARD_TOPK}
     ),
