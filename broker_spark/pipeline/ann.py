@@ -454,6 +454,46 @@ def int8_quant_error_stats(
     )
 
 
+def _stride_sample(e: DataFrame, n: int, k: int) -> list:
+    """Every-(n//k)-th row of the (_id, _v) projection in _id order — the
+    deterministic spread init shared by the coarse and PQ quantizers,
+    computed DISTRIBUTED.  The old form ranked the whole projection under
+    a global ``Window.orderBy("_id")`` — a single-partition sort that
+    would bottleneck the init alone at corpus scale.  Same selected rows,
+    no single-partition exchange: range-partition by _id (partitions are
+    ordered; boundaries come from Spark's deterministic per-partition-seed
+    sample of the persisted projection), rank within each partition, then
+    shift each partition's ranks by the cumulative row count of the
+    partitions before it — the offsets come from one
+    one-row-per-partition collect, and the rank stage's widest exchange
+    is the range partitioning itself."""
+    stride = max(n // k, 1)
+    n_part = e.sparkSession.sparkContext.defaultParallelism
+    ranged = e.repartitionByRange(n_part, "_id").withColumn(
+        "_p", F.spark_partition_id()
+    )
+    counts = {
+        r["_p"]: r["n"]
+        for r in ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for p in range(n_part):
+        offs.append(acc)
+        acc += counts.get(p, 0)
+    off_arr = F.expr(f"array({', '.join(f'{o}L' for o in offs)})")
+    w = Window.partitionBy("_p").orderBy("_id")
+    return (
+        ranged.withColumn(
+            "_rn", F.row_number().over(w) + F.element_at(off_arr, F.col("_p") + 1)
+        )
+        .filter((F.col("_rn") - 1) % stride == 0)
+        .orderBy("_rn")
+        .limit(k)
+        .select("_v")
+        .collect()
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_clusters: int = 10,
@@ -465,8 +505,10 @@ def kmeans_train(
     """Deterministic Lloyd's k-means for the trained-IVF coarse quantizer.
 
     Everything is reproducible (and therefore oracle-checkable):
-    - init: every (n // k)-th vector in id order (a deterministic spread
-      sample; at corpus scale swap for seeded reservoir sampling);
+    - init: every (n // k)-th vector in id order — a deterministic spread
+      sample computed DISTRIBUTED (range-partition + per-partition ranks
+      shifted by collected offsets; no global-window single-partition
+      sort anywhere in the init);
     - assignment: argmin squared L2 in double with left-to-right folds,
       ties broken by smallest centroid index;
     - update: per-dimension mean rounded to 6 decimals, so both engines
@@ -491,16 +533,7 @@ def kmeans_train(
         n = e.count()
     else:
         e, n = prepared
-    stride = max(n // n_clusters, 1)
-    w = Window.orderBy("_id")
-    init = (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .orderBy("_rn")
-        .limit(n_clusters)
-        .select("_v")
-        .collect()
-    )
+    init = _stride_sample(e, n, n_clusters)
     centroids = [(j, [float(x) for x in row["_v"]]) for j, row in enumerate(init)]
     for _ in range(iters - 1):
         assigned = e.withColumn(
@@ -814,16 +847,7 @@ def pq_train(
     if dim % m_sub:
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     d_sub = dim // m_sub
-    stride = max(n // k_cent, 1)
-    w = Window.orderBy("_id")
-    init = (
-        e.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .orderBy("_rn")
-        .limit(k_cent)
-        .select("_v")
-        .collect()
-    )
+    init = _stride_sample(e, n, k_cent)
     codebooks = [
         [list(row["_v"][m * d_sub : (m + 1) * d_sub]) for row in init]
         for m in range(m_sub)
