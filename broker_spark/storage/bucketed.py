@@ -33,6 +33,19 @@ def _tag(sf_dir: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(sf_dir.rstrip("/")))
 
 
+def clear_stale_locations(spark: SparkSession, *names: str) -> None:
+    """The in-memory catalog forgets tables across processes but their
+    warehouse directories survive; a CREATE over a stale location is a
+    LOCATION_ALREADY_EXISTS error, so clear orphaned dirs first."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in names:
+        loc = os.path.join(warehouse, name)
+        if not spark.catalog.tableExists(name) and os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+
+
 def bucketed_order_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[str, str]:
@@ -46,16 +59,7 @@ def bucketed_order_tables(
     tag = _tag(sf_dir)
     o_name = f"bkt_orders_{tag}_{n_buckets}"
     l_name = f"bkt_lineitem_{tag}_{n_buckets}"
-    # the in-memory catalog forgets tables across processes but their
-    # warehouse directories survive; a CREATE over a stale location is a
-    # LOCATION_ALREADY_EXISTS error, so clear orphaned dirs first
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name in (o_name, l_name):
-        loc = os.path.join(warehouse, name)
-        if not spark.catalog.tableExists(name) and os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+    clear_stale_locations(spark, o_name, l_name)
     (
         load(spark, sf_dir, "orders")
         .write.bucketBy(n_buckets, "o_orderkey")

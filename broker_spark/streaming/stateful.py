@@ -97,6 +97,117 @@ def streaming_ewma(keyed: DataFrame) -> DataFrame:
     )
 
 
+#: the TTL twin's default idle horizon: a key silent for 7 days restarts
+#: cold — long enough that any real metric cadence never trips it, short
+#: enough that an unbounded entity-id key space can't accrete state
+DEFAULT_EWMA_TTL_MS = 7 * 24 * 3_600_000
+
+
+def _ewma_ttl_func(ttl_ms: int, bucket_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """`_ewma_func` with a row-local idle-restart rule: an event-time
+        gap wider than `ttl_ms` between consecutive folded buckets
+        restarts the level cold (ewma = x, as at first observation).
+        Because the restart decision depends only on the two buckets'
+        event times, the EventTimeTimeout eviction below is pure memory
+        reclamation at watermark_delay=0: a key evicted at
+        last_bucket + ttl can only see its next row with event time past
+        that point (rows behind the watermark are dropped upstream), and
+        the gap rule would have restarted it anyway — the same
+        answer-neutrality argument as the alerts-horizon fold.  A
+        nonzero watermark delay admits rows landing INSIDE an evicted
+        key's ttl window; those restart cold where the NoTimeout op
+        would have smoothed on — the documented contract boundary the
+        caller buys with the bounded store."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        prev_ewma, prev_bucket = state.get if state.exists else (None, None)
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+        out_bucket, out_value, out_ewma = [], [], []
+        for _, r in rows.iterrows():
+            b, x = int(r["bucket"]), float(r["value"])
+            if prev_bucket is not None and b <= prev_bucket:
+                continue  # strictly forward, like the NoTimeout op
+            if prev_bucket is not None and (b - prev_bucket) * bucket_ms > ttl_ms:
+                prev_ewma = None  # idle past the TTL: cold restart
+            prev_ewma = (
+                x
+                if prev_ewma is None
+                else EWMA_PREV_WEIGHT * prev_ewma + EWMA_SAMPLE_WEIGHT * x
+            )
+            prev_bucket = b
+            out_bucket.append(b)
+            out_value.append(x)
+            out_ewma.append(prev_ewma)
+        if prev_bucket is not None:
+            state.update((prev_ewma, prev_bucket))
+            # evict once the watermark passes last touch + ttl; clamped
+            # strictly above the current watermark (Spark rejects a
+            # timeout at or behind it)
+            state.setTimeoutTimestamp(
+                max(prev_bucket * bucket_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out_bucket),
+                "bucket": out_bucket,
+                "value": out_value,
+                "ewma": out_ewma,
+            }
+        )
+
+    return fn
+
+
+def streaming_ewma_ttl(
+    keyed: DataFrame,
+    ttl_ms: int = DEFAULT_EWMA_TTL_MS,
+    bucket_ms: int = 3_600_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """`streaming_ewma` with the BOUNDED-STATE contract an unbounded
+    entity-id key space needs (VERDICT r11 #6): the NoTimeout smoother's
+    state is deliberately linear in key cardinality — never forgetting a
+    level IS the op's meaning for a fixed metric vocabulary — but keyed
+    by user/session/document ids on a 100 TB stream that store accretes
+    forever.  Here the question changes to "smooth each key's ACTIVE
+    runs": an event-time gap wider than `ttl_ms` restarts the level cold
+    (documented cold restart), and with it the state store changes from
+    keys-ever to keys touched within the trailing ttl — per key one
+    (ewma, bucket) row registered for GroupStateTimeout.EventTimeTimeout
+    at last_bucket + ttl, the alerts-horizon recipe.  Eviction never
+    changes an answer at watermark_delay=0 because the gap rule makes
+    the identical restart decision row-locally (see `_ewma_ttl_func`);
+    the `streaming_ewma_ttl_replay` catalog entry certifies the
+    restarting recurrence value-for-value against a session-cut
+    recursive-CTE oracle, and tools/state_scale.py measures the bounded
+    store under 100x adversarial key growth.
+
+    `keyed` must have columns (key string, bucket long, value double)
+    with bucket = event-time epoch-ms // `bucket_ms` (the rollup-level
+    shape `streaming_ewma` takes); event time is reconstructed as
+    bucket * bucket_ms for the watermark."""
+    from pyspark.sql import functions as F
+
+    src = keyed.withColumn(
+        "ts", F.timestamp_millis(F.col("bucket") * F.lit(bucket_ms))
+    )
+    return (
+        src.withWatermark("ts", watermark_delay)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _ewma_ttl_func(ttl_ms, bucket_ms),
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 # -- streaming incremental LSH dedup ----------------------------------------
 
 _DEDUP_OUTPUT = StructType(

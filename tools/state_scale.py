@@ -653,6 +653,78 @@ def run_smoother(spark, copies: int, batches: int, op: str = "ewma"):
     return out
 
 
+def run_ewma_ttl(spark, copies: int, batches: int, ttl_ms: int):
+    """Certify the TTL'd EWMA twin's BOUNDED contract (VERDICT r11 #6) on
+    the adversarial shape the NoTimeout smoother is linear in: disjoint
+    per-copy key spaces laid back-to-back in event time, so keys-ever
+    grows kx while only the trailing ttl's active keys may hold state.
+    Two-sided model over per-key last touches, exactly the alerts/lsh
+    guard: strict = keys alive at the final watermark, upper = keys
+    alive at the pre-final watermark (the one the last batch's timeout
+    pass actually used)."""
+    from broker_spark.plans.catalog import _stage_ordered_batches
+
+    ev, _lo, _hi = build_events(spark, copies, disjoint_users=True)
+    n_events = ev.count()
+    keyed = (
+        ev.select(
+            F.concat(
+                F.col("event_type"), F.lit("#"), F.col("user_id").cast("string")
+            ).alias("key"),
+            F.floor(F.unix_millis("ts") / F.lit(HOUR_MS)).cast("long").alias("bucket"),
+            "value",
+        )
+        .groupBy("key", "bucket")
+        .agg(F.avg("value").alias("value"))
+    ).localCheckpoint()
+    n_keys = keyed.select("key").distinct().count()
+    tmp = tempfile.mkdtemp(prefix=f"state_ewma_ttl_x{copies}_")
+    bmin, bmax = keyed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    step = (bmax - bmin) // batches + 1
+    _stage_ordered_batches(
+        keyed,
+        F.least(
+            F.floor((F.col("bucket") - F.lit(bmin)) / F.lit(step)),
+            F.lit(batches - 1),
+        ),
+        batches,
+        f"{tmp}/in",
+    )
+    src = (
+        spark.readStream.schema("key string, bucket long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp}/in")
+    )
+    q, wall = _replay(spark, stateful.streaming_ewma_ttl(src, ttl_ms=ttl_ms), tmp)
+    removed, peak, final, mem = _drain_progress(q)
+    touches = (
+        keyed.groupBy("key").agg((F.max("bucket") * F.lit(HOUR_MS)).alias("last_ms"))
+    ).localCheckpoint()
+    wm_final = bmax * HOUR_MS
+    wm_pre_final = (bmin + (batches - 1) * step) * HOUR_MS - 1
+    model_strict = touches.filter(
+        F.col("last_ms") + F.lit(ttl_ms) >= F.lit(wm_final)
+    ).count()
+    model_upper = touches.filter(
+        F.col("last_ms") + F.lit(ttl_ms) >= F.lit(wm_pre_final)
+    ).count()
+    shutil.rmtree(tmp, ignore_errors=True)
+    ok = model_strict <= final[0] <= model_upper
+    return {
+        "copies": copies,
+        "events": n_events,
+        "keys_ever": n_keys,
+        "peak_rows": peak[0],
+        "final_rows": final[0],
+        "removed_rows": removed,
+        "model_alive": model_strict,
+        "model_upper": model_upper,
+        "mem_peak_bytes": mem,
+        "wall_s": wall,
+        "ok": ok,
+    }
+
+
 def _smoother_table(op: str):
     return (
         lambda spark, copies, batches: run_smoother(spark, copies, batches, op),
@@ -667,6 +739,14 @@ def _smoother_table(op: str):
 TABLES = {
     "ewma": _smoother_table("ewma"),
     "holt": _smoother_table("holt"),
+    "ewma_ttl": (
+        run_ewma_ttl,
+        "| scale | events | keys ever (NoTimeout state) | peak state rows "
+        "| final state rows | ttl model | evicted |",
+        lambda r: f"| x{r['copies']} | {r['events']:,} | {r['keys_ever']:,} "
+        f"| {r['peak_rows']:,} | {r['final_rows']:,} "
+        f"| {r['model_alive']:,} | {r['removed_rows']:,} |",
+    ),
     "lsh": (
         run_lsh,
         "| scale | docs | buckets ever (NoTimeout state) | peak state rows "
@@ -734,7 +814,7 @@ def main() -> None:
                 fn(spark, k, args.batches, args.horizon_hours * HOUR_MS)
                 for k in args.copies
             ]
-        elif op == "alerts":
+        elif op in ("alerts", "ewma_ttl"):
             rows = [
                 fn(spark, k, args.batches, args.alert_horizon_hours * HOUR_MS)
                 for k in args.copies
