@@ -11947,77 +11947,28 @@ def q_streaming_alerts_replay_horizon_shuffled(spark, sf_dir):
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
-    # Rotation policy (VERDICT r3 #2 / r4 #1 / r6 #1 / r7 #1 / r8 #2 /
-    # r9 #1 / r10 #1): the driver value-checks the first ~50 queries()
-    # entries each round; the window's job is STALENESS
-    # RE-CERTIFICATION.  Round 11, exactly as the r10 verdict queued it:
-    # (1) the 16 entries with NO committed driver-window row in rounds
-    # 6-10 (the round-10 window's spill — covering these completes the
-    # r10 'done' criterion: every oracle entry then has a driver row
-    # from round 6 or later), (2) the entry NEW this round + the entry
-    # whose CODE was touched this round, (3) the pure re-certification
-    # cadence begins — the r6 cohort (the oldest committed rows) in
-    # catalog order; its tail spills to round 12's head.
-    # -- (1) the never-windowed 16 (VERDICT r10 #1, queued verbatim)
-    "vocab_coverage",
-    "bigram_logprob_score",
-    "passage_dedup_stats",
-    "quality_classifier_score",
-    "cms_heavy_hitters",
-    "events_gap_fill",
-    "domain_cap_sample",
-    "temperature_mix_allocation",
-    "doc_entropy_stats",
-    "split_leakage_audit",
-    "wordpiece_encode_counts",
-    "embedding_pca_power_iter",
-    "embedding_pca_scores",
-    "events_rolling_hour_stats",
-    "events_rolling_hour_sharded",
-    "curated_mix_manifest",
-    # -- (2) NEW in round 11: the prefix-filter guarded twin (VERDICT
-    # r10 #3) + the ingestion-shaped incremental prefix join; plus the
-    # lifetime-alert certificate whose call site was renamed this round
-    # (VERDICT r10 #2 — pins streaming_threshold_alerts_lifetime
-    # explicitly)
+    # Rotation policy (VERDICT r3 #2 ... r10 #1 / r11 #1): the driver
+    # value-checks the first ~50 queries() entries each round; the
+    # window's job is STALENESS RE-CERTIFICATION, oldest-driver-row
+    # first.  Round 12: (1) the two entries NEW this round, (2) every
+    # oracle-paired entry whose CODE this round touched (the prefix
+    # family's numeric/strategy hardenings, the distributed quantizer
+    # init's dependents, the bucketed-table refactor), (3) the r6 cohort
+    # (the oldest committed driver rows, queued verbatim by the r11
+    # verdict), (4) the oldest r7 entries, alphabetical, filling the
+    # window; the r7 tail heads round 13.
+    # -- (1) NEW in round 12
+    "dedup_prefix_filter_maintained",
+    "streaming_ewma_ttl_replay",
+    # -- (2) code touched this round
+    "dedup_prefix_filter_pairs",
     "dedup_prefix_filter_pairs_guarded",
     "dedup_prefix_filter_incremental",
-    "streaming_alerts_replay",
-    # -- (3) re-certification: the r6 cohort (newest driver row r6, the
-    # oldest in the repo), catalog order; the remaining 18 r6 entries
-    # spill to round 12
-    "corpus_histogram",
-    "salted_stream_totals",
-    "multimodal_features",
-    "assignment_diff",
-    "json_parsed_projection",
-    "asof_click_purchase",
-    "multimodal_metadata_stats",
-    "multimodal_frame_plan",
-    "multimodal_audio_chunks",
-    "multimodal_image_resize",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_part_promotion",
-    "q21_sole_returner",
-    "q22_idle_customers",
-    "grouping_sets_order_stats",
-    "range_join_clicks_before_purchase",
-    "source_dedup_stats",
-    "chunk_documents",
-    "tfidf_cosine_pairs_guarded",
-    "streaming_hourly_rollup_replay_shuffled",
-    "events_value_percentiles_exact",
-    "funnel_conversion",
-    "table_profile_documents",
-    "events_hopping_rollup",
-    "compaction_plan",
-    "zorder_layout_keys",
-    "hll_distinct_users_daily",
-    "dedup_graph_triangles",
-    "streaming_join_replay",
-    "multimodal_png_roundtrip",
-    # -- round-12 spill starts here (positions 51+): the r6 cohort's tail
+    "ann_trained_ivf_topk",
+    "ann_trained_ivf_multiprobe",
+    "ann_ivf_pq_exact_parity",
+    "semantic_dedup_clusters",
+    # -- (3) the r6 cohort (newest driver row r6 — the oldest anywhere)
     "bpe_learn_merges",
     "bpe_vocab_after_merges",
     "record_linkage_pairs",
@@ -12036,6 +11987,31 @@ _AUDIT_PRIORITY = [
     "churn_label_features",
     "conversion_latency_quantiles",
     "bpe_fertility_by_lang",
+    # -- (4) the r7 cohort's head (alphabetical); its tail (lsh_precision
+    # _recall ... zscore_anomaly_events) heads the round-13 window
+    "acf_daily_counts",
+    "benford_first_digit",
+    "bucketed_join_order_revenue",
+    "ccf_click_purchase",
+    "cdc_apply_final_state",
+    "chisq_source_lang",
+    "clustering_silhouette",
+    "cross_source_dup_groups",
+    "customer_rfm_scores",
+    "dedup_components_incremental",
+    "dedup_edit_distance_pairs",
+    "dedup_graph_pagerank",
+    "dedup_pagerank_keepers",
+    "dow_adjusted_anomalies",
+    "embedding_dim_stats",
+    "event_path_trigrams",
+    "event_pmi_pairs",
+    "events_equidepth_histogram",
+    "events_key_skew",
+    "events_trailing_distinct_interval",
+    "fk_integrity_audit",
+    "hll_click_purchase_overlap",
+    "int8_quant_error_stats",
 ]
 
 

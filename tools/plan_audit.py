@@ -96,6 +96,8 @@ AUDITED = [
     # round-11
     "dedup_prefix_filter_pairs_guarded",  # hot-posting cap + per-anchor top-K
     "dedup_prefix_filter_incremental",    # cross-side prefix join, shared df order
+    # round-12
+    "dedup_prefix_filter_maintained",  # batch vs stored bucketed corpus index
 ]
 
 
