@@ -286,6 +286,7 @@ NOT_BENCHED_REPLAYS = [
     "streaming_late_drop_replay",
     "streaming_lsh_replay",
     "streaming_ewma_ttl_replay",
+    "streaming_holt_ttl_replay",
     "streaming_outer_join_replay",
     "streaming_sessionization_replay",
     "streaming_sessionization_replay_shuffled",

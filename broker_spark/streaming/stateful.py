@@ -892,3 +892,110 @@ def streaming_holt(keyed: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _holt_ttl_func(ttl_ms: int, bucket_ms: int):
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """`_holt_func` with the row-local idle-restart rule (the EWMA
+        TTL recipe): an event-time gap wider than `ttl_ms` between
+        consecutive folded buckets resets the whole (level, trend,
+        held-first-point) state, so the row that follows the gap is held
+        as a fresh series' first observation.  Eviction is answer-neutral
+        at watermark_delay=0 for BOTH pieces of Holt state: an evicted
+        key's next row necessarily sits past last_touch + ttl, where the
+        gap rule resets (level, trend) anyway, and a held first point
+        whose session ends with one row emits nothing under the session
+        semantics — exactly what its eviction produces."""
+        if state.hasTimedOut:
+            state.remove()
+            return
+        lvl = trd = first_x = None
+        last_b = first_b = None
+        if state.exists:
+            lvl, trd, last_b, first_x, first_b = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("bucket")
+        out: list[tuple] = []
+        for _, r in rows.iterrows():
+            b, x = int(r["bucket"]), float(r["value"])
+            if last_b is not None and b <= last_b:
+                continue  # strictly forward, like the NoTimeout op
+            if last_b is not None and (b - last_b) * bucket_ms > ttl_ms:
+                lvl = trd = first_x = first_b = None  # idle past ttl
+            if lvl is None and first_x is None:
+                first_x, first_b, last_b = x, b, b
+                continue
+            if lvl is None:
+                # second point of the (possibly restarted) series: emit
+                # the held first row, then fold this one
+                lvl, trd = first_x, x - first_x
+                out.append((first_b, first_x, lvl, trd, first_x))
+                f = lvl + trd
+                l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trd)
+                trd = HOLT_BETA * (l_new - lvl) + (1.0 - HOLT_BETA) * trd
+                lvl = l_new
+                out.append((b, x, lvl, trd, f))
+                last_b = b
+                continue
+            f = lvl + trd
+            l_new = HOLT_ALPHA * x + (1.0 - HOLT_ALPHA) * (lvl + trd)
+            trd = HOLT_BETA * (l_new - lvl) + (1.0 - HOLT_BETA) * trd
+            lvl = l_new
+            out.append((b, x, lvl, trd, f))
+            last_b = b
+        if last_b is not None:
+            state.update((lvl, trd, last_b, first_x, first_b))
+            state.setTimeoutTimestamp(
+                max(last_b * bucket_ms + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out),
+                "bucket": [o[0] for o in out],
+                "value": [o[1] for o in out],
+                "level": [o[2] for o in out],
+                "trend": [o[3] for o in out],
+                "forecast": [o[4] for o in out],
+            }
+        )
+
+    return fn
+
+
+def streaming_holt_ttl(
+    keyed: DataFrame,
+    ttl_ms: int = DEFAULT_EWMA_TTL_MS,
+    bucket_ms: int = 3_600_000,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """`streaming_holt` with the BOUNDED-STATE contract — the second
+    smoother's TTL twin (same design as `streaming_ewma_ttl`, see its
+    docstring for the contract): an event-time gap wider than `ttl_ms`
+    restarts the series cold (the row after the gap is held as a fresh
+    first observation; a one-row session emits nothing, matching what
+    its eviction produces), and the state store holds only keys touched
+    within the trailing ttl via GroupStateTimeout.EventTimeTimeout.  The
+    `streaming_holt_ttl_replay` catalog entry certifies the restarting
+    recurrence against a session-cut recursive-CTE oracle;
+    tools/state_scale.py measures the bounded store under adversarial
+    key growth.
+
+    `keyed` must have columns (key string, bucket long, value double)
+    with bucket = event-time epoch-ms // `bucket_ms`."""
+    from pyspark.sql import functions as F
+
+    src = keyed.withColumn(
+        "ts", F.timestamp_millis(F.col("bucket") * F.lit(bucket_ms))
+    )
+    return (
+        src.withWatermark("ts", watermark_delay)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _holt_ttl_func(ttl_ms, bucket_ms),
+            outputStructType=_HOLT_OUTPUT,
+            stateStructType=_HOLT_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

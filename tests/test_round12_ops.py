@@ -303,6 +303,89 @@ class TestStreamingEwmaTtl:
         )
 
 
+class TestStreamingHoltTtl:
+    def _run(self, spark, src, sink, ckpt, ttl_ms):
+        source = spark.readStream.schema(
+            "key string, bucket long, value double"
+        ).parquet(str(src))
+        q = (
+            stateful.streaming_holt_ttl(source, ttl_ms=ttl_ms)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        removed = sum(
+            op["numRowsRemoved"]
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        rows = {
+            (r["key"], r["bucket"]): (r["level"], r["trend"], r["forecast"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        return rows, removed
+
+    def test_gap_past_ttl_restarts_series(self, spark, tmp_path):
+        """A gap wider than the ttl restarts the SERIES: the row after the
+        gap is held as a fresh first observation (emitted when its second
+        point arrives, with the re-initialized lookahead trend), and a
+        one-row run emits nothing — what its eviction would produce."""
+        from broker_spark.streaming.stateful import HOLT_ALPHA, HOLT_BETA
+
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [
+                ("a", B0, 10.0),
+                ("a", B0 + 1, 20.0),
+                ("a", B0 + 5, 40.0),
+                ("a", B0 + 6, 50.0),
+                # a lone trailing point past another gap: held, never
+                # emitted — the one-row-session contract
+                ("a", B0 + 20, 99.0),
+            ],
+            "key string, bucket long, value double",
+        ).write.mode("append").parquet(str(src))
+        rows, _ = self._run(
+            spark, src, str(tmp_path / "sink"), str(tmp_path / "ckpt"), 2 * HOUR_MS
+        )
+        # session 1: init level=10, trend=10 at the first row
+        assert rows[(("a"), B0)] == pytest.approx((10.0, 10.0, 10.0))
+        l1 = HOLT_ALPHA * 20.0 + (1 - HOLT_ALPHA) * 20.0
+        t1 = HOLT_BETA * (l1 - 10.0) + (1 - HOLT_BETA) * 10.0
+        assert rows[("a", B0 + 1)] == pytest.approx((l1, t1, 20.0))
+        # session 2 (gap 4 > ttl 2): fresh lookahead init
+        assert rows[("a", B0 + 5)] == pytest.approx((40.0, 10.0, 40.0))
+        # the held trailing point emits nothing
+        assert ("a", B0 + 20) not in rows
+
+    def test_idle_key_state_is_evicted(self, spark, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+        spark.createDataFrame(
+            [("a", B0, 10.0), ("a", B0 + 1, 12.0), ("b", B0, 1.0), ("b", B0 + 1, 2.0)],
+            "key string, bucket long, value double",
+        ).write.mode("append").parquet(str(src))
+        _, r1 = self._run(spark, src, sink, ckpt, 1 * HOUR_MS)
+        spark.createDataFrame(
+            [("b", B0 + 10, 5.0), ("b", B0 + 11, 6.0)],
+            "key string, bucket long, value double",
+        ).write.mode("append").parquet(str(src))
+        _, r2 = self._run(spark, src, sink, ckpt, 1 * HOUR_MS)
+        spark.createDataFrame(
+            [("b", B0 + 12, 7.0)], "key string, bucket long, value double"
+        ).write.mode("append").parquet(str(src))
+        rows, r3 = self._run(spark, src, sink, ckpt, 1 * HOUR_MS)
+        assert r1 + r2 + r3 >= 1, "idle key 'a' was never evicted"
+        # b's restarted session emits with the fresh lookahead init
+        assert rows[("b", B0 + 10)] == pytest.approx((5.0, 1.0, 5.0))
+
+
 # ---------------------------------------------------------------------------
 # VERDICT r11 #3: the distributed quantizer init
 # ---------------------------------------------------------------------------

@@ -68,6 +68,62 @@ def time_one(spark, name: str, sf_dir: str, runs: int) -> tuple[float, int]:
     return round(best, 3), n
 
 
+def run_between(spark, src: str, dst: str, copies: int, runs: int) -> None:
+    """VERDICT r11 #4: the clone-storm measurement for the INCREMENTAL
+    prefix join.  Verbatim replication with shifted doc_ids sprays each
+    clone family across BOTH sides of the %7 new/corpus split (the
+    re-crawl-meets-archive shape), so every clone's prefix tokens land in
+    the same postings on both sides and the uncapped candidate join's
+    fan-out goes |pn posting| x |pc posting| — quadratic in the clone
+    factor.  Times the uncapped form against the corpus-side cap alone
+    (max_posting_size, the default one-sided doctrine) and both caps
+    (+ max_new_posting_size), at 1x and kx."""
+    from broker_spark.pipeline import dedup as _dedup
+
+    CAP = 8  # the LSH stop-bucket recipe's bound: C(8,2) pairs per token
+
+    def split(sf):
+        docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+        return (
+            docs.filter(F.col("doc_id") % 7 == 0),
+            docs.filter(F.col("doc_id") % 7 != 0),
+        )
+
+    forms = {
+        "uncapped": {},
+        f"corpus cap {CAP}": {"max_posting_size": CAP},
+        f"both caps {CAP}": {"max_posting_size": CAP, "max_new_posting_size": CAP},
+    }
+    results = {}
+    for label, kw in forms.items():
+        for tag, sf in (("base", src), ("dense", dst)):
+            new, corpus = split(sf)
+            best, n = float("inf"), 0
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                n = _dedup.prefix_filter_jaccard_pairs_between(
+                    new, corpus, threshold=0.5, **kw
+                ).count()
+                best = min(best, round(time.perf_counter() - t0, 3))
+            results[(label, tag)] = (best, n)
+
+    print(
+        f"| prefix_filter_jaccard_pairs_between | t(sf0.1) s "
+        f"| t(verbatim x{copies}) s | ratio | pairs 1x -> kx |"
+    )
+    print("|---|---|---|---|---|")
+    for label in forms:
+        b, nb = results[(label, "base")]
+        d, nd = results[(label, "dense")]
+        r = d / b if b else float("inf")
+        print(f"| {label} | {b} | {d} | {r:.1f}x | {nb} -> {nd} |")
+    print()
+    print(
+        "Raw between:",
+        json.dumps({f"{l}/{t}": v for (l, t), v in results.items()}),
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
@@ -75,6 +131,11 @@ def main() -> None:
     ap.add_argument(
         "--entries", nargs="+", default=ENTRIES,
         help="catalog entries to time (default: the r8 minhash four)",
+    )
+    ap.add_argument(
+        "--between", action="store_true",
+        help="clone-storm measurement for the incremental prefix join "
+        "(VERDICT r11 #4) instead of the catalog entries",
     )
     args = ap.parse_args()
 
@@ -85,6 +146,10 @@ def main() -> None:
     if not os.path.isdir(os.path.join(dst, "documents.parquet")):
         build_dense(spark, src, dst, args.copies)
     spark.range(1).count()
+
+    if args.between:
+        run_between(spark, src, dst, args.copies, args.runs)
+        return
 
     base, dense, rows_base, rows_dense = {}, {}, {}, {}
     for name in args.entries:

@@ -653,17 +653,20 @@ def run_smoother(spark, copies: int, batches: int, op: str = "ewma"):
     return out
 
 
-def run_ewma_ttl(spark, copies: int, batches: int, ttl_ms: int):
-    """Certify the TTL'd EWMA twin's BOUNDED contract (VERDICT r11 #6) on
-    the adversarial shape the NoTimeout smoother is linear in: disjoint
-    per-copy key spaces laid back-to-back in event time, so keys-ever
-    grows kx while only the trailing ttl's active keys may hold state.
-    Two-sided model over per-key last touches, exactly the alerts/lsh
-    guard: strict = keys alive at the final watermark, upper = keys
-    alive at the pre-final watermark (the one the last batch's timeout
-    pass actually used)."""
+def run_smoother_ttl(spark, copies: int, batches: int, ttl_ms: int, op: str = "ewma"):
+    """Certify the TTL'd smoother twins' BOUNDED contract (VERDICT r11
+    #6) on the adversarial shape the NoTimeout smoothers are linear in:
+    disjoint per-copy key spaces laid back-to-back in event time, so
+    keys-ever grows kx while only the trailing ttl's active keys may
+    hold state.  Two-sided model over per-key last touches, exactly the
+    alerts/lsh guard: strict = keys alive at the final watermark,
+    upper = keys alive at the pre-final watermark (the one the last
+    batch's timeout pass actually used).  Both twins share one model:
+    each evicts at last_bucket + ttl regardless of what the state
+    carries (a level, or Holt's (level, trend, held-first-point))."""
     from broker_spark.plans.catalog import _stage_ordered_batches
 
+    fn = stateful.streaming_ewma_ttl if op == "ewma" else stateful.streaming_holt_ttl
     ev, _lo, _hi = build_events(spark, copies, disjoint_users=True)
     n_events = ev.count()
     keyed = (
@@ -678,7 +681,7 @@ def run_ewma_ttl(spark, copies: int, batches: int, ttl_ms: int):
         .agg(F.avg("value").alias("value"))
     ).localCheckpoint()
     n_keys = keyed.select("key").distinct().count()
-    tmp = tempfile.mkdtemp(prefix=f"state_ewma_ttl_x{copies}_")
+    tmp = tempfile.mkdtemp(prefix=f"state_{op}_ttl_x{copies}_")
     bmin, bmax = keyed.agg(F.min("bucket"), F.max("bucket")).collect()[0]
     step = (bmax - bmin) // batches + 1
     _stage_ordered_batches(
@@ -695,7 +698,7 @@ def run_ewma_ttl(spark, copies: int, batches: int, ttl_ms: int):
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{tmp}/in")
     )
-    q, wall = _replay(spark, stateful.streaming_ewma_ttl(src, ttl_ms=ttl_ms), tmp)
+    q, wall = _replay(spark, fn(src, ttl_ms=ttl_ms), tmp)
     removed, peak, final, mem = _drain_progress(q)
     touches = (
         keyed.groupBy("key").agg((F.max("bucket") * F.lit(HOUR_MS)).alias("last_ms"))
@@ -736,17 +739,24 @@ def _smoother_table(op: str):
     )
 
 
-TABLES = {
-    "ewma": _smoother_table("ewma"),
-    "holt": _smoother_table("holt"),
-    "ewma_ttl": (
-        run_ewma_ttl,
+def _smoother_ttl_table(op: str):
+    return (
+        lambda spark, copies, batches, ttl_ms: run_smoother_ttl(
+            spark, copies, batches, ttl_ms, op
+        ),
         "| scale | events | keys ever (NoTimeout state) | peak state rows "
         "| final state rows | ttl model | evicted |",
         lambda r: f"| x{r['copies']} | {r['events']:,} | {r['keys_ever']:,} "
         f"| {r['peak_rows']:,} | {r['final_rows']:,} "
         f"| {r['model_alive']:,} | {r['removed_rows']:,} |",
-    ),
+    )
+
+
+TABLES = {
+    "ewma": _smoother_table("ewma"),
+    "holt": _smoother_table("holt"),
+    "ewma_ttl": _smoother_ttl_table("ewma"),
+    "holt_ttl": _smoother_ttl_table("holt"),
     "lsh": (
         run_lsh,
         "| scale | docs | buckets ever (NoTimeout state) | peak state rows "
@@ -814,7 +824,7 @@ def main() -> None:
                 fn(spark, k, args.batches, args.horizon_hours * HOUR_MS)
                 for k in args.copies
             ]
-        elif op in ("alerts", "ewma_ttl"):
+        elif op in ("alerts", "ewma_ttl", "holt_ttl"):
             rows = [
                 fn(spark, k, args.batches, args.alert_horizon_hours * HOUR_MS)
                 for k in args.copies
