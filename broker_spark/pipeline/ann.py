@@ -469,8 +469,14 @@ def _stride_sample(e: DataFrame, n: int, k: int) -> list:
     is the range partitioning itself."""
     stride = max(n // k, 1)
     n_part = e.sparkSession.sparkContext.defaultParallelism
-    ranged = e.repartitionByRange(n_part, "_id").withColumn(
-        "_p", F.spark_partition_id()
+    # persisted because BOTH jobs below (the per-partition counts and the
+    # rank+filter) read it — without the pin each would re-pay the range
+    # exchange from scratch (measured ~0.25 s of the init's fixture-scale
+    # cost; at corpus scale it halves the init's shuffle volume)
+    ranged = (
+        e.repartitionByRange(n_part, "_id")
+        .withColumn("_p", F.spark_partition_id())
+        .persist()
     )
     counts = {
         r["_p"]: r["n"]
@@ -482,7 +488,7 @@ def _stride_sample(e: DataFrame, n: int, k: int) -> list:
         acc += counts.get(p, 0)
     off_arr = F.expr(f"array({', '.join(f'{o}L' for o in offs)})")
     w = Window.partitionBy("_p").orderBy("_id")
-    return (
+    out = (
         ranged.withColumn(
             "_rn", F.row_number().over(w) + F.element_at(off_arr, F.col("_p") + 1)
         )
@@ -492,6 +498,8 @@ def _stride_sample(e: DataFrame, n: int, k: int) -> list:
         .select("_v")
         .collect()
     )
+    ranged.unpersist()
+    return out
 
 
 def kmeans_train(
@@ -819,6 +827,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     prepared=None,
+    cache_key: str | None = None,
 ) -> list:
     """Deterministic product-quantization codebooks: the vector space is
     split into `m_sub` contiguous subspaces and each gets its own
@@ -832,9 +841,21 @@ def pq_train(
     Same determinism contract as kmeans_train (stride init, stable
     argmin ties to the lower code, means rounded to 6 decimals).
 
+    `cache_key` opts into the `_TRAIN_CACHE` memo exactly like the IVF
+    wrappers (index BUILD happens once; queries reuse the codebooks) —
+    training is seedless and deterministic for a given input, so a hit
+    returns bit-identical codebooks.
+
     Returns codebooks[m][c] = list of d_sub floats."""
     import numpy as np
 
+    key = (
+        (cache_key, "pq", m_sub, k_cent, iters, id_col, vec_col)
+        if cache_key is not None
+        else None
+    )
+    if key is not None and key in _TRAIN_CACHE:
+        return _TRAIN_CACHE[key]
     own = prepared is None
     if own:
         e = embeddings.select(
@@ -870,6 +891,8 @@ def pq_train(
             codebooks[m][c] = [dims[i] for i in sorted(dims)]
     if own:
         e.unpersist()
+    if key is not None:
+        _TRAIN_CACHE[key] = codebooks
     return codebooks
 
 

