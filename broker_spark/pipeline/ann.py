@@ -478,28 +478,31 @@ def _stride_sample(e: DataFrame, n: int, k: int) -> list:
         .withColumn("_p", F.spark_partition_id())
         .persist()
     )
-    counts = {
-        r["_p"]: r["n"]
-        for r in ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offs, acc = [], 0
-    for p in range(n_part):
-        offs.append(acc)
-        acc += counts.get(p, 0)
-    off_arr = F.expr(f"array({', '.join(f'{o}L' for o in offs)})")
-    w = Window.partitionBy("_p").orderBy("_id")
-    out = (
-        ranged.withColumn(
-            "_rn", F.row_number().over(w) + F.element_at(off_arr, F.col("_p") + 1)
+    # try/finally: if either collect dies mid-job (OOM, cancellation) the
+    # persisted projection must not leak in the cache for the session
+    try:
+        counts = {
+            r["_p"]: r["n"]
+            for r in ranged.groupBy("_p").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        offs, acc = [], 0
+        for p in range(n_part):
+            offs.append(acc)
+            acc += counts.get(p, 0)
+        off_arr = F.expr(f"array({', '.join(f'{o}L' for o in offs)})")
+        w = Window.partitionBy("_p").orderBy("_id")
+        return (
+            ranged.withColumn(
+                "_rn", F.row_number().over(w) + F.element_at(off_arr, F.col("_p") + 1)
+            )
+            .filter((F.col("_rn") - 1) % stride == 0)
+            .orderBy("_rn")
+            .limit(k)
+            .select("_v")
+            .collect()
         )
-        .filter((F.col("_rn") - 1) % stride == 0)
-        .orderBy("_rn")
-        .limit(k)
-        .select("_v")
-        .collect()
-    )
-    ranged.unpersist()
-    return out
+    finally:
+        ranged.unpersist()
 
 
 def kmeans_train(

@@ -1520,9 +1520,76 @@ def prefix_filter_jaccard_pairs_between(
 
 # -- maintained prefix-filter corpus index (the at-scale ingestion form) -----
 
+#: Target vocabulary rows per tok-range directory of the maintained
+#: index.  The range count scales with the corpus (n_vocab / this, capped)
+#: so each range directory stays a fixed-size unit of IO: a batch query
+#: prunes to the ranges its token set can touch, and what it reads per
+#: range does not grow as the corpus does.
+_PREFIX_VOCAB_PER_RANGE = 250_000
+_PREFIX_MAX_RANGES = 512
 
-def _prefix_index_tables(name: str) -> tuple[str, str, str, str]:
-    return f"{name}_df", f"{name}_postings", f"{name}_tokens", f"{name}_df_delta"
+#: Documented rebuild threshold for `prefix_index_drift`: rebuild when the
+#: stored postings' CURRENT document-frequency mass exceeds their EPOCH
+#: mass by this factor — i.e. the average stored prefix token has become
+#: twice as hot as the frozen order believed, so posting lists (and the
+#: candidate join's fan-out) run ~2x past what a fresh (df, tok) order
+#: would give.  A performance trigger only: staleness never costs a pair
+#: (the frozen-order contract in `build_prefix_filter_index`).
+PREFIX_REBUILD_INFLATION = 2.0
+
+
+class _PrefixTables:
+    """Table names backing one maintained prefix-filter index."""
+
+    __slots__ = ("df", "postings", "tokens", "delta", "ranges", "meta")
+
+    def __init__(self, name: str):
+        self.df = f"{name}_df"
+        self.postings = f"{name}_postings"
+        self.tokens = f"{name}_tokens"
+        self.delta = f"{name}_df_delta"
+        self.ranges = f"{name}_ranges"
+        self.meta = f"{name}_meta"
+
+    def all(self) -> tuple[str, ...]:
+        return (self.df, self.postings, self.tokens, self.delta, self.ranges, self.meta)
+
+
+def _prefix_index_tables(name: str) -> _PrefixTables:
+    return _PrefixTables(name)
+
+
+def _range_of(tok_col: Column, los: list[str]) -> Column:
+    """Range id of a token under the stored boundary list: the GREATEST
+    range whose lower bound <= tok (los is ascending, los[0] = "" so every
+    string maps somewhere).  A pure column expression — O(n_ranges) string
+    compares per row via a higher-order filter, fine for the <=512 ranges
+    a single index keeps; at larger range counts the same rule would run
+    as a broadcast range join.  Build-time assignment, append-time
+    assignment and query-time pruning all route through THIS function, so
+    a stored token and an equal batch token can never disagree on the
+    range — that shared rule is what makes the pruning lossless."""
+    if len(los) <= 1:
+        return F.lit(0)
+    arr = F.array(*[F.lit(x) for x in los])
+    return (F.size(F.filter(arr, lambda b: b <= tok_col)) - 1).cast("int")
+
+
+def _read_prefix_ranges(spark, name: str) -> list[str]:
+    t = _prefix_index_tables(name)
+    rows = spark.table(t.ranges).orderBy("range_id").collect()
+    return [r["lo"] for r in rows]
+
+
+def _read_prefix_meta(spark, name: str) -> dict:
+    """Meta rows are mergeable: `n_docs` appends one row per batch and is
+    read as a SUM (the same one-groupBy-per-batch pattern as the df
+    delta); config keys are write-once constants."""
+    t = _prefix_index_tables(name)
+    out: dict = {}
+    for r in spark.table(t.meta).groupBy("key").agg(F.sum("val").alias("s")).collect():
+        out[r["key"]] = r["s"]
+    return out
 
 
 def build_prefix_filter_index(
@@ -1561,14 +1628,33 @@ def build_prefix_filter_index(
     exactness never depends on how stale it is.  Folding deltas into the
     ordering authority instead would silently break losslessness against
     every previously-ranked posting.  Staleness costs only prefix-size
-    OPTIMALITY — when `current_prefix_df` drifts far from the epoch,
-    rebuild to restore it: a performance decision, never a correctness
-    one."""
+    OPTIMALITY — `prefix_index_drift` measures the drift and
+    `rebuild_prefix_filter_index` restores it: a performance decision,
+    never a correctness one.
+
+    FILE LAYOUT (the scan side of the 100TB design): `{name}_df` and
+    `{name}_postings` additionally carry a `tok_range` DIRECTORY
+    partition — ranges are tok intervals cut from the epoch vocabulary at
+    ~`_PREFIX_VOCAB_PER_RANGE` tokens each (boundaries persisted in
+    `{name}_ranges`), so the range COUNT grows with the corpus while each
+    range stays a fixed-size unit of IO.  A batch query computes the
+    range ids its token set can touch and partition-prunes both scans to
+    them: what a batch reads is bounded by its own token spread, not the
+    corpus (lossless because build, append and query assign ranges
+    through the one shared `_range_of` rule).  Every frame is also
+    repartitioned onto its bucket key before writing so each bucket is
+    ONE file per range — without this, bucketBy fans each writer task
+    across all buckets and the table shatters into tasks x buckets tiny
+    files whose open cost, not their bytes, dominates every later scan
+    (measured: 7,969 files and a 4.4x batch-query slope at 100x corpus;
+    see BENCH_SCALE round-13).  `{name}_meta` records corpus size and
+    build parameters (mergeable rows — appends add `n_docs` increments),
+    which later calls read instead of re-counting the corpus."""
     from broker_spark.storage.bucketed import clear_stale_locations
 
     spark = corpus.sparkSession
-    df_name, post_name, tok_name, delta_name = _prefix_index_tables(name)
-    clear_stale_locations(spark, df_name, post_name, tok_name, delta_name)
+    t = _prefix_index_tables(name)
+    clear_stale_locations(spark, *t.all())
     n_corp = corpus.count()
     # same scale strategy as the recomputing forms: merge hints +
     # corpus-scaled co-partitioning above the broadcast bound
@@ -1589,31 +1675,99 @@ def build_prefix_filter_index(
     )
     tc = _settle(tc, n_corp).transform(pin)
     dfreq = (
-        part(tc, "tok").groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        part(tc, "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .transform(pin)
     )
+    n_vocab = dfreq.count()
+    los = _cut_ranges(dfreq, n_vocab)
     postings = _prefix_index(tc, dfreq, threshold, part, hinted)
-    empty_delta = spark.createDataFrame([], "tok string, df long")
-    for frame, nm, keys in (
-        (dfreq, df_name, ("tok",)),
-        (postings, post_name, ("tok",)),
-        (tc, tok_name, ("doc_id",)),
-        (empty_delta, delta_name, ("tok",)),
+    _write_prefix_tables(spark, t, dfreq, postings, tc, los, n_buckets)
+    meta = spark.createDataFrame(
+        [
+            ("n_docs", n_corp),
+            ("threshold_ppb", int(round(threshold * 1e9))),
+            ("shingle", shingle),
+            ("n_buckets", n_buckets),
+        ],
+        "key string, val long",
+    )
+    meta.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(t.meta)
+
+
+def _cut_ranges(dfreq: DataFrame, n_vocab: int) -> list[str]:
+    """Ascending tok-range lower bounds over the epoch vocabulary, one
+    range per ~`_PREFIX_VOCAB_PER_RANGE` tokens.  Boundaries come from a
+    range-repartition of the vocab (Spark's distributed sampled sort —
+    no single-partition exchange) and per-partition minima; they only
+    steer IO granularity, so sampling imprecision is harmless.  los[0] is
+    forced to "" — `_range_of` must map EVERY string (epoch-unseen
+    appended tokens included) to a range."""
+    n_ranges = max(1, min(_PREFIX_MAX_RANGES, n_vocab // _PREFIX_VOCAB_PER_RANGE))
+    if n_ranges <= 1:
+        return [""]
+    mins = (
+        dfreq.select("tok")
+        .repartitionByRange(n_ranges, "tok")
+        .select(F.spark_partition_id().alias("p"), "tok")
+        .groupBy("p")
+        .agg(F.min("tok").alias("lo"))
+        .orderBy("p")
+        .collect()
+    )
+    los = [r["lo"] for r in mins]
+    los[0] = ""
+    return los
+
+
+def _write_prefix_tables(
+    spark,
+    t: _PrefixTables,
+    dfreq: DataFrame,
+    postings: DataFrame,
+    tc: DataFrame,
+    los: list[str],
+    n_buckets: int,
+) -> None:
+    """Write the df/postings/tokens/delta/ranges tables under the shared
+    layout: tok-keyed tables get the `tok_range` directory partition and
+    every frame is repartitioned onto its bucket key first (one file per
+    bucket per range — see `build_prefix_filter_index`)."""
+    ranged = lambda d: d.withColumn("tok_range", _range_of(F.col("tok"), los))  # noqa: E731
+    for frame, nm, keys, dirs in (
+        (ranged(dfreq), t.df, ("tok",), ("tok_range",)),
+        (ranged(postings), t.postings, ("tok",), ("tok_range",)),
+        (tc, t.tokens, ("doc_id",), ()),
+        (spark.createDataFrame([], "tok string, df long"), t.delta, ("tok",), ()),
     ):
-        (
-            frame.write.mode("overwrite")
+        w = (
+            frame.repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
             .bucketBy(n_buckets, *keys)
             .sortBy(*keys)
             .format("parquet")
-            .saveAsTable(nm)
         )
+        if dirs:
+            w = w.partitionBy(*dirs)
+        w.saveAsTable(nm)
+    bounds = spark.createDataFrame(
+        [(i, lo) for i, lo in enumerate(los)], "range_id int, lo string"
+    )
+    bounds.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(t.ranges)
 
 
 def _rank_batch_under_epoch(tn: DataFrame, epoch_df: DataFrame, threshold: float):
     """Rank a batch's tokens under the FROZEN epoch (df, tok) order: a
     LEFT join against the stored df (tokens the epoch never saw rank
-    first at df 0 — they cannot match any stored posting, so the
-    placement only has to be deterministic), then the usual per-doc
-    window + lossless prefix cut."""
+    first at df 0), then the usual per-doc window + lossless prefix cut.
+    df-0 placement is PART of the shared total order, not arbitrary: the
+    build-time corpus cannot contain epoch-unseen tokens, but appended
+    batches do — `append_prefix_filter_batch` writes their postings
+    ranked at df 0 through this same function, and a later batch's equal
+    token (also df 0, tie-broken by tok) matches them.  Every
+    participant sharing the one (epoch-df, tok) order is what the prefix
+    lemma needs."""
     sizes = tn.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "tok")
     ranked = (
@@ -1636,6 +1790,7 @@ def prefix_filter_jaccard_pairs_maintained(
     shingle: int = DEFAULT_SHINGLE,
     max_posting_size: int | None = None,
     max_new_posting_size: int | None = None,
+    broadcast_below_docs: int = 100_000,
 ) -> DataFrame:
     """`prefix_filter_jaccard_pairs_between` against a MAINTAINED index
     built by `build_prefix_filter_index` — the production ingestion hot
@@ -1652,12 +1807,28 @@ def prefix_filter_jaccard_pairs_maintained(
     verify, and the final pair set does not depend on WHICH shared token
     order ranked the prefixes (pinned by test).
 
+    FILE-LEVEL PRUNING: before the joins, the batch's distinct token set
+    is mapped through the stored range boundaries (`_range_of` — the same
+    rule that placed every stored row) and both tok-keyed scans are
+    partition-filtered to the touched `tok_range` directories.  A range
+    with no batch token cannot hold an equal token, so the filter is
+    lossless; what the batch READS is then bounded by its own token
+    spread times a fixed per-range size, not by the corpus.  The range-id
+    job is one batch-proportional collect over the pinned token frame.
+
     `max_posting_size` / `max_new_posting_size`: the same stop-bucket
-    guards as the recomputing form (corpus / batch side respectively)."""
-    df_name, post_name, tok_name, _ = _prefix_index_tables(name)
-    epoch_df = spark.table(df_name)
-    pc = spark.table(post_name)
-    tall = spark.table(tok_name)
+    guards as the recomputing form (corpus / batch side respectively).
+    Above `broadcast_below_docs` stored docs (read from `{name}_meta`,
+    maintained by appends — no corpus re-count) the hot-token cuts route
+    through a merge hint instead of an unconditional broadcast, mirroring
+    `prefix_filter_jaccard_pairs_between`: under verbatim duplication the
+    hot set scales with the duplicated vocabulary and would otherwise
+    re-introduce the driver-pressure class the r11 merge-hint work fixed
+    (ADVICE r12)."""
+    t = _prefix_index_tables(name)
+    epoch_df = spark.table(t.df)
+    pc = spark.table(t.postings)
+    tall = spark.table(t.tokens)
     n_new = new_docs.count()
     tn = _spread(new_docs, n_rows=n_new).select(
         "doc_id",
@@ -1666,11 +1837,26 @@ def prefix_filter_jaccard_pairs_maintained(
         ),
     )
     tn = _settle(tn, n_new).transform(pin)
+    los = _read_prefix_ranges(spark, name)
+    if len(los) > 1:
+        ids = [
+            r["rid"]
+            for r in tn.select(_range_of(F.col("tok"), los).alias("rid"))
+            .distinct()
+            .collect()
+        ]
+        if len(ids) < len(los):
+            epoch_df = epoch_df.filter(F.col("tok_range").isin(ids))
+            pc = pc.filter(F.col("tok_range").isin(ids))
+    epoch_df = epoch_df.drop("tok_range")
+    pc = pc.drop("tok_range")
+    n_stored = _read_prefix_meta(spark, name).get("n_docs", 0)
+    guard = None if n_stored <= broadcast_below_docs else (lambda d: d.hint("merge"))
     pn = _rank_batch_under_epoch(tn, epoch_df, threshold)
     if max_posting_size is not None:
-        pc = _drop_hot_postings(pc, max_posting_size)
+        pc = _drop_hot_postings(pc, max_posting_size, guard=guard)
     if max_new_posting_size is not None:
-        pn = _drop_hot_postings(pn, max_new_posting_size)
+        pn = _drop_hot_postings(pn, max_new_posting_size, guard=guard)
     cand = (
         pn.alias("n")
         .join(pc.alias("c"), "tok")
@@ -1724,10 +1910,16 @@ def append_prefix_filter_batch(
     `{name}_postings`, and its per-token counts to `{name}_df_delta`
     (the mergeable-count df update: ONE batch-sized groupBy, no corpus
     read).  All three appends are batch-proportional; the corpus is
-    never re-tokenized, re-ranked, or re-shuffled."""
+    never re-tokenized, re-ranked, or re-shuffled.  Appended postings
+    land in the `tok_range` directory the stored boundaries assign (the
+    shared `_range_of` rule — what keeps query-time pruning lossless over
+    appends), and each appended frame is repartitioned onto its bucket
+    key first so an append adds at most one file per bucket per touched
+    range, not writer-tasks x buckets; `compact_prefix_filter_index`
+    bin-packs the accumulation when appends pile up."""
     spark = batch.sparkSession
-    df_name, post_name, tok_name, delta_name = _prefix_index_tables(name)
-    epoch_df = spark.table(df_name)
+    t = _prefix_index_tables(name)
+    epoch_df = spark.table(t.df).drop("tok_range")
     n_batch = batch.count()
     tb = _spread(batch, n_rows=n_batch).select(
         "doc_id",
@@ -1736,20 +1928,28 @@ def append_prefix_filter_batch(
         ),
     )
     tb = _settle(tb, n_batch).transform(pin)
-    pb = _rank_batch_under_epoch(tb, epoch_df, threshold)
+    los = _read_prefix_ranges(spark, name)
+    pb = _rank_batch_under_epoch(tb, epoch_df, threshold).withColumn(
+        "tok_range", _range_of(F.col("tok"), los)
+    )
     delta = tb.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    for frame, nm, keys in (
-        (pb, post_name, ("tok",)),
-        (tb, tok_name, ("doc_id",)),
-        (delta, delta_name, ("tok",)),
+    for frame, nm, keys, dirs in (
+        (pb, t.postings, ("tok",), ("tok_range",)),
+        (tb, t.tokens, ("doc_id",), ()),
+        (delta, t.delta, ("tok",), ()),
     ):
-        (
-            frame.write.mode("append")
+        w = (
+            frame.repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.mode("append")
             .bucketBy(n_buckets, *keys)
             .sortBy(*keys)
             .format("parquet")
-            .saveAsTable(nm)
         )
+        if dirs:
+            w = w.partitionBy(*dirs)
+        w.saveAsTable(nm)
+    n_docs = spark.createDataFrame([("n_docs", n_batch)], "key string, val long")
+    n_docs.coalesce(1).write.mode("append").format("parquet").saveAsTable(t.meta)
 
 
 def current_prefix_df(spark, name: str) -> DataFrame:
@@ -1757,8 +1957,9 @@ def current_prefix_df(spark, name: str) -> DataFrame:
     epoch snapshot ⊎ every appended batch delta, folded by one groupBy
     (df is a mergeable count).  This is the REBUILD-DECISION input — how
     far posting-size optimality has drifted from the epoch order — never
-    the ordering authority (see `build_prefix_filter_index`)."""
-    df_name, _, _, delta_name = _prefix_index_tables(name)
+    the ordering authority (see `build_prefix_filter_index`);
+    `prefix_index_drift` turns it into the decision metric."""
+    t = _prefix_index_tables(name)
     # The explicit repartition is a CORRECTNESS guard, not tuning: Spark
     # 4.1.2 plans the aggregate over a Union of two same-bucketed scans
     # with NO Exchange (each child's bucket partitioning is taken to
@@ -1768,12 +1969,157 @@ def current_prefix_df(spark, name: str) -> DataFrame:
     # tokens on the sf0.001 fixture.  Forcing the exchange restores the
     # merge; this path runs per rebuild decision, not per batch.
     return (
-        spark.table(df_name)
-        .unionByName(spark.table(delta_name))
+        spark.table(t.df)
+        .select("tok", "df")
+        .unionByName(spark.table(t.delta).select("tok", "df"))
         .repartition(F.col("tok"))
         .groupBy("tok")
         .agg(F.sum("df").cast("long").alias("df"))
     )
+
+
+def prefix_index_drift(spark, name: str) -> DataFrame:
+    """THE rebuild-decision metric for a maintained prefix index: how
+    much hotter the stored prefix postings' tokens are under the CURRENT
+    document frequencies than under the frozen EPOCH order that chose
+    them.  One row: each stored posting row contributes its token's epoch
+    df (0 for epoch-unseen appended tokens — honest: those were ranked
+    blind) and its current df; `inflation` is the mass ratio and
+    `should_rebuild` applies the documented `PREFIX_REBUILD_INFLATION`
+    threshold.  Prefix ROW COUNT per doc is order-invariant
+    (|x| - ceil(t|x|) + 1), so what drifts is which tokens fill the
+    prefix — inflation ~1 means the postings are still the rare end of
+    the distribution; inflation >= 2 means the average stored posting
+    token is twice as common as the order believed, and the candidate
+    join fans out accordingly.  Corpus-proportional by nature (it audits
+    the whole index) but runs per rebuild DECISION, never per batch —
+    the same cadence class as the reference's bucket rollover checks
+    (`src/storage/BucketManager.ts:325-361`)."""
+    t = _prefix_index_tables(name)
+    post_toks = spark.table(t.postings).select("tok")
+    epoch = spark.table(t.df).select("tok", F.col("df").alias("epoch_df"))
+    cur = current_prefix_df(spark, name).select("tok", F.col("df").alias("cur_df"))
+    mass = (
+        post_toks.join(epoch, "tok", "left")
+        .join(cur, "tok", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("posting_rows"),
+            F.coalesce(F.sum("epoch_df"), F.lit(0)).cast("long").alias("epoch_mass"),
+            F.coalesce(F.sum("cur_df"), F.lit(0)).cast("long").alias("current_mass"),
+        )
+    )
+    infl = F.round(
+        F.col("current_mass").cast("double")
+        / F.greatest(F.col("epoch_mass"), F.lit(1)).cast("double"),
+        6,
+    )
+    return mass.select(
+        "posting_rows",
+        "epoch_mass",
+        "current_mass",
+        infl.alias("inflation"),
+        (infl >= F.lit(PREFIX_REBUILD_INFLATION)).alias("should_rebuild"),
+    )
+
+
+def rebuild_prefix_filter_index(spark, name: str) -> None:
+    """Re-cut the maintained index under a FRESH epoch order — the action
+    `prefix_index_drift` recommends.  Parameters come from `{name}_meta`
+    (write-once at build); the corpus text is NOT needed: `{name}_tokens`
+    already holds every doc's distinct token set (epoch + all appends),
+    so the rebuild re-counts df and re-ranks prefixes from it, writes a
+    new epoch df / postings / boundaries, empties the delta, and
+    compacts the tokens table in passing.  The new epoch df equals
+    `current_prefix_df` of the old index exactly (pinned by test — df is
+    a mergeable count either way).  Locally the overwrite is in-place;
+    at scale the same function would write under a versioned epoch name
+    and swap a pointer, the reference's bucket-rollover pattern
+    (`src/storage/BucketManager.ts:325-361`)."""
+    t = _prefix_index_tables(name)
+    meta = _read_prefix_meta(spark, name)
+    threshold = meta["threshold_ppb"] / 1e9
+    n_buckets = int(meta["n_buckets"])
+    n_docs = int(meta["n_docs"])
+    small = n_docs <= 100_000
+    hinted = (lambda d: d) if small else (lambda d: d.hint("merge"))
+    if small:
+        part = lambda d, *k: d  # noqa: E731
+    else:
+        n_part = max(spark.sparkContext.defaultParallelism, n_docs // 2000)
+        part = lambda d, *k: d.repartition(n_part, *k)  # noqa: E731
+    # pin the stored token sets BEFORE any overwrite below touches disk —
+    # everything else derives from this one frame
+    tc = pin(spark.table(t.tokens).select("doc_id", "tok"))
+    dfreq = (
+        part(tc, "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .transform(pin)
+    )
+    n_vocab = dfreq.count()
+    los = _cut_ranges(dfreq, n_vocab)
+    postings = _prefix_index(tc, dfreq, threshold, part, hinted)
+    _write_prefix_tables(spark, t, dfreq, postings, tc, los, n_buckets)
+    meta_rows = spark.createDataFrame(
+        [
+            ("n_docs", n_docs),
+            ("threshold_ppb", int(meta["threshold_ppb"])),
+            ("shingle", int(meta["shingle"])),
+            ("n_buckets", n_buckets),
+        ],
+        "key string, val long",
+    )
+    meta_rows.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+        t.meta
+    )
+
+
+def compact_prefix_filter_index(spark, name: str) -> None:
+    """Small-file compaction for the append-accumulating tables of a
+    maintained prefix index — the file-layout half of the lifecycle
+    (`rebuild_prefix_filter_index` is the ordering half; this one never
+    changes a value, only file counts).  Each `append_prefix_filter_batch`
+    adds a file set to postings/tokens/delta; after thousands of batches
+    the open cost of those files, not their bytes, dominates every batch
+    query (the same pathology the build-time bucket-aligned repartition
+    fixes — measured in BENCH_SCALE round-13).  Rewrites each table back
+    to one file per bucket (per range for postings), folding the delta's
+    mergeable counts in passing; the epoch df and boundaries are
+    untouched, so the frozen-order contract is untouched.  Each table's
+    content is pinned (eager localCheckpoint — lineage cut, rows live in
+    the block store) before its files are overwritten in place; a
+    DROP+RENAME swap table would be the zero-copy alternative but loses
+    a directory-partitioned table's per-partition locations on rename
+    (measured: the renamed postings table read back 0 rows), and at the
+    index's actual size — the prefix rows, not the corpus — the pinned
+    rewrite is cheap.  At petabyte postings the same rewrite runs
+    per-tok_range directory, which is exactly what the range layout is
+    for."""
+    t = _prefix_index_tables(name)
+    meta = _read_prefix_meta(spark, name)
+    n_buckets = int(meta["n_buckets"])
+    delta_folded = (
+        spark.table(t.delta)
+        .repartition(F.col("tok"))
+        .groupBy("tok")
+        .agg(F.sum("df").cast("long").alias("df"))
+    )
+    for nm, frame, keys, dirs in (
+        (t.postings, spark.table(t.postings), ("tok",), ("tok_range",)),
+        (t.tokens, spark.table(t.tokens), ("doc_id",), ()),
+        (t.delta, delta_folded, ("tok",), ()),
+    ):
+        w = (
+            pin(frame)
+            .repartition(n_buckets, *[F.col(k) for k in keys])
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .format("parquet")
+        )
+        if dirs:
+            w = w.partitionBy(*dirs)
+        w.saveAsTable(nm)
 
 
 def incremental_components(
