@@ -425,6 +425,11 @@ SPREAD_MARGIN = 1.3
 #: Sub-noise jitter: deltas smaller than this are never regressions.
 ABS_FLOOR = 0.25
 
+#: Interleaved probe cadence (VERDICT r12 #4): a machine-floor checkpoint
+#: every this-many headline entries, so in-run drift localizes to the
+#: stretch it happened in instead of hiding between start/middle/end.
+PROBE_EVERY = 20
+
 
 def effective_threshold(noise_band: float, machine_ratio: float | None) -> float:
     """Global flag threshold: probe band (floored at 1.5x) rescaled by the
@@ -463,31 +468,47 @@ def flag_regressions(
 
 def flag_regressions_normalized(
     timings: dict[str, float | None],
-    probe_best: float,
+    floors: dict[str, float],
     prev_norm_queries: dict,
     prev_norm_spreads: dict,
     noise_band: float,
+    prev_raw_queries: dict | None = None,
 ) -> list[str]:
     """Probe-normalized regression flags (VERDICT r11 #5): compare each
-    query in PROBE UNITS (best ÷ the run's own probe floor) against the
-    previous round's committed probe units, so a globally slower or
-    faster machine cancels BY CONSTRUCTION instead of via the
-    machine_ratio rescale — rounds 10 and 11 both spent judge effort
-    adjudicating flags that dissolved under exactly this normalization.
-    The per-query spread bar and the absolute raw-seconds floor carry
-    over unchanged (the floor converts back through the probe so
-    sub-noise jitter on sub-second entries still never flags)."""
+    query in PROBE UNITS against the previous round's committed probe
+    units, so a globally slower or faster machine cancels BY CONSTRUCTION
+    instead of via the machine_ratio rescale — rounds 10 and 11 both
+    spent judge effort adjudicating flags that dissolved under exactly
+    this normalization.  `floors[name]` is the query's NEAREST probe
+    checkpoint floor (VERDICT r12 #4): a slowdown localized to one
+    stretch of the run — the r12 driver's tail blow-up — normalizes
+    against the probe that ran inside that stretch, not a fast probe
+    half a run away.  The per-query spread bar carries over unchanged.
+    The sub-noise jitter floor is applied in BOTH runs' own seconds
+    (current: through this run's local floor; previous: against the
+    committed raw seconds) — converting the normalized delta through
+    only the current probe would scale the suppression with THIS
+    machine's speed and let sub-second jitter flag on a much slower
+    machine (ADVICE r12)."""
     threshold = max(1.5, noise_band)
+    prev_raw_queries = prev_raw_queries or {}
     flagged = []
     for name, t in timings.items():
         prev = prev_norm_queries.get(name)
         if t is None or not isinstance(prev, (int, float)):
             continue
-        tn = t / max(probe_best, 1e-9)
+        floor = max(floors.get(name, 1e-9), 1e-9)
+        tn = t / floor
         spread = prev_norm_spreads.get(name)
         prev_worst = max(spread) if spread else prev
         bar = max(prev * threshold, prev_worst * SPREAD_MARGIN)
-        if tn > bar and (tn - prev) * probe_best > ABS_FLOOR:
+        prev_raw = prev_raw_queries.get(name)
+        raw_ok = (
+            (t - prev_raw) > ABS_FLOOR
+            if isinstance(prev_raw, (int, float))
+            else True
+        )
+        if tn > bar and (tn - prev) * floor > ABS_FLOOR and raw_ok:
             flagged.append(name)
     return sorted(flagged)
 
@@ -555,10 +576,20 @@ def main() -> None:
     # sub-second (time_entry; VERDICT r7 #2)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     probe_start = _noise_probe(spark, sf_dir)
+    # Interleaved probe checkpoints (VERDICT r12 #4): start/middle/end
+    # could not LOCALIZE in-run drift — the r12 driver's last four
+    # headline entries ran ~7x slow while all three probes stayed fast.
+    # A checkpoint every PROBE_EVERY entries gives each query a nearby
+    # machine-floor reading; normalization below uses the NEAREST one.
+    checkpoints: list[tuple[int, list[float]]] = [(0, probe_start)]
     timings: dict[str, float | None] = {}
     spreads: dict[str, list[float]] = {}
     best3s: dict[str, float] = {}
-    for name in HEADLINE:
+    entry_pos: dict[str, int] = {}
+    for i, name in enumerate(HEADLINE):
+        if i > 0 and i % PROBE_EVERY == 0:
+            checkpoints.append((i, _noise_probe(spark, sf_dir, runs=3)))
+        entry_pos[name] = i
         # Per-query isolation: one broken query must never zero the round's
         # bench record — record null and keep going, always emit the JSON.
         try:
@@ -575,6 +606,7 @@ def main() -> None:
             print(f"# {name}: FAILED {type(exc).__name__}: {exc}", file=sys.stderr)
 
     probe_middle = _noise_probe(spark, sf_dir)
+    checkpoints.append((len(HEADLINE), probe_middle))
     # Comparison tier: timed for the record (the contrast its headline twin
     # is measured against), NEVER part of the headline total — same
     # time_entry loop, so the two tiers' methodology cannot drift.
@@ -614,9 +646,17 @@ def main() -> None:
     # cross-round comparison (a globally slower machine shifts the probe
     # and the queries together).  Empty flagged_regressions means "no
     # attributable per-query regression this run".
-    checkpoint_bests = [probe_start[0], probe_middle[0], probe_end[0]]
+    checkpoint_bests = [cp[0] for _, cp in checkpoints] + [probe_end[0]]
     probe_best = min(checkpoint_bests)
     noise_band = round(max(checkpoint_bests) / max(probe_best, 1e-9), 3)
+    # Per-query LOCAL floor: the nearest checkpoint's best (by headline
+    # position; ties go to the earlier probe).  A query timed inside a
+    # slow stretch divides by the probe that saw that stretch.
+    def _local_floor(pos: int) -> float:
+        nearest = min(checkpoints, key=lambda cp: (abs(cp[0] - pos), cp[0]))
+        return max(nearest[1][0], 1e-9)
+
+    floors = {name: _local_floor(pos) for name, pos in entry_pos.items()}
     prev_name, prev = _prev_detail()
     prev_q = prev.get("queries") or {}
     prev_probe = prev.get("probe") or {}
@@ -639,15 +679,16 @@ def main() -> None:
     # genuinely swung 1.5x.  Flags additionally respect each query's own
     # committed spread (flag_regressions; VERDICT r8 #3 + ADVICE r8).
     regression_threshold = effective_threshold(noise_band, machine_ratio)
-    # Per-query probe units: best ÷ this run's probe floor.  Committed in
-    # the detail so the NEXT round's flagger (and any cross-round reader)
+    # Per-query probe units: best ÷ the query's NEAREST checkpoint floor
+    # (VERDICT r12 #4; global probe_best in r12).  Committed in the
+    # detail so the NEXT round's flagger (and any cross-round reader)
     # compares drift-immune numbers by construction (VERDICT r11 #5).
     queries_normalized = {
-        name: (round(t / max(probe_best, 1e-9), 3) if t is not None else None)
+        name: (round(t / floors[name], 3) if t is not None else None)
         for name, t in timings.items()
     }
     spreads_normalized = {
-        name: [round(s / max(probe_best, 1e-9), 3) for s in samples]
+        name: [round(s / floors[name], 3) for s in samples]
         for name, samples in spreads.items()
     }
     prev_q_norm = prev.get("queries_normalized") or {}
@@ -655,10 +696,11 @@ def main() -> None:
         flag_basis = "probe_normalized"
         flagged_regressions = flag_regressions_normalized(
             timings,
-            probe_best,
+            floors,
             prev_q_norm,
             prev.get("spreads_normalized") or {},
             noise_band,
+            prev_raw_queries=prev_q,
         )
     else:
         # first round after the change: the previous detail has no probe
@@ -737,6 +779,10 @@ def main() -> None:
             "middle": probe_middle,
             "end": probe_end,
         },
+        "probe_checkpoints": [
+            {"after_entries": pos, "samples": cp} for pos, cp in checkpoints
+        ],
+        "normalization": "nearest_probe",
         "vs_prev": vs_prev,
         "sf": float(sf),
     }

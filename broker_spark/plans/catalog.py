@@ -12047,21 +12047,19 @@ def q_streaming_alerts_replay_horizon_shuffled(spark, sf_dir):
 #: Round-2 lesson: 34 new entries registered after position 50 got zero
 #: driver rows.  Keep NEW ROUND-3 ENTRIES at the top of this list.
 _AUDIT_PRIORITY = [
-    # Rotation policy (VERDICT r3 #2 ... r10 #1 / r11 #1): the driver
+    # Rotation policy (VERDICT r3 #2 ... r11 #1 / r12 #3): the driver
     # value-checks the first ~50 queries() entries each round; the
     # window's job is STALENESS RE-CERTIFICATION, oldest-driver-row
-    # first.  Round 12: (1) the two entries NEW this round, (2) every
-    # oracle-paired entry whose CODE this round touched (the prefix
-    # family's numeric/strategy hardenings, the distributed quantizer
-    # init's dependents, the bucketed-table refactor), (3) the r6 cohort
-    # (the oldest committed driver rows, queued verbatim by the r11
-    # verdict), (4) the oldest r7 entries, alphabetical, filling the
-    # window; the r7 tail heads round 13.
-    # -- (1) NEW in round 12
+    # first.  Round 13: (1) every oracle-paired entry whose CODE this
+    # round touched (the maintained prefix index's range layout +
+    # lifecycle, the recomputing prefix forms sharing its helpers, the
+    # quantizer-init dependents after the try/finally hardening), (2)
+    # the FULL r7-aged cohort — the 28 entries whose newest driver row
+    # is still r7, queued verbatim by the r12 verdict, (3) the r8
+    # cohort's head (alphabetical) filling the window; its tail
+    # (dedup_simhash ... metadata_counts onward) heads round 14.
+    # -- (1) code touched this round
     "dedup_prefix_filter_maintained",
-    "streaming_ewma_ttl_replay",
-    "streaming_holt_ttl_replay",
-    # -- (2) code touched this round
     "dedup_prefix_filter_pairs",
     "dedup_prefix_filter_pairs_guarded",
     "dedup_prefix_filter_incremental",
@@ -12069,49 +12067,50 @@ _AUDIT_PRIORITY = [
     "ann_trained_ivf_multiprobe",
     "ann_ivf_pq_exact_parity",
     "semantic_dedup_clusters",
-    # -- (3) the r6 cohort (newest driver row r6 — the oldest anywhere)
-    "bpe_learn_merges",
-    "bpe_vocab_after_merges",
-    "record_linkage_pairs",
-    "entity_resolution_names",
-    "holt_trend_daily",
-    "theil_sen_daily_trend",
-    "seasonal_naive_mape",
-    "multitouch_attribution",
-    "streaming_holt_replay",
-    "seasonal_trend_anomalies",
-    "link_prediction_adamic_adar",
-    "heaps_vocab_growth",
-    "matryoshka_recall",
-    "layout_pruning_benefit",
-    "k_anonymity_audit",
-    "churn_label_features",
-    "conversion_latency_quantiles",
-    "bpe_fertility_by_lang",
-    # -- (4) the r7 cohort's head (alphabetical); its tail (lsh_precision
-    # _recall ... zscore_anomaly_events) heads the round-13 window
-    "acf_daily_counts",
-    "benford_first_digit",
-    "bucketed_join_order_revenue",
-    "ccf_click_purchase",
-    "cdc_apply_final_state",
-    "chisq_source_lang",
-    "clustering_silhouette",
-    "cross_source_dup_groups",
-    "customer_rfm_scores",
-    "dedup_components_incremental",
-    "dedup_edit_distance_pairs",
-    "dedup_graph_pagerank",
-    "dedup_pagerank_keepers",
-    "dow_adjusted_anomalies",
-    "embedding_dim_stats",
-    "event_path_trigrams",
-    "event_pmi_pairs",
-    "events_equidepth_histogram",
-    "events_key_skew",
-    "events_trailing_distinct_interval",
-    "fk_integrity_audit",
-    "hll_click_purchase_overlap",
+    "streaming_ewma_ttl_replay",
+    "streaming_holt_ttl_replay",
+    # -- (2) the r7 cohort — oldest committed driver rows anywhere
+    "int8_quant_error_stats",
+    "ks_drift_sources",
+    "layout_pruning_multidim",
+    "lsh_precision_recall",
+    "multimodal_bmp_roundtrip",
+    "multimodal_wav_roundtrip",
+    "pareto_frontier_docs",
+    "psi_length_by_source",
+    "repetition_top2gram_share",
+    "revenue_gini",
+    "rollup_incremental_merge",
+    "snapshot_diff_counts",
+    "streaming_cdc_upsert_replay",
+    "streaming_cdc_upsert_replay_shuffled",
+    "streaming_funnel_replay",
+    "streaming_hll_replay",
+    "streaming_hopping_rollup_replay",
+    "streaming_late_drop_replay",
+    "streaming_outer_join_replay",
+    "streaming_outer_join_replay_shuffled",
+    "streaming_sessionization_replay_shuffled",
+    "streaming_trailing_distinct_replay",
+    "streaming_trailing_distinct_replay_shuffled",
+    "table_fingerprint_documents",
+    "unigram_kl_by_source",
+    "user_decile_migration",
+    "weighted_sample_docs",
+    "zscore_anomaly_events",
+    # -- (3) the r8 cohort's head (alphabetical), filling the window
+    "cusum_daily_alarms",
+    "dedup_exact_groups",
+    "dedup_exact_kept",
+    "dedup_graph_triangles_guarded",
+    "dedup_minhash_pairs",
+    "dedup_minhash_pairs_guarded",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_guarded",
+    "distinct_stream_partitions",
+    "doc_fingerprint",
+    "doc_winnow_fingerprints",
 ]
 
 

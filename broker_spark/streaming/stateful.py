@@ -112,15 +112,19 @@ def _ewma_ttl_func(ttl_ms: int, bucket_ms: int):
         restarts the level cold (ewma = x, as at first observation).
         Because the restart decision depends only on the two buckets'
         event times, the EventTimeTimeout eviction below is pure memory
-        reclamation at watermark_delay=0: a key evicted at
-        last_bucket + ttl can only see its next row with event time past
-        that point (rows behind the watermark are dropped upstream), and
-        the gap rule would have restarted it anyway — the same
-        answer-neutrality argument as the alerts-horizon fold.  A
-        nonzero watermark delay admits rows landing INSIDE an evicted
-        key's ttl window; those restart cold where the NoTimeout op
-        would have smoothed on — the documented contract boundary the
-        caller buys with the bounded store."""
+        reclamation at EVERY watermark delay, not just 0: eviction fires
+        only once the watermark passes last_bucket + ttl, late rows are
+        dropped upstream against that same (monotone) watermark, so any
+        row the operator ever sees for an evicted key has event time
+        past last_bucket + ttl — where the gap rule restarts cold
+        anyway.  What a nonzero delay changes is which rows the
+        WATERMARK drops relative to the NoTimeout twin (which has no
+        watermark and smooths through arbitrarily late rows): that
+        late-row dropping, not eviction, is the twins' divergence —
+        pinned empirically by tests/test_round13_ops.py
+        (TestTtlNonzeroWatermarkDelay: the late row vanishes from the
+        TTL twin's output entirely; the admitted row past eviction
+        equals the gap rule's cold restart)."""
         if state.hasTimedOut:
             state.remove()
             return
@@ -179,8 +183,10 @@ def streaming_ewma_ttl(
     keys-ever to keys touched within the trailing ttl — per key one
     (ewma, bucket) row registered for GroupStateTimeout.EventTimeTimeout
     at last_bucket + ttl, the alerts-horizon recipe.  Eviction never
-    changes an answer at watermark_delay=0 because the gap rule makes
-    the identical restart decision row-locally (see `_ewma_ttl_func`);
+    changes an answer at ANY watermark delay because the gap rule makes
+    the identical restart decision row-locally and late-row dropping
+    uses the same watermark that drives eviction (see `_ewma_ttl_func`;
+    tests/test_round13_ops.py pins both halves at a nonzero delay);
     the `streaming_ewma_ttl_replay` catalog entry certifies the
     restarting recurrence value-for-value against a session-cut
     recursive-CTE oracle, and tools/state_scale.py measures the bounded
@@ -903,11 +909,15 @@ def _holt_ttl_func(ttl_ms: int, bucket_ms: int):
         consecutive folded buckets resets the whole (level, trend,
         held-first-point) state, so the row that follows the gap is held
         as a fresh series' first observation.  Eviction is answer-neutral
-        at watermark_delay=0 for BOTH pieces of Holt state: an evicted
-        key's next row necessarily sits past last_touch + ttl, where the
-        gap rule resets (level, trend) anyway, and a held first point
-        whose session ends with one row emits nothing under the session
-        semantics — exactly what its eviction produces."""
+        at EVERY watermark delay for BOTH pieces of Holt state: an
+        evicted key's next admitted row necessarily sits past
+        last_touch + ttl (late rows are dropped against the same
+        monotone watermark that fired the eviction — the `_ewma_ttl_func`
+        argument, pinned at a nonzero delay by
+        tests/test_round13_ops.py), where the gap rule resets
+        (level, trend) anyway, and a held first point whose session ends
+        with one row emits nothing under the session semantics — exactly
+        what its eviction produces."""
         if state.hasTimedOut:
             state.remove()
             return
