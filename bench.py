@@ -223,6 +223,12 @@ HEADLINE = [
     # query-only path, which is exactly the production shape (build once,
     # query per batch)
     "dedup_prefix_filter_maintained",
+    # round-13 (VERDICT r12 #2): the maintained index's rebuild-decision
+    # metric, oracle-certified end-to-end (the SQL replays epoch ranking,
+    # prefix cut, and both mass sums); build+append memoized per process,
+    # so best-of-N measures the drift query itself — the rebuild-cadence
+    # path
+    "dedup_prefix_index_drift",
 ]
 
 #: Comparison tier (VERDICT r6 #3 / r7 #3): correct and oracle-certified,

@@ -9,6 +9,8 @@ from bucket collisions only.  All signature math is JVM built-ins
 
 from __future__ import annotations
 
+import json as _json
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1528,6 +1530,15 @@ def prefix_filter_jaccard_pairs_between(
 _PREFIX_VOCAB_PER_RANGE = 250_000
 _PREFIX_MAX_RANGES = 512
 
+#: Below this corpus size the build skips the vocabulary count entirely
+#: and cuts a single range: a corpus this small yields at most a
+#: handful of ranges, whose pruning buys nothing at that table size,
+#: while the count costs an extra pin + job of the df aggregate in
+#: every small build (measured +~5-13 s at the 4k-49k-doc scales).
+#: Ranges only steer IO granularity, so the cutover is a pure
+#: performance knob — no answer depends on it.
+_PREFIX_SMALL_CORPUS = 50_000
+
 #: Documented rebuild threshold for `prefix_index_drift`: rebuild when the
 #: stored postings' CURRENT document-frequency mass exceeds their EPOCH
 #: mass by this factor — i.e. the average stored prefix token has become
@@ -1559,6 +1570,33 @@ def _prefix_index_tables(name: str) -> _PrefixTables:
     return _PrefixTables(name)
 
 
+def _lit_str_array(vals: list[str]) -> Column:
+    """Array-of-strings literal built JVM-side in ONE Py4J call: JSON
+    once + `from_json`, which the optimizer constant-folds to a plain
+    Literal (the `lit_vector` recipe from ann.py, here for strings —
+    per-element `F.lit` pays a Py4J round-trip each, and worse, a
+    Python-backed `createDataFrame` costs a multi-second Python-runner
+    job PER WRITE on this path)."""
+    return F.from_json(F.lit(_json.dumps(vals)), "array<string>")
+
+
+def _kv_rows(spark, pairs: list[tuple[str, int]]) -> DataFrame:
+    """(key string, val long) rows as a pure-JVM local relation —
+    `spark.range` + constant-folded array literals.  The obvious
+    `spark.createDataFrame(pairs)` is Python-RDD-backed and each job
+    over it pays seconds of Python-runner setup; this shape writes in
+    ~0.3 s (and `append_prefix_filter_batch` pays it PER BATCH)."""
+    ks = _lit_str_array([k for k, _ in pairs])
+    vs = F.from_json(
+        F.lit(_json.dumps([int(v) for _, v in pairs])), "array<bigint>"
+    )
+    idx = F.col("id").cast("int") + 1
+    return spark.range(len(pairs)).select(
+        F.element_at(ks, idx).alias("key"),
+        F.element_at(vs, idx).cast("long").alias("val"),
+    )
+
+
 def _range_of(tok_col: Column, los: list[str]) -> Column:
     """Range id of a token under the stored boundary list: the GREATEST
     range whose lower bound <= tok (los is ascending, los[0] = "" so every
@@ -1571,25 +1609,46 @@ def _range_of(tok_col: Column, los: list[str]) -> Column:
     range — that shared rule is what makes the pruning lossless."""
     if len(los) <= 1:
         return F.lit(0)
-    arr = F.array(*[F.lit(x) for x in los])
+    arr = _lit_str_array(los)
     return (F.size(F.filter(arr, lambda b: b <= tok_col)) - 1).cast("int")
 
 
+#: Per-process memo of each index's boundary list and meta dict — the
+#: same lifetime as the in-memory table catalog (`_PREFIX_MAINTAINED`'s
+#: pattern).  Boundaries change only at build/rebuild and meta only at
+#: build/append/rebuild; those writers invalidate.  Saves two driver
+#: jobs per batch query on the ingestion hot path.
+_PREFIX_SIDECAR_CACHE: dict = {}
+
+
+def _invalidate_prefix_sidecars(name: str) -> None:
+    _PREFIX_SIDECAR_CACHE.pop(("ranges", name), None)
+    _PREFIX_SIDECAR_CACHE.pop(("meta", name), None)
+
+
 def _read_prefix_ranges(spark, name: str) -> list[str]:
-    t = _prefix_index_tables(name)
-    rows = spark.table(t.ranges).orderBy("range_id").collect()
-    return [r["lo"] for r in rows]
+    key = ("ranges", name)
+    if key not in _PREFIX_SIDECAR_CACHE:
+        t = _prefix_index_tables(name)
+        rows = spark.table(t.ranges).orderBy("range_id").collect()
+        _PREFIX_SIDECAR_CACHE[key] = [r["lo"] for r in rows]
+    return _PREFIX_SIDECAR_CACHE[key]
 
 
 def _read_prefix_meta(spark, name: str) -> dict:
     """Meta rows are mergeable: `n_docs` appends one row per batch and is
     read as a SUM (the same one-groupBy-per-batch pattern as the df
     delta); config keys are write-once constants."""
-    t = _prefix_index_tables(name)
-    out: dict = {}
-    for r in spark.table(t.meta).groupBy("key").agg(F.sum("val").alias("s")).collect():
-        out[r["key"]] = r["s"]
-    return out
+    key = ("meta", name)
+    if key not in _PREFIX_SIDECAR_CACHE:
+        t = _prefix_index_tables(name)
+        out: dict = {}
+        for r in (
+            spark.table(t.meta).groupBy("key").agg(F.sum("val").alias("s")).collect()
+        ):
+            out[r["key"]] = r["s"]
+        _PREFIX_SIDECAR_CACHE[key] = out
+    return _PREFIX_SIDECAR_CACHE[key]
 
 
 def build_prefix_filter_index(
@@ -1678,20 +1737,23 @@ def build_prefix_filter_index(
         part(tc, "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .transform(pin)
     )
-    n_vocab = dfreq.count()
-    los = _cut_ranges(dfreq, n_vocab)
+    if n_corp < _PREFIX_SMALL_CORPUS:
+        los = [""]
+    else:
+        dfreq = dfreq.transform(pin)
+        los = _cut_ranges(dfreq, dfreq.count())
     postings = _prefix_index(tc, dfreq, threshold, part, hinted)
     _write_prefix_tables(spark, t, dfreq, postings, tc, los, n_buckets)
-    meta = spark.createDataFrame(
+    _invalidate_prefix_sidecars(name)
+    meta = _kv_rows(
+        spark,
         [
             ("n_docs", n_corp),
             ("threshold_ppb", int(round(threshold * 1e9))),
             ("shingle", shingle),
             ("n_buckets", n_buckets),
         ],
-        "key string, val long",
     )
     meta.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(t.meta)
 
@@ -1735,11 +1797,14 @@ def _write_prefix_tables(
     every frame is repartitioned onto its bucket key first (one file per
     bucket per range — see `build_prefix_filter_index`)."""
     ranged = lambda d: d.withColumn("tok_range", _range_of(F.col("tok"), los))  # noqa: E731
+    empty_delta = spark.range(0).select(
+        F.lit("").alias("tok"), F.lit(0).cast("long").alias("df")
+    )
     for frame, nm, keys, dirs in (
         (ranged(dfreq), t.df, ("tok",), ("tok_range",)),
         (ranged(postings), t.postings, ("tok",), ("tok_range",)),
         (tc, t.tokens, ("doc_id",), ()),
-        (spark.createDataFrame([], "tok string, df long"), t.delta, ("tok",), ()),
+        (empty_delta, t.delta, ("tok",), ()),
     ):
         w = (
             frame.repartition(n_buckets, *[F.col(k) for k in keys])
@@ -1751,9 +1816,9 @@ def _write_prefix_tables(
         if dirs:
             w = w.partitionBy(*dirs)
         w.saveAsTable(nm)
-    bounds = spark.createDataFrame(
-        [(i, lo) for i, lo in enumerate(los)], "range_id int, lo string"
-    )
+    bounds = spark.range(1).select(
+        F.posexplode(_lit_str_array(los)).alias("range_id", "lo")
+    ).select(F.col("range_id").cast("int"), "lo")
     bounds.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(t.ranges)
 
 
@@ -1948,8 +2013,9 @@ def append_prefix_filter_batch(
         if dirs:
             w = w.partitionBy(*dirs)
         w.saveAsTable(nm)
-    n_docs = spark.createDataFrame([("n_docs", n_batch)], "key string, val long")
+    n_docs = _kv_rows(spark, [("n_docs", n_batch)])
     n_docs.coalesce(1).write.mode("append").format("parquet").saveAsTable(t.meta)
+    _invalidate_prefix_sidecars(name)
 
 
 def current_prefix_df(spark, name: str) -> DataFrame:
@@ -2054,20 +2120,23 @@ def rebuild_prefix_filter_index(spark, name: str) -> None:
         part(tc, "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .transform(pin)
     )
-    n_vocab = dfreq.count()
-    los = _cut_ranges(dfreq, n_vocab)
+    if n_docs < _PREFIX_SMALL_CORPUS:
+        los = [""]
+    else:
+        dfreq = dfreq.transform(pin)
+        los = _cut_ranges(dfreq, dfreq.count())
     postings = _prefix_index(tc, dfreq, threshold, part, hinted)
     _write_prefix_tables(spark, t, dfreq, postings, tc, los, n_buckets)
-    meta_rows = spark.createDataFrame(
+    _invalidate_prefix_sidecars(name)
+    meta_rows = _kv_rows(
+        spark,
         [
             ("n_docs", n_docs),
             ("threshold_ppb", int(meta["threshold_ppb"])),
             ("shingle", int(meta["shingle"])),
             ("n_buckets", n_buckets),
         ],
-        "key string, val long",
     )
     meta_rows.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
         t.meta

@@ -8700,6 +8700,85 @@ def q_dedup_prefix_filter_maintained(spark, sf_dir):
     )
 
 
+#: sf_dir -> drift-entry index base (separate from _PREFIX_MAINTAINED: this
+#: entry APPENDS its batch into its index, which must never mutate the
+#: corpus the maintained-query entry's oracle assumes)
+_PREFIX_DRIFT: dict = {}
+
+
+@register(
+    "dedup_prefix_index_drift",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    shl AS (SELECT doc_id, {_SHINGLES} AS shingles FROM w),
+    tok AS (SELECT doc_id, unnest(list_distinct(shingles)) AS tok FROM shl),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+    ctok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+    btok AS (SELECT * FROM tok WHERE doc_id % 5 = 0),
+    epoch AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ctok GROUP BY tok),
+    cur AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY tok),
+    rc AS (
+      SELECT t.tok, s.n_tok,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY e.df, t.tok) AS pos
+      FROM ctok t JOIN epoch e USING (tok) JOIN sizes s USING (doc_id)
+    ),
+    rb AS (
+      SELECT t.tok, s.n_tok,
+             row_number() OVER (
+               PARTITION BY t.doc_id ORDER BY COALESCE(e.df, 0), t.tok
+             ) AS pos
+      FROM btok t LEFT JOIN epoch e USING (tok) JOIN sizes s USING (doc_id)
+    ),
+    postings AS (
+      SELECT tok FROM rc WHERE pos <= n_tok - CEIL(ROUND(0.5 * n_tok, 9)) + 1
+      UNION ALL
+      SELECT tok FROM rb WHERE pos <= n_tok - CEIL(ROUND(0.5 * n_tok, 9)) + 1
+    ),
+    mass AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS posting_rows,
+             CAST(COALESCE(SUM(COALESCE(e.df, 0)), 0) AS BIGINT) AS epoch_mass,
+             CAST(COALESCE(SUM(c.df), 0) AS BIGINT) AS current_mass
+      FROM postings p LEFT JOIN epoch e USING (tok) LEFT JOIN cur c USING (tok)
+    )
+    SELECT posting_rows, epoch_mass, current_mass,
+           round(current_mass * 1.0 / greatest(epoch_mass, 1), 6) AS inflation,
+           round(current_mass * 1.0 / greatest(epoch_mass, 1), 6) >= 2.0
+             AS should_rebuild
+    FROM mass
+    """,
+)
+def q_dedup_prefix_index_drift(spark, sf_dir):
+    """The maintained prefix index's REBUILD-DECISION metric
+    (VERDICT r12 #2), oracle-certified: build the index on the corpus
+    (doc_id % 5 != 0), fold the batch (doc_id % 5 == 0) in via
+    `append_prefix_filter_batch`, then measure how much hotter the
+    stored postings' tokens run under CURRENT document frequencies than
+    under the frozen epoch order that ranked them.  The oracle REPLAYS
+    the whole lifecycle in SQL — epoch df over the corpus, per-doc
+    (df, tok) ranking with epoch-unseen batch tokens at df 0, the
+    9-dp-rounded lossless prefix cut, then both mass sums over the
+    union of corpus and appended postings — so a green hash certifies
+    the drift arithmetic end-to-end, not just the final division.
+    `should_rebuild` applies the documented PREFIX_REBUILD_INFLATION
+    threshold (2.0).  Corpus-proportional BY DESIGN (it audits the
+    whole index) and priced for the rebuild-decision cadence, the
+    reference's bucket-rollover check cadence
+    (src/storage/BucketManager.ts:325-361), never per batch."""
+    from broker_spark.storage.bucketed import _tag
+
+    docs = load(spark, sf_dir, "documents")
+    name = f"pfxdrift_{_tag(sf_dir)}"
+    if sf_dir not in _PREFIX_DRIFT:
+        dedup.build_prefix_filter_index(
+            docs.filter(F.col("doc_id") % 5 != 0), name, threshold=0.5
+        )
+        dedup.append_prefix_filter_batch(
+            docs.filter(F.col("doc_id") % 5 == 0), name, threshold=0.5
+        )
+        _PREFIX_DRIFT[sf_dir] = name
+    return dedup.prefix_index_drift(spark, name)
+
+
 @register(
     "scd2_user_event_type",
     """
@@ -12058,6 +12137,8 @@ _AUDIT_PRIORITY = [
     # is still r7, queued verbatim by the r12 verdict, (3) the r8
     # cohort's head (alphabetical) filling the window; its tail
     # (dedup_simhash ... metadata_counts onward) heads round 14.
+    # -- (0) NEW in round 13: the oracle-certified drift metric
+    "dedup_prefix_index_drift",
     # -- (1) code touched this round
     "dedup_prefix_filter_maintained",
     "dedup_prefix_filter_pairs",
@@ -12110,7 +12191,6 @@ _AUDIT_PRIORITY = [
     "dedup_ngram_jaccard_guarded",
     "distinct_stream_partitions",
     "doc_fingerprint",
-    "doc_winnow_fingerprints",
 ]
 
 

@@ -94,6 +94,7 @@ class TestPrefixRangeLayout:
         tok_range partition filter and READS fewer partitions than the
         table has: file-level pruning is real, not decorative."""
         monkeypatch.setattr(dedup, "_PREFIX_VOCAB_PER_RANGE", 500)
+        monkeypatch.setattr(dedup, "_PREFIX_SMALL_CORPUS", 0)
         corpus = docs.filter(F.col("doc_id") % 5 != 0)
         batch = docs.filter(F.col("doc_id") % 5 == 0)
         dedup.build_prefix_filter_index(corpus, "t13_ranges", self.THRESHOLD)
@@ -134,6 +135,7 @@ class TestPrefixRangeLayout:
         """Appended postings must land in the ranges the STORED boundaries
         assign — the exactness of a later batch's pruning depends on it."""
         monkeypatch.setattr(dedup, "_PREFIX_VOCAB_PER_RANGE", 500)
+        monkeypatch.setattr(dedup, "_PREFIX_SMALL_CORPUS", 0)
         corpus = docs.filter(F.col("doc_id") % 5 > 1)
         b1 = docs.filter(F.col("doc_id") % 5 == 1)
         b2 = docs.filter(F.col("doc_id") % 5 == 0)

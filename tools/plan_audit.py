@@ -98,6 +98,8 @@ AUDITED = [
     "dedup_prefix_filter_incremental",    # cross-side prefix join, shared df order
     # round-12
     "dedup_prefix_filter_maintained",  # batch vs stored bucketed corpus index
+    # round-13
+    "dedup_prefix_index_drift",        # stored postings ⋈ epoch/current df masses
 ]
 
 
