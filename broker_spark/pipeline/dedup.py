@@ -1179,8 +1179,66 @@ def _prefix_index(tok, dfreq, threshold: float, part, hinted):
         .join(hinted(sizes), "doc_id")
         .withColumn("prefix_len", _prefix_len_col(threshold))
     )
+    # `pos` is the token's position in the doc's FULL sorted list (the
+    # row_number runs before the prefix cut) — exactly what the
+    # positional filter's suffix bound needs
     return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-        "doc_id", "tok", "n_tok"
+        "doc_id", "tok", "n_tok", "pos"
+    )
+
+
+def _min_overlap_col(threshold: float) -> Column:
+    """Exact overlap threshold for the positional filter:
+    ``Jaccard >= t  <=>  |x ∩ y| >= t/(1+t) * (|x| + |y|)``, so alpha =
+    ``ceil(t/(1+t) * (na + nb))``.  Same 9-dp-rounded-before-ceil
+    arithmetic as `_prefix_len_col` (and for the same reason: a float
+    product epsilon above the exact integer must not raise the bound and
+    drop a qualifying pair)."""
+    frac = threshold / (1.0 + threshold)
+    return (
+        F.ceil(F.round(F.lit(frac) * (F.col("na") + F.col("nb")), 9))
+        .cast("long")
+    )
+
+
+def _positional_cut(
+    cand_tokens: DataFrame, out_a: str, out_b: str, threshold: float, part
+) -> DataFrame:
+    """PPJoin POSITIONAL filter (Xiao et al. WWW'08), aggregate form —
+    the lossless tightening between the prefix candidate join and exact
+    verification.  Input: one row per shared PREFIX token of a candidate
+    pair, with each side's full-list position (`pa`, `pb`) and set sizes
+    (`na`, `nb`).  Grouped per pair, the true overlap is bounded above
+    by ``cnt + least(na - max(pa), nb - max(pb))``: every shared token
+    outside both prefixes sits after the LAST shared prefix token on
+    BOTH sides (the shared (df, tok) total order makes positions
+    consistent — a shared token earlier than the last one in x is also
+    earlier in y, so it is either counted in cnt or lives in both
+    suffix regions).  Pairs whose bound cannot reach
+    ``alpha = ceil(t/(1+t)(na+nb))`` are discarded BEFORE the verify
+    join pays a common-token intersection for them — at 100x corpus the
+    verify stage is the maintained query's dominant term, and this cut
+    is what PPJoin buys over plain AllPairs.  Lossless ONLY against the
+    uncapped pipeline: a stop-bucket cap drops shared prefix tokens
+    from the join, the bound loses their count, and a qualifying pair
+    could fall below alpha — so call sites apply this cut on the exact
+    path only (the capped twins' oracles replay capped semantics
+    verbatim).  Replaces the pair-dedup `.distinct()` — the groupBy is
+    the same shuffle."""
+    agg = (
+        cand_tokens.transform(lambda d: part(d, out_a, out_b))
+        .groupBy(out_a, out_b, "na", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_cnt"),
+            F.max("pa").alias("_ma"),
+            F.max("pb").alias("_mb"),
+        )
+    )
+    ub = F.col("_cnt") + F.least(
+        F.col("na") - F.col("_ma"), F.col("nb") - F.col("_mb")
+    )
+    return agg.filter(ub >= _min_overlap_col(threshold)).select(
+        out_a, out_b, "na", "nb"
     )
 
 
@@ -1339,10 +1397,20 @@ def prefix_filter_jaccard_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.n_tok").alias("na"),
             F.col("b.n_tok").alias("nb"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
         )
-        .transform(lambda d: part(d, "doc_a", "doc_b"))
-        .distinct()
     )
+    if max_posting_size is None and max_candidates_per_doc is None:
+        # exact path: the positional filter is lossless and replaces the
+        # pair-dedup distinct (see _positional_cut)
+        cand = _positional_cut(cand, "doc_a", "doc_b", threshold, part)
+    else:
+        cand = (
+            cand.drop("pa", "pb")
+            .transform(lambda d: part(d, "doc_a", "doc_b"))
+            .distinct()
+        )
     if max_candidates_per_doc is not None:
         # rank per anchor by the size upper bound BEFORE the common-token
         # join — one window shuffle over the (narrow) candidate rows buys
@@ -1490,10 +1558,20 @@ def prefix_filter_jaccard_pairs_between(
             F.col("c.doc_id").alias("corpus_doc_id"),
             F.col("n.n_tok").alias("na"),
             F.col("c.n_tok").alias("nb"),
+            F.col("n.pos").alias("pa"),
+            F.col("c.pos").alias("pb"),
         )
-        .transform(lambda d: part(d, "new_doc_id", "corpus_doc_id"))
-        .distinct()
     )
+    if max_posting_size is None and max_new_posting_size is None:
+        cand = _positional_cut(
+            cand, "new_doc_id", "corpus_doc_id", threshold, part
+        )
+    else:
+        cand = (
+            cand.drop("pa", "pb")
+            .transform(lambda d: part(d, "new_doc_id", "corpus_doc_id"))
+            .distinct()
+        )
     ta = tn.select(F.col("doc_id").alias("new_doc_id"), "tok")
     tb = part(
         tc.select(F.col("doc_id").alias("corpus_doc_id"), "tok"),
@@ -1843,7 +1921,7 @@ def _rank_batch_under_epoch(tn: DataFrame, epoch_df: DataFrame, threshold: float
         .withColumn("prefix_len", _prefix_len_col(threshold))
     )
     return ranked.filter(F.col("pos") <= F.col("prefix_len")).select(
-        "doc_id", "tok", "n_tok"
+        "doc_id", "tok", "n_tok", "pos"
     )
 
 
@@ -1935,9 +2013,16 @@ def prefix_filter_jaccard_pairs_maintained(
             F.col("c.doc_id").alias("corpus_doc_id"),
             F.col("n.n_tok").alias("na"),
             F.col("c.n_tok").alias("nb"),
+            F.col("n.pos").alias("pa"),
+            F.col("c.pos").alias("pb"),
         )
-        .distinct()
     )
+    if max_posting_size is None and max_new_posting_size is None:
+        cand = _positional_cut(
+            cand, "new_doc_id", "corpus_doc_id", threshold, lambda d, *k: d
+        )
+    else:
+        cand = cand.drop("pa", "pb").distinct()
     ta = tn.select(F.col("doc_id").alias("new_doc_id"), "tok")
     cand_ids = cand.select(F.col("corpus_doc_id").alias("doc_id")).distinct()
     tb = tall.join(cand_ids, "doc_id", "left_semi").select(

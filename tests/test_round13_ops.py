@@ -376,3 +376,88 @@ class TestTrainCacheCoverage:
             assert len(ann._TRAIN_CACHE) == n_after_first, (
                 f"{name} re-trained on the second call"
             )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin positional filter (round-13 perf): lossless on the exact path
+# ---------------------------------------------------------------------------
+
+
+class TestPositionalFilter:
+    THRESHOLD = 0.5
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+    def test_cut_bound_arithmetic(self, spark):
+        """Hand-checked instances of the overlap upper bound
+        ``cnt + least(na - max(pa), nb - max(pb)) >= ceil(t/(1+t)(na+nb))``:
+        a boundary pair that exactly reaches alpha is kept; a pair whose
+        shared prefix token sits deep in both lists cannot reach it and
+        is discarded."""
+        rows = [
+            # keep: cnt=1, ub = 1 + min(10-3, 10-4) = 7; alpha = ceil(20/3) = 7
+            (1, 2, 10, 10, 3, 4),
+            # reject: cnt=1, ub = 1 + min(1, 1) = 2 < 7
+            (3, 4, 10, 10, 9, 9),
+            # keep via two shared tokens: cnt=2, ub = 2 + min(8-3, 8-4) = 6
+            # alpha for na=nb=8 -> ceil(16/3) = 6
+            (5, 6, 8, 8, 2, 3),
+            (5, 6, 8, 8, 3, 4),
+        ]
+        cand = spark.createDataFrame(
+            rows, "doc_a long, doc_b long, na long, nb long, pa int, pb int"
+        )
+        got = sorted(
+            (r["doc_a"], r["doc_b"])
+            for r in dedup._positional_cut(
+                cand, "doc_a", "doc_b", self.THRESHOLD, lambda d, *k: d
+            ).collect()
+        )
+        assert got == [(1, 2), (5, 6)]
+
+    def test_exact_forms_match_legacy_distinct_path(self, spark, docs):
+        """A posting cap far above any real posting size routes the
+        LEGACY distinct-based candidate path while cutting nothing —
+        the positional-filter path must return the identical pair set
+        for all three forms (losslessness against the pre-r13 pipeline,
+        on top of the oracle's full-join certification)."""
+        huge = 10**9
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+        def p(df, cols):
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+        sj_cols = ("doc_a", "doc_b", "common", "jaccard")
+        bw_cols = ("new_doc_id", "corpus_doc_id", "common", "jaccard")
+        assert p(
+            dedup.prefix_filter_jaccard_pairs(docs, self.THRESHOLD), sj_cols
+        ) == p(
+            dedup.prefix_filter_jaccard_pairs(
+                docs, self.THRESHOLD, max_posting_size=huge
+            ),
+            sj_cols,
+        )
+        assert p(
+            dedup.prefix_filter_jaccard_pairs_between(new, corpus, self.THRESHOLD),
+            bw_cols,
+        ) == p(
+            dedup.prefix_filter_jaccard_pairs_between(
+                new, corpus, self.THRESHOLD, max_posting_size=huge
+            ),
+            bw_cols,
+        )
+        dedup.build_prefix_filter_index(corpus, "t13_pos", self.THRESHOLD)
+        assert p(
+            dedup.prefix_filter_jaccard_pairs_maintained(
+                spark, new, "t13_pos", self.THRESHOLD
+            ),
+            bw_cols,
+        ) == p(
+            dedup.prefix_filter_jaccard_pairs_maintained(
+                spark, new, "t13_pos", self.THRESHOLD, max_posting_size=huge
+            ),
+            bw_cols,
+        )
