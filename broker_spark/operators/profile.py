@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin_lazy
+from broker_spark.pinning import pin, pin_lazy
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
@@ -281,6 +281,10 @@ def layout_pruning_benefit(
         .filter("p")
         .select("user_id")
         .distinct()
+        # EAGER pin: read four times (per branch: the pruning crossJoin's
+        # broadcast and the n_probes broadcast future) — each an
+        # independent broadcast job that would re-scan events.
+        .transform(pin)
     )
 
     def _ranked(order):
@@ -324,6 +328,12 @@ def layout_pruning_benefit(
                 F.min("user_id").alias("u_min"),
                 F.max("user_id").alias("u_max"),
             )
+            # EAGER pin: `files` feeds n_files (main) and the `scanned`
+            # aggregate (a BroadcastExchange future) — independent query
+            # stages that, unpinned, each re-ran the full two-pass rank
+            # (qprofile r13: the rank machinery executed twice per
+            # branch).  One materialization serves both.
+            .transform(pin)
         )
         n_files = files.groupBy().agg(
             F.count(F.lit(1)).cast("long").alias("n_files")
@@ -418,7 +428,16 @@ def layout_pruning_multidim(
             .alias("tx"),
         )
         .withColumn("zkey", zorder_key(F.col("ux"), F.col("tx"), 8))
-        .transform(pin_lazy)
+        # EAGER pin (guide §2.4/§5): base has FIVE independent readers —
+        # the two probe frames arrive at the branch aggregates as
+        # BroadcastExchange futures, and each layout branch's
+        # repartitionByRange map stage is a separate query stage.  None
+        # of those stages depends on another, so under a lazy checkpoint
+        # they launch concurrently and EACH recomputes the events
+        # projection before any of them lands the cached blocks (measured
+        # via tools/qprofile.py job attribution, r13).  Eager = one
+        # materialization, every reader hits the checkpoint.
+        .transform(pin)
     )
     probes_u = (
         base.select("user_id")
@@ -465,7 +484,11 @@ def layout_pruning_multidim(
                 F.min("t_ms").alias("t_min"),
                 F.max("t_ms").alias("t_max"),
             )
-            .transform(pin_lazy)
+            # EAGER: n_files (main stage) and the su/st scan-fraction
+            # aggregates (delivered as broadcast futures) are independent
+            # readers — lazily pinned they race and re-run the whole
+            # two-pass rank per reader (qprofile r13).
+            .transform(pin)
         )
         n_files = files.groupBy().agg(
             F.count(F.lit(1)).cast("long").alias("n_files")

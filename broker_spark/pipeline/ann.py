@@ -1713,11 +1713,16 @@ def matryoshka_recall(
     (Matryoshka-style) embedding can be cut for cheap first-stage
     retrieval before full-dimension re-rank.
 
-    Scale shape: identical to `brute_force_topk` (broadcast queries,
-    corpus side partition-parallel, per-query window) run once per
-    tier + once full — a constant small multiple; the truncated tiers
-    are CHEAPER than full scoring by d/dim per term.  recall = overlap/k
-    is an exact integer ratio."""
+    Scale shape: ONE full-dimension `brute_force_topk` pass plus ONE
+    fused queries x corpus pass that scores every truncation tier —
+    each candidate row explodes into len(dims) (tier, cosine) rows and a
+    single window over (dim, query_id) takes every tier's top-k in one
+    shuffle (guide §1.2/§2.4: the per-tier form re-scanned the corpus
+    and paid a window exchange per tier; the fused form moves the same
+    bytes once).  Per-tier arithmetic is unchanged — each tier's score
+    is the same `cosine(slice(v, 1, d), slice(v, 1, d))` left-to-right
+    fold, so values are bit-identical to the per-tier passes.  recall =
+    overlap/k is an exact integer ratio."""
     # one materialization, 2 readers per tier (overlap join + query
     # grid): without the checkpoint each tier re-runs the full-dimension
     # queries x corpus scoring DAG — same multi-reader pattern as the
@@ -1731,35 +1736,76 @@ def matryoshka_recall(
             vec_col=vec_col,
         )
         .select("query_id", "cand_id")
-        .transform(pin_lazy)
+        # EAGER pin: the per-tier overlap joins and the query-grid join
+        # consume this frame through independent BroadcastExchange
+        # futures; lazily pinned they race and re-run the full-dimension
+        # queries x corpus scoring DAG per future (qprofile r13).
+        .transform(pin)
     )
     all_q = full.select("query_id").distinct()
-    out = None
-    for d in dims:
-        trunc = embeddings.select(
-            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+    q = broadcast(
+        embeddings.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-        tier = brute_force_topk(
-            trunc,
-            trunc.filter(F.col(id_col) < n_queries),
-            k=k,
-            id_col=id_col,
-            vec_col=vec_col,
-        ).select("query_id", "cand_id")
-        hits = (
-            tier.join(full, ["query_id", "cand_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    )
+    # every tier's score in one corpus pass: per candidate row, an array
+    # of (dim, cosine-over-prefix) structs — the cosine expression per
+    # tier is IDENTICAL to slicing first and scoring full (same
+    # left-to-right fold over the same d elements)
+    tier_scores = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("int").alias("dim"),
+                    cosine(
+                        F.slice(F.col("query_vec"), 1, d),
+                        F.slice(F.col("cand_vec"), 1, d),
+                    ).alias("cos_raw"),
+                )
+                for d in dims
+            ]
         )
-        tier_out = all_q.join(hits, "query_id", "left").select(
-            F.lit(d).cast("int").alias("dim"),
-            "query_id",
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)).cast("double")
-                / F.lit(float(k)),
-                6,
-            ).alias("recall"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", tier_scores.alias("t"))
+        .select(
+            "query_id", "cand_id", F.col("t.dim").alias("dim"),
+            F.col("t.cos_raw").alias("cos_raw"),
         )
-        out = tier_out if out is None else out.unionByName(tier_out)
-    return out
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("cand_id").asc()
+    )
+    tier_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dim", "query_id", "cand_id")
+    )
+    hits = (
+        tier_topk.join(full, ["query_id", "cand_id"])
+        .groupBy("dim", "query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    grid = all_q.crossJoin(
+        F.broadcast(
+            embeddings.sparkSession.range(1).select(
+                F.explode(
+                    F.array(*[F.lit(d).cast("int") for d in dims])
+                ).alias("dim")
+            )
+        )
+    )
+    return grid.join(hits, ["dim", "query_id"], "left").select(
+        "dim",
+        "query_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(
+            F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(k)),
+            6,
+        ).alias("recall"),
+    )

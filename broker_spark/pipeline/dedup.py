@@ -687,20 +687,32 @@ def connected_components_star(
         # bounded collect: n_edges/2 undirected pairs, each two ids
         comp = _local_union_find(edges.filter(F.col("u") < F.col("v")).collect())
         id_type = edges.schema["u"].dataType
-        from pyspark.sql.types import StructField, StructType
 
         spark = docs.sparkSession
-        # 4 slices, not the parallelize default (= core count): the label
-        # list is at most local_threshold-bounded (a few MB), and every
-        # downstream stage over the returned frame — the singleton
-        # anti-join, the caller's relabel joins, the final count — pays
-        # one task per slice; 32 slices of a driver-local list was ~1/4
-        # of the incremental-CC entry's job time in task overhead
-        labels = spark.createDataFrame(
-            spark.sparkContext.parallelize(list(comp.items()), 4),
-            StructType(
-                [StructField(id_col, id_type), StructField("component", id_type)]
-            ),
+        # Pure-JVM local relation (guide §4: eliminate the Python
+        # boundary): the previous parallelize(list)-backed frame ran 4
+        # pickled-Python-RDD tasks through the Python runner in EVERY
+        # downstream stage that read it — the singleton anti-join, the
+        # caller's relabel joins, the final count each re-paid Python
+        # worker round-trips for a driver-local list.  The _kv_rows
+        # recipe (JSON once + from_json, constant-folded to a Literal)
+        # keeps the same bounded rows entirely in the JVM.
+        items = sorted(comp.items())
+        jt = (
+            "string"
+            if id_type.simpleString() == "string"
+            else id_type.simpleString()
+        )
+        ks = F.from_json(
+            F.lit(_json.dumps([k for k, _ in items])), f"array<{jt}>"
+        )
+        vs = F.from_json(
+            F.lit(_json.dumps([v for _, v in items])), f"array<{jt}>"
+        )
+        idx = F.col("id").cast("int") + 1
+        labels = spark.range(0, len(items), 1, 1).select(
+            F.element_at(ks, idx).cast(id_type).alias(id_col),
+            F.element_at(vs, idx).cast(id_type).alias("component"),
         )
         singletons = ids.join(labels.select(id_col), id_col, "left_anti").select(
             F.col(id_col), F.col(id_col).alias("component")
@@ -1979,7 +1991,13 @@ def prefix_filter_jaccard_pairs_maintained(
             "tok"
         ),
     )
-    tn = _settle(tn, n_new).transform(pin)
+    # LAZY pin: the range-id collect right below is the frame's first
+    # action and materializes the checkpoint as part of its own job —
+    # an eager pin here paid one extra batch-sized job per query for
+    # nothing (guide §1.2: fewer passes).  The collect is synchronous,
+    # so every later reader (the rank join, the verify side) hits the
+    # already-landed cache — no concurrent-reader race.
+    tn = _settle(tn, n_new).transform(pin_lazy)
     los = _read_prefix_ranges(spark, name)
     if len(los) > 1:
         ids = [
@@ -1991,6 +2009,10 @@ def prefix_filter_jaccard_pairs_maintained(
         if len(ids) < len(los):
             epoch_df = epoch_df.filter(F.col("tok_range").isin(ids))
             pc = pc.filter(F.col("tok_range").isin(ids))
+    else:
+        # no stored ranges -> no collect ran: materialize before the
+        # main query's independent readers can race on the lazy pin
+        tn = tn.transform(lambda d: pin(d, eager=True))
     epoch_df = epoch_df.drop("tok_range")
     pc = pc.drop("tok_range")
     n_stored = _read_prefix_meta(spark, name).get("n_docs", 0)
@@ -2365,7 +2387,14 @@ def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
         .distinct()
-        .transform(pin_lazy)
+        # EAGER pin (guide §2.4): the wedge join's shuffle map stages and
+        # the real-edge anti-join's BroadcastExchange future are
+        # INDEPENDENT query stages — under a lazy checkpoint they launch
+        # concurrently and each re-ran the full MinHash/LSH candidate
+        # lineage before the cache landed (qprofile r13: two ~equal
+        # multi-second jobs for one pinned frame).  Eager = the LSH pass
+        # runs once and every reader hits the checkpoint.
+        .transform(pin)
     )
     adj = fwd.union(
         fwd.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

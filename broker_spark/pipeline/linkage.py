@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from broker_spark.pinning import pin_lazy
+from broker_spark.pinning import pin
 
 from broker_spark.pipeline import dedup
 
@@ -109,7 +109,11 @@ def linkage_pairs(
     (entity_components) pass it in instead of re-scanning the source.
     """
     if names is None:
-        names = dirty_clean_names(df, name_col).transform(pin_lazy)
+        # EAGER pin: four readers (clean/dirty side of both blocking
+        # passes), several arriving as independent broadcast futures —
+        # lazily pinned they race and re-run the name-cleaning scan each
+        # (qprofile r13).
+        names = dirty_clean_names(df, name_col).transform(pin)
 
     def _sides(block_col):
         clean = names.select(
@@ -160,7 +164,7 @@ def entity_components(
     still forms its own 2-node entity; the planted corruption guarantees
     every dirty node has at least its own clean parent as a match.
     """
-    names = dirty_clean_names(df, name_col).transform(pin_lazy)
+    names = dirty_clean_names(df, name_col).transform(pin)  # see linkage_pairs
     pairs = linkage_pairs(df, name_col, max_dist, names=names).select(
         F.concat(F.lit("d:"), F.col("dirty_name")).alias("doc_a"),
         F.concat(F.lit("c:"), F.col("clean_name")).alias("doc_b"),

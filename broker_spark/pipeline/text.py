@@ -48,9 +48,16 @@ def punct_len(text: Column) -> Column:
     return F.length(F.regexp_replace(text, r"[a-zA-Z0-9 ]", ""))
 
 
-def quality_features(docs: DataFrame) -> DataFrame:
+def quality_features(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     """Per-document quality features: lengths, token stats, punctuation
-    ratio, and a [0,1] quality score (length/punct heuristics)."""
+    ratio, and a [0,1] quality score (length/punct heuristics).
+
+    `carry` appends extra columns/expressions of `docs` to the output —
+    a pure projection, so callers that need features PLUS source columns
+    take them in the same scan instead of re-joining this frame back to
+    `docs` on doc_id (guide §2.4: that join was a second corpus scan +
+    an exchange that a projection never needed; doc_id is unique, so the
+    join was 1:1 and the fused projection is row-identical)."""
     text = F.col("text")
     n_tokens = token_count(text)
     n_len = F.length(text)
@@ -69,6 +76,7 @@ def quality_features(docs: DataFrame) -> DataFrame:
         punct.alias("n_punct"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         quality.alias("quality_score"),
+        *carry,
     )
 
 
@@ -260,9 +268,7 @@ def quality_topk_per_group(
     """Per-group quality selection: top-k documents by quality score (ties
     by doc_id) in each group — the 'keep the best N per language' step of
     a training-mix recipe.  Window over the group key, one shuffle."""
-    feats = quality_features(docs).join(
-        docs.select("doc_id", group_col), "doc_id"
-    )
+    feats = quality_features(docs, carry=(F.col(group_col),))
     w = Window.partitionBy(group_col).orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
     )
@@ -278,7 +284,7 @@ def corpus_histogram(docs: DataFrame, bucket_chars: int = 200) -> DataFrame:
     (language, length-bucket) cell — the table a data-mixture design reads.
     One hash-agg shuffle; all token math stays in the scan stage."""
     text = F.col("text")
-    feats = quality_features(docs).join(docs.select("doc_id", "lang", "text"), "doc_id")
+    feats = quality_features(docs, carry=(F.col("lang"),))
     return feats.groupBy(
         "lang",
         F.floor(F.col("n_len") / bucket_chars).cast("long").alias("len_bucket"),
@@ -1149,9 +1155,11 @@ QC_WEIGHTS = {"f_len": 1.2, "f_alpha": 0.8, "f_stop": 1.5, "f_wordlen": -0.3}
 QC_BIAS = -1.0
 
 
-def quality_classifier_score(docs: DataFrame) -> DataFrame:
+def quality_classifier_score(docs: DataFrame, carry: tuple = ()) -> DataFrame:
     """Linear quality classifier (fastText-style): four scan-stage
     features -> fixed-weight logit -> sigmoid score -> keep decision.
+    `carry` appends extra columns of `docs` in the same projection (see
+    `quality_features` — saves callers a 1:1 join-back on doc_id).
     This is the 'learned filter' companion to the rule-based
     `gopher_filter_flags`: same decision-table shape, but a single
     continuous score a pipeline can threshold per mixture.
@@ -1192,6 +1200,7 @@ def quality_classifier_score(docs: DataFrame) -> DataFrame:
         F.round(f_stop, 6).alias("f_stop"),
         F.round(score, 6).alias("quality_prob"),
         (score >= F.lit(0.5)).alias("keep"),
+        *carry,
     )
 
 
@@ -1781,11 +1790,33 @@ def bpe_learn(
 
 def bpe_learn_merges(docs: DataFrame, n_merges: int = 4) -> DataFrame:
     """The learned merge table itself: (rank, pair, merged, n)."""
+    import json as _json
+
     spark = docs.sparkSession
     merges, _ = bpe_learn(docs, n_merges)
-    return spark.createDataFrame(
-        [(m["rank"], m["pair"], m["merged"], m["n"]) for m in merges],
-        "rank int, pair string, merged string, n long",
+    # pure-JVM local relation (guide §4: no Python boundary): a
+    # createDataFrame(list) here is parallelize-backed — every read of
+    # this 4-row frame paid defaultParallelism pickled-Python tasks
+    arr = F.from_json(
+        F.lit(
+            _json.dumps(
+                [
+                    {
+                        "rank": m["rank"],
+                        "pair": m["pair"],
+                        "merged": m["merged"],
+                        "n": m["n"],
+                    }
+                    for m in merges
+                ]
+            )
+        ),
+        "array<struct<rank:int,pair:string,merged:string,n:bigint>>",
+    )
+    return (
+        spark.range(0, len(merges), 1, 1)
+        .select(F.element_at(arr, F.col("id").cast("int") + 1).alias("s"))
+        .select("s.rank", "s.pair", "s.merged", F.col("s.n").alias("n"))
     )
 
 

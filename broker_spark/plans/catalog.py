@@ -3913,9 +3913,7 @@ def q_dedup_kept_by_quality(spark, sf_dir):
     canon = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
     )
-    scored = text.quality_features(docs).join(
-        docs.select("doc_id", F.md5(canon).alias("th")), "doc_id"
-    )
+    scored = text.quality_features(docs, carry=(F.md5(canon).alias("th"),))
     w = Window.partitionBy("th")
     wr = w.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
     return (
@@ -4068,8 +4066,8 @@ def q_training_manifest(spark, sf_dir):
     canon = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
     )
-    scored = text.quality_features(kept).join(
-        kept.select("doc_id", "lang", "text", F.md5(canon).alias("th")), "doc_id"
+    scored = text.quality_features(
+        kept, carry=(F.col("lang"), F.col("text"), F.md5(canon).alias("th"))
     )
     wr = Window.partitionBy("th").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
@@ -6094,15 +6092,17 @@ def q_curated_mix_manifest(spark, sf_dir):
     pinned once (pinning.pin — a handful of rows; the only materialized
     intermediate) so its three readers don't re-run the corpus scan."""
     docs = load(spark, sf_dir, "documents")
-    qc = text.quality_classifier_score(docs).select(
-        "doc_id", F.col("keep").alias("qc_keep")
-    )
+    # qc is a pure projection of docs -> evaluate it IN the docs scan
+    # (carry=) instead of joining it back on doc_id; only the
+    # window-based passage stats still need a join (guide §2.4)
+    qc = text.quality_classifier_score(
+        docs, carry=(F.col("text"), F.col("source"))
+    ).select("doc_id", "text", "source", F.col("keep").alias("qc_keep"))
     pd_ = text.passage_dedup_stats(docs).select(
         "doc_id", F.col("keep").alias("pd_keep")
     )
     base = (
-        docs.join(qc, "doc_id")
-        .join(pd_, "doc_id")
+        qc.join(pd_, "doc_id")
         .filter(F.col("qc_keep") & F.col("pd_keep"))
         .select("doc_id", "text", "source")
     )

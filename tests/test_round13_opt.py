@@ -1,0 +1,141 @@
+"""Round-13 OPTIMIZATION invariants: restructured operators must return
+exactly what their pre-optimization forms returned (the oracle re-check
+is the outer gate; these pin the equivalences the restructures rely on
+so a future edit can't silently break them).
+
+Covered:
+- matryoshka_recall's fused tier pass == the per-tier brute-force loop
+  it replaced (same slices, same window order, same grid semantics);
+- quality_features/quality_classifier_score `carry` == the join-back on
+  doc_id it replaced (pure projection, doc_id unique);
+- connected_components_star's local-union-find label lift is a pure-JVM
+  local relation (no Python-RDD scan) with unchanged labels;
+- bpe_learn_merges' JVM local relation carries the same rows as the
+  createDataFrame(list) form it replaced.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from broker_spark.pipeline import ann, dedup, text
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestMatryoshkaFusion:
+    def test_fused_equals_per_tier_loop(self, embeddings):
+        """The fused (one corpus pass, one window) form must equal the
+        per-tier brute_force_topk loop it replaced, value-exact."""
+        dims, k, n_queries = (4, 8, 16), 10, 10
+        fused = ann.matryoshka_recall(embeddings, dims=dims, k=k)
+
+        from broker_spark.pinning import pin
+
+        full = (
+            ann.brute_force_topk(
+                embeddings, embeddings.filter(F.col("vec_id") < n_queries), k=k
+            )
+            .select("query_id", "cand_id")
+            .transform(pin)
+        )
+        all_q = full.select("query_id").distinct()
+        ref = None
+        for d in dims:
+            trunc = embeddings.select(
+                F.col("vec_id"), F.slice(F.col("embedding"), 1, d).alias("embedding")
+            )
+            tier = ann.brute_force_topk(
+                trunc, trunc.filter(F.col("vec_id") < n_queries), k=k
+            ).select("query_id", "cand_id")
+            hits = (
+                tier.join(full, ["query_id", "cand_id"])
+                .groupBy("query_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+            )
+            tier_out = all_q.join(hits, "query_id", "left").select(
+                F.lit(d).cast("int").alias("dim"),
+                "query_id",
+                F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+                F.round(
+                    F.coalesce("n_overlap", F.lit(0)).cast("double")
+                    / F.lit(float(k)),
+                    6,
+                ).alias("recall"),
+            )
+            ref = tier_out if ref is None else ref.unionByName(tier_out)
+        assert _rows(fused) == _rows(ref)
+
+
+class TestCarryProjection:
+    def test_quality_features_carry_equals_join_back(self, docs):
+        carried = text.quality_features(
+            docs, carry=(F.col("lang"), F.md5("text").alias("th"))
+        )
+        joined = text.quality_features(docs).join(
+            docs.select("doc_id", "lang", F.md5("text").alias("th")), "doc_id"
+        )
+        assert _rows(carried) == _rows(joined)
+
+    def test_quality_classifier_carry_equals_join_back(self, docs):
+        carried = text.quality_classifier_score(docs, carry=(F.col("source"),))
+        joined = text.quality_classifier_score(docs).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        assert _rows(carried) == _rows(joined)
+
+
+class TestLocalLabelLift:
+    def test_local_cc_labels_are_jvm_only_and_correct(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs)
+        labels = dedup.connected_components_star(docs, pairs)
+        # small fixture -> the bounded-collect union-find path
+        plan = labels._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+        assert "Scan ExistingRDD" not in plan
+        # labels == label propagation (the standing CC equivalence)
+        lp = dedup.connected_components(docs, pairs)
+        assert _rows(labels) == _rows(lp)
+
+    def test_string_ids_roundtrip_exactly(self, spark):
+        rows = [("c:a\"b\\c", "d:x y"), ("d:x y", "c:ünï¢ødé")]
+        e = spark.createDataFrame(rows, "doc_a string, doc_b string")
+        docs = (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .union(e.select("doc_b"))
+            .distinct()
+        )
+        labels = dedup.connected_components_star(docs, e)
+        got = {r["doc_id"]: r["component"] for r in labels.collect()}
+        # one chain component labelled by its min id
+        want_comp = min(got)
+        assert set(got) == {"c:a\"b\\c", "d:x y", "c:ünï¢ødé"}
+        assert set(got.values()) == {want_comp}
+
+
+class TestBpeLocalRelation:
+    def test_merge_table_rows(self, docs):
+        merges, _ = text.bpe_learn(docs, 4)
+        df = text.bpe_learn_merges(docs, 4)
+        assert df.columns == ["rank", "pair", "merged", "n"]
+        got = sorted(tuple(r) for r in df.collect())
+        want = sorted((m["rank"], m["pair"], m["merged"], m["n"]) for m in merges)
+        assert got == want
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
