@@ -1013,12 +1013,65 @@ def lsh_s_curve(
     )
 
 
+def _local_pagerank(
+    edge_rows, n: int, damping: float, iters: int
+) -> list[tuple]:
+    """Driver-local PageRank over a bounded directed edge list,
+    replicating the distributed plan's arithmetic bit-for-bit so the
+    two paths are value-interchangeable (pinned by test):
+
+    - contribution ``pr/deg`` is IEEE-double division (Python float ==
+      JVM double);
+    - the cast to DECIMAL(38,18) goes through the double's shortest
+      decimal string (``repr`` here, ``BigDecimal.valueOf`` /
+      ``Double.toString`` in Spark — both emit the shortest uniquely
+      round-tripping form) quantized HALF_UP to 18 dp;
+    - the per-target SUM accumulates those exact decimals as integer
+      attounits (order-free, exact);
+    - the cast back to double is the correctly-rounded conversion both
+      engines use (``Fraction``-backed here);
+    - ``base + damping * sum`` is ordered as the Spark expression.
+
+    Returns [(node, unrounded pr double)] — the caller rounds in Spark
+    so ``F.round`` semantics stay engine-side."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    exp18 = Decimal("1e-18")
+    deg: dict = {}
+    for r in edge_rows:
+        deg[r["s"]] = deg.get(r["s"], 0) + 1
+    pr = {node: 1.0 / n for node in deg}
+    base = (1 - damping) / n
+    for _ in range(iters):
+        # one decimal quantization per SOURCE node (contribution is a
+        # function of the source only), integer adds per edge
+        q = {
+            s: int(
+                Decimal(repr(pr[s] / d))
+                .quantize(exp18, rounding=ROUND_HALF_UP)
+                .scaleb(18)
+            )
+            for s, d in deg.items()
+        }
+        acc: dict = {}
+        for r in edge_rows:
+            d = r["d"]
+            acc[d] = acc.get(d, 0) + q[r["s"]]
+        pr = {
+            d: base + damping * float(Fraction(v, 10**18))
+            for d, v in acc.items()
+        }
+    return sorted(pr.items())
+
+
 def pagerank(
     docs: DataFrame,
     pairs: DataFrame,
     damping: float = 0.85,
     iters: int = 10,
     id_col: str = "doc_id",
+    local_threshold: int = CC_LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """PageRank over the (symmetric) near-dup candidate graph — the
     centrality view of duplication: high-rank documents sit at the core
@@ -1040,7 +1093,14 @@ def pagerank(
     paying an eager job per round.  Per-step neighbor sums accumulate
     in DECIMAL(38,18), so the cross-engine value is independent of
     aggregation order; the damping arithmetic is ordered identically to
-    the oracle SQL ((1-d)/n + d * sum)."""
+    the oracle SQL ((1-d)/n + d * sum).
+
+    Two-level execution (same shape as connected_components_star): when
+    the materialized edge set is a bounded driver collect
+    (`local_threshold`), the iterations run in an arithmetic-identical
+    driver loop (`_local_pagerank`) instead of 10 scheduling-bound tiny
+    shuffle stages; both paths produce identical values (pinned by
+    test)."""
     fwd = pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("d"))
     edges = (
         fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d")))
@@ -1054,6 +1114,34 @@ def pagerank(
     if n == 0:
         return nodes.select(
             F.col(id_col), F.lit(None).cast("double").alias("pagerank")
+        )
+    if edges.count() <= local_threshold:
+        # Two-level execution, same doctrine as connected_components_star:
+        # below the bound the 10 iterations are 10 tiny shuffle stages
+        # whose wall time is pure scheduling — collect the (already
+        # materialized) edge list once and run the arithmetic-identical
+        # driver loop, then lift the ranks back as a pure-JVM local
+        # relation (no pickled-Python RDD in downstream stages).  The
+        # distributed path below is unchanged and remains the >threshold
+        # production shape.
+        items = _local_pagerank(edges.collect(), n, damping, iters)
+        spark = docs.sparkSession
+        id_type = edges.schema["s"].dataType
+        jt = (
+            "string"
+            if id_type.simpleString() == "string"
+            else id_type.simpleString()
+        )
+        ks = F.from_json(
+            F.lit(_json.dumps([k for k, _ in items])), f"array<{jt}>"
+        )
+        vs = F.from_json(
+            F.lit(_json.dumps([v for _, v in items])), "array<double>"
+        )
+        idx = F.col("id").cast("int") + 1
+        return spark.range(0, len(items), 1, 1).select(
+            F.element_at(ks, idx).cast(id_type).alias(id_col),
+            F.round(F.element_at(vs, idx), 6).alias("pagerank"),
         )
     ranks = nodes.select(id_col, F.lit(1.0 / n).alias("pr"))
     # static per-edge frame: (source, target, source degree)

@@ -983,11 +983,22 @@ def bigram_logprob_score(docs: DataFrame) -> DataFrame:
         docs.select("doc_id", words_col(F.col("text")).alias("w"))
         .select("doc_id", F.explode(bigram_arr).alias("bigram"))
         .withColumn("prev", F.split(F.col("bigram"), " ").getItem(0))
+        # eager pin (r13, guide §2.4): the model agg arrives as a join
+        # build next to the score join's map stage — without the pin the
+        # docs scan + bigram explode executed once per reader
+        .transform(pin)
     )
     bg_counts = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_bg"))
     terms = docs.select(F.explode(words_col(F.col("text"))).alias("term"))
-    uni_counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c_uni"))
-    vocab = terms.agg(F.countDistinct("term").alias("vocab"))
+    uni_counts = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+        # two readers (vocab agg + predecessor join) — pin so the second
+        # docs scan + unigram agg runs once; vocab is the aggregate's own
+        # row count (== COUNT(DISTINCT term)), not a third scan
+        .transform(pin)
+    )
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("vocab"))
     scored = (
         bg.join(bg_counts, "bigram")
         .join(uni_counts.withColumnRenamed("term", "prev"), "prev")
@@ -1439,8 +1450,11 @@ def repetition_top2gram_share(docs: DataFrame) -> DataFrame:
     on both engines).  High shares flag boilerplate/templated docs that
     length or stopword filters miss.
 
-    One explode to (doc, bigram), one hash-agg, one doc-keyed window for
-    the argmax, one rollup — all JVM built-ins, doc-bounded state.
+    One explode to (doc, bigram), one hash-agg, then a doc-keyed min_by
+    argmax (r13: the row_number window this replaces re-sorted the whole
+    counts frame; min_by is a hash-agg with map-side partials and the
+    identical (c desc, bigram asc) winner via the (-c, bigram) ordering
+    struct) — all JVM built-ins, doc-bounded state.
 
     The words array is PROJECTED before the per-index transform: built
     inline, every element_at re-evaluates split(text) and the bigram
@@ -1464,17 +1478,19 @@ def repetition_top2gram_share(docs: DataFrame) -> DataFrame:
     counts = bg.groupBy("doc_id", "n_tokens", "bigram").agg(
         F.count(F.lit(1)).alias("c")
     )
-    win = Window.partitionBy("doc_id").orderBy(
-        F.col("c").desc(), F.col("bigram").asc()
+    top = counts.groupBy("doc_id", "n_tokens").agg(
+        F.min_by(
+            F.struct("bigram", "c"),
+            F.struct((-F.col("c")).alias("nc"), F.col("bigram")),
+        ).alias("t")
     )
-    top = counts.withColumn("rk", F.row_number().over(win)).filter(F.col("rk") == 1)
     return top.select(
         "doc_id",
         "n_tokens",
-        F.col("bigram").alias("top_bigram"),
-        F.col("c").cast("long").alias("top_count"),
+        F.col("t.bigram").alias("top_bigram"),
+        F.col("t.c").cast("long").alias("top_count"),
         F.round(
-            (F.col("c") * F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
+            (F.col("t.c") * F.lit(2.0)) / F.col("n_tokens").cast("double"), 6
         ).alias("top2gram_share"),
     )
 

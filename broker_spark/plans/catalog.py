@@ -6521,24 +6521,40 @@ def q_customer_rfm_scores(spark, sf_dir):
 )
 def q_orders_market_basket(spark, sf_dir):
     """Market-basket co-occurrence: part pairs bought together in >= 2
-    orders, top-20.  The self-join is co-partitioned on the order key
-    (ONE shuffle; per-order fanout is bounded by the <= 7-line order
-    shape, so the pair explosion is linear in lineitem, never
-    quadratic), and the top-20 is a TakeOrdered, not a global sort."""
+    orders, top-20.  ONE lineitem scan: per-order sorted distinct part
+    sets (collect_set hash-agg), in-row pair expansion with nested
+    array transforms (bounded by the <= 7-line order shape, so <= 21
+    pairs per order — linear in lineitem, never quadratic), then one
+    pair-keyed count.  The r13 rewrite of the self-join form (guide
+    §2.4): the join plan scanned lineitem twice and ran the
+    (orderkey, partkey) distinct twice because the broadcast build side
+    cannot reuse the left side's exchange — the in-row expansion needs
+    no join at all and shuffles two exchanges instead of three.  Same
+    rows by construction: combinations of each order's sorted distinct
+    parts enumerate every a < b pair exactly once (oracle unchanged).
+    Top-20 is a TakeOrdered, not a global sort."""
     li = load(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ps"),
+                    i + F.lit(2),
+                    F.greatest(F.size("ps") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
     return (
@@ -7152,31 +7168,38 @@ def q_dedup_pagerank_keepers(spark, sf_dir):
     member should be its hub, not its oldest id.  Composes the two
     certified iterative operators (star CC + PageRank) over ONE shared
     edge set; the oracle replays both (recursive CTE + 10 unrolled
-    steps) and takes the same rounded argmax."""
+    steps) and takes the same rounded argmax.
+
+    `pairs` is pinned HERE, not just inside the consumers: CC-star and
+    PageRank each materialize their own symmetrized edge frame
+    (pin_iter), and without a shared checkpoint the full MinHash/LSH
+    candidate lineage executed once per consumer (qprofile r13) — the
+    pin makes the LSH pass run exactly once."""
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs)
+    pairs = dedup.minhash_lsh_pairs(docs).transform(pin)
     comp = dedup.connected_components_star(
         docs.select("doc_id"), pairs
     )
     pr = dedup.pagerank(docs, pairs)
     j = comp.join(pr, "doc_id").select("doc_id", "component", "pagerank")
-    sizes = j.groupBy("component").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # ONE component-keyed aggregation (r13): size and centrality-argmax
+    # in the same hash-agg — the window/rk==1 + separate sizes agg +
+    # join-back this replaces paid a full sort of j plus a second
+    # exchange for the identical (pr desc, doc_id asc) winner, which
+    # min_by reproduces via the (-pagerank, doc_id) ordering struct
+    # (pagerank > 0 always: base = (1-d)/n).
+    agg = j.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min_by(
+            F.struct("doc_id", "pagerank"),
+            F.struct((-F.col("pagerank")).alias("np"), F.col("doc_id")),
+        ).alias("k"),
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("pagerank").desc(), F.col("doc_id").asc()
-    )
-    keeper = (
-        j.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(
-            "component",
-            F.col("doc_id").alias("keeper_doc_id"),
-            F.col("pagerank").alias("keeper_rank"),
-        )
-    )
-    return keeper.join(sizes, "component").select(
-        "component", "n_docs", "keeper_doc_id", "keeper_rank"
+    return agg.select(
+        "component",
+        "n_docs",
+        F.col("k.doc_id").alias("keeper_doc_id"),
+        F.col("k.pagerank").alias("keeper_rank"),
     )
 
 

@@ -139,3 +139,26 @@ class TestBpeLocalRelation:
         assert got == want
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "Scan ExistingRDD" not in plan
+
+
+class TestLocalPagerank:
+    """pagerank's bounded-collect driver loop (round-13 batch 2) must be
+    value-IDENTICAL to the distributed iteration it short-circuits: the
+    local path replicates double division, the DECIMAL(38,18) cast
+    (shortest-decimal-string quantize), the exact decimal sum, and the
+    damping expression order."""
+
+    def test_local_equals_distributed(self, docs):
+        from broker_spark.pinning import pin
+
+        pairs = dedup.minhash_lsh_pairs(docs).transform(pin)
+        loc = dedup.pagerank(docs, pairs)  # small fixture -> local path
+        dist = dedup.pagerank(docs, pairs, local_threshold=0)
+        assert _rows(loc) == _rows(dist)
+
+    def test_local_path_is_jvm_local_relation(self, docs):
+        pairs = dedup.minhash_lsh_pairs(docs)
+        pr = dedup.pagerank(docs, pairs)
+        plan = pr._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
+        assert "Scan ExistingRDD" not in plan
