@@ -67,18 +67,19 @@ def event_pmi_pairs(events: DataFrame) -> DataFrame:
 
     The ratio's numerator/denominator are exact BIGINT products, so the
     only float steps are one division and one ln on identical inputs.
-    ONE events pass (r13, guide §2.4): contexts collapse straight to
-    per-(user, day) sorted distinct type sets (a single hash-agg — the
-    old (user, day, type) distinct + context self-join re-shuffled the
-    context frame because partitioning by three keys does not satisfy a
-    two-key join, and re-ran the distinct once per reader), and the
-    co-occurrence pairs expand IN-ROW from each type set (bounded by
-    the per-context type vocabulary, exactly the old join's fan-out).
-    Context count, type marginals, and pair counts all read the same
-    pinned baskets frame; marginals attach by broadcast.  Same rows by
-    construction: combinations of a context's sorted distinct types
-    enumerate every a < b pair exactly once (oracle unchanged)."""
-    baskets = (
+    Contexts are the deduplicated (user, day, type) frame — orders of
+    magnitude below raw events — PINNED eagerly (r13, guide §2.4): its
+    four readers (both self-join sides, the context count, the
+    marginals) race as independent stages and each re-ran the events
+    scan + distinct un-pinned; one checkpoint job runs the pass once.
+    The pair join is an equi-join on (user, day) over the compact
+    context frame; type-marginal counts attach by broadcast.  (An
+    in-row pair-expansion form — collect_set baskets + combined emit —
+    measured SLOWER at bench scale: the events frame is small enough
+    that the hash-join plan beats the higher-order-function chain, and
+    it would equally at 100 TB given contexts stay vocabulary-bounded;
+    see OPTIMIZATION_r13.md.)"""
+    ctx = (
         events.select(
             "user_id",
             F.floor(F.unix_millis("ts") / F.lit(86_400_000))
@@ -86,37 +87,20 @@ def event_pmi_pairs(events: DataFrame) -> DataFrame:
             .alias("day"),
             F.col("event_type"),
         )
-        .groupBy("user_id", "day")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("ps"))
-        # eager: n_ctx and marg arrive as independent broadcast futures
-        # next to the pair-expansion map stage — lazily pinned they race
-        # and each re-runs the baskets agg (the batch-1 lesson)
+        .distinct()
         .transform(pin)
     )
-    n_ctx = baskets.agg(F.count(F.lit(1)).alias("n_contexts"))
-    marg = (
-        baskets.select(F.explode("ps").alias("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("c"))
+    n_ctx = ctx.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_contexts")
     )
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("ps"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ps"),
-                    i + F.lit(2),
-                    F.greatest(F.size("ps") - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
-            ),
-        )
-    )
+    marg = ctx.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
+        ctx.alias("a")
+        .join(ctx.alias("b"), ["user_id", "day"])
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
         .groupBy(
-            F.col("p.type_a").alias("type_a"),
-            F.col("p.type_b").alias("type_b"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
