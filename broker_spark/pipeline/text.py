@@ -887,14 +887,26 @@ def tfidf_cosine_pairs(
     variant stays a true cosine.  One explode, two term-key aggs, one
     term-key self-join, one pair agg; only documents sharing a shingle
     ever meet.
-    """
+
+    ONE shingle pass (r13, guide §2.4): document frequency derives from
+    the pinned tf frame — tf already holds exactly one row per
+    (doc, term), so ``df = count per term over tf`` is row-identical to
+    the old ``terms.distinct()`` re-explode, which ran the corpus scan +
+    shingle explode a second time as a racing broadcast future
+    (qprofile: two ~0.9 s single-task jobs per run).  The weighted
+    frame is pinned too: its three readers (norms, both self-join
+    sides) otherwise re-run the tf/df join per stage."""
     from broker_spark.pipeline.dedup import word_shingles
 
     terms = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(pin)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_doc_freq is not None:
         df_ = df_.filter(F.col("df") <= max_doc_freq)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -910,6 +922,7 @@ def tfidf_cosine_pairs(
             ),
         )
         .select("doc_id", "term", "w")
+        .transform(pin)
     )
     norms = weighted.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
@@ -1048,7 +1061,15 @@ def bm25_topk(docs: DataFrame, queries=None, k: int = 10) -> DataFrame:
     the agg), so the shuffled postings volume is |query vocab| * df, not
     the corpus; df/N/avgdl are broadcast scalars.  Per-term partial
     scores go through DECIMAL(28,12) so the cross-engine sum is
-    order-independent.  Top-k per query is one window over query_id."""
+    order-independent.  Top-k per query is one window over query_id.
+
+    ONE corpus pass (r13, guide §2.4): doc length and the vocab-filtered
+    term array come out of the same projection, pinned eagerly — the
+    corpus-stats, document-frequency, and query-terms broadcast builds
+    race as independent futures, and un-pinned each re-ran the docs scan
+    + tokenization (qprofile: four ~0.4 s single-task jobs for one
+    logical scan).  Filtering the words ARRAY before the explode is
+    row-wise identical to filtering the exploded terms."""
     queries = queries if queries is not None else BM25_QUERIES
     spark = docs.sparkSession
     qt = spark.createDataFrame(
@@ -1057,18 +1078,21 @@ def bm25_topk(docs: DataFrame, queries=None, k: int = 10) -> DataFrame:
     )
     vocab = sorted({t for _, terms in queries for t in terms})
 
-    dl = docs.select(
-        "doc_id", token_count(F.col("text")).cast("long").alias("dl")
-    )
-    corpus = dl.agg(
+    words = words_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        F.filter(words, lambda t: t.isin(vocab)).alias("qts"),
+    ).transform(pin)
+    dl = base.select("doc_id", "dl")
+    corpus = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (
             F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avgdl"),
     )
     postings = (
-        docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("term"))
-        .filter(F.col("term").isin(vocab))
+        base.select("doc_id", F.explode("qts").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )

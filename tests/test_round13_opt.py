@@ -162,3 +162,44 @@ class TestLocalPagerank:
         plan = pr._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "PythonRDD" not in plan
         assert "Scan ExistingRDD" not in plan
+
+
+class TestTfidfDfDerivation:
+    """tfidf_cosine_pairs (round-13 batch 3) derives document frequency
+    from the pinned tf frame instead of re-exploding the corpus
+    (terms.distinct()): tf holds exactly one row per (doc, term), so the
+    per-term row count IS the document frequency."""
+
+    def test_df_from_tf_equals_distinct_reexplode(self, docs):
+        from broker_spark.pipeline.dedup import word_shingles
+
+        terms = docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("term")
+        )
+        tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        via_tf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        via_distinct = terms.distinct().groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        assert _rows(via_tf) == _rows(via_distinct)
+
+
+class TestBm25SinglePass:
+    """bm25_topk (round-13 batch 3) filters the words ARRAY to the query
+    vocabulary before the explode; that must be row-identical to
+    filtering the exploded terms, and doc length must equal the
+    token_count of the unfiltered text."""
+
+    def test_array_filter_equals_exploded_filter(self, docs):
+        from broker_spark.pipeline.text import BM25_QUERIES, words_col
+
+        vocab = sorted({t for _, terms in BM25_QUERIES for t in terms})
+        words = words_col(F.col("text"))
+        via_array = docs.select(
+            "doc_id",
+            F.explode(F.filter(words, lambda t: t.isin(vocab))).alias("term"),
+        )
+        via_explode = docs.select(
+            "doc_id", F.explode(words).alias("term")
+        ).filter(F.col("term").isin(vocab))
+        assert _rows(via_array) == _rows(via_explode)
