@@ -295,9 +295,14 @@ def chisq_independence(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     contingency agg bounded by |A|x|B| cells; marginals derive from the
     cells (no second scan) and attach by broadcast.  Output one row:
     n, n_cells, dof, chi2."""
-    cells = df.groupBy(
-        F.col(col_a).alias("a"), F.col(col_b).alias("b")
-    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    cells = (
+        df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # eager pin (r13, guide §2.4): rt/ct/tot broadcast builds and the
+        # joined probe race as independent readers of this |A|x|B| frame
+        # and each re-ran the input scan + contingency agg un-pinned
+        .transform(pin)
+    )
     rt = cells.groupBy("a").agg(F.sum("o").cast("long").alias("rt"))
     ct = cells.groupBy("b").agg(F.sum("o").cast("long").alias("ct"))
     tot = cells.agg(
@@ -696,8 +701,12 @@ def theil_sen_daily_trend(events: DataFrame) -> DataFrame:
     per type — never on raw events.  Exact medians via percentile();
     both engines interpolate lower + frac*(upper-lower) over identical
     double lists, and outputs round to 6dp."""
-    daily = _daily_counts(events).withColumn(
-        "x", F.col("n_events").cast("double")
+    daily = (
+        _daily_counts(events)
+        .withColumn("x", F.col("n_events").cast("double"))
+        # eager pin (r13, guide §2.4): both self-join sides and the
+        # residual join each re-ran the events scan + daily agg un-pinned
+        .transform(pin)
     )
     a, bb = [daily.alias(s) for s in ("a", "b")]
     slopes = (

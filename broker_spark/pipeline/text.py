@@ -781,6 +781,11 @@ def substring_dup_pairs(
             .select("fp")
         )
         fps = fps.join(broadcast(hot), "fp", "left_anti")
+    # lazy persist, NOT an eager localCheckpoint: the r13 pin experiment
+    # measured the checkpoint WRITE of this corpus-sized fingerprint
+    # frame at 10x the entry's whole runtime — the in-memory persist
+    # dedups the self-join sides at task level without paying a
+    # materialization job
     fps = fps.persist()  # both self-join sides
     pairs = (
         fps.alias("a")
@@ -1614,8 +1619,13 @@ def unigram_kl_by_source(docs: DataFrame, quant: int = 10**12) -> DataFrame:
     tok = docs.select(
         "source", F.explode(words_col(F.col("text"))).alias("w")
     )
-    sw = tok.groupBy("source", "w").agg(
-        F.count(F.lit(1)).cast("long").alias("c_sw")
+    sw = (
+        tok.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+        # eager pin (r13, guide §2.4): cw/ns/tot and the probe join race
+        # as independent readers and each re-ran the corpus scan +
+        # explode + (source, word) agg un-pinned (scan audit: docs x4)
+        .transform(pin)
     )
     cw = sw.groupBy("w").agg(F.sum("c_sw").cast("long").alias("c_w"))
     ns = sw.groupBy("source").agg(F.sum("c_sw").cast("long").alias("n_s"))

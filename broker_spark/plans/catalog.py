@@ -3673,11 +3673,13 @@ def q_quality_percentile_filter(spark, sf_dir):
     policy (a fixed global threshold over/under-filters small
     languages).  One tiny per-lang quantile agg broadcast back against
     the scored scan; at 100 TB swap percentile -> approx_percentile for
-    logarithmic state."""
-    feats = text.quality_features(load(spark, sf_dir, "documents"))
-    scored = feats.join(
-        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
-    )
+    logarithmic state.  r13: lang rides the quality projection (carry=,
+    no 1:1 join-back) and the scored frame is pinned — the cutoff
+    broadcast and the kept-set probe race as independent readers and
+    each re-ran the scan + scoring un-pinned (scan audit: docs x4)."""
+    scored = text.quality_features(
+        load(spark, sf_dir, "documents"), carry=(F.col("lang"),)
+    ).transform(pin)
     cut = scored.groupBy("lang").agg(
         F.expr("percentile(quality_score, 0.1)").alias("p10")
     )
@@ -4061,7 +4063,16 @@ def q_training_manifest(spark, sf_dir):
     shuffles are the two doc-keyed aggs, the fingerprint window, and the
     final group-by — no materialization between stages."""
     docs = load(spark, sf_dir, "documents")
-    kept_ids = text.gopher_filter_flags(docs).filter(F.col("keep")).select("doc_id")
+    # eager pin (r13, guide §2.4): kept_ids is the join build next to the
+    # quality projection's map stage — un-pinned the broadcast future
+    # re-ran the whole repetition_stats lineage (two tokenizing aggs)
+    # as a racing job (scan audit: docs x3 in one plan)
+    kept_ids = (
+        text.gopher_filter_flags(docs)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .transform(pin)
+    )
     kept = docs.join(kept_ids, "doc_id")
     canon = F.array_join(
         F.array_sort(F.array_distinct(F.split(F.col("text"), " "))), " "
