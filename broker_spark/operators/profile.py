@@ -275,17 +275,32 @@ def layout_pruning_benefit(
     range partition, plus broadcast cumulative partition offsets — the
     standard two-pass exact ranking.  The result is the same global
     rank whatever boundaries the range sampler picks.
+
+    The per-layout scalars are hoisted OUT of the branches (guide §1.2 /
+    §2.4): rank is a permutation of 1..n, so every layout's file ids are
+    exactly 0..(n-1) DIV rows_per_file — n_files = (n-1) DIV rows_per_file
+    + 1 needs ONE count of the input, not a per-layout aggregate over the
+    manifest; n_probes is likewise one count of the shared probe frame.
+    That leaves `files` with a SINGLE reader (the pruning crossJoin), so
+    the per-branch eager checkpoint — a separate job per layout whose
+    only purpose was to serve n_files and the crossJoin without
+    re-ranking — is gone, and each branch runs as one uninterrupted
+    query (r13 qprofile: the entry's job count was dominated by these
+    scalar-future jobs).
     """
     probes = (
         events.select((F.col("user_id") % probe_mod == 0).alias("p"), "user_id")
         .filter("p")
         .select("user_id")
         .distinct()
-        # EAGER pin: read four times (per branch: the pruning crossJoin's
-        # broadcast and the n_probes broadcast future) — each an
-        # independent broadcast job that would re-scan events.
+        # EAGER pin: read twice (each branch's pruning crossJoin arrives
+        # as an independent broadcast-build job that would re-scan
+        # events) plus the one driver-side n_probes count below.
         .transform(pin)
     )
+    n_rows = events.count()
+    n_files_lit = (n_rows - 1) // int(rows_per_file) + 1 if n_rows else 0
+    n_probes_lit = probes.count()
 
     def _ranked(order):
         part = (
@@ -328,36 +343,25 @@ def layout_pruning_benefit(
                 F.min("user_id").alias("u_min"),
                 F.max("user_id").alias("u_max"),
             )
-            # EAGER pin: `files` feeds n_files (main) and the `scanned`
-            # aggregate (a BroadcastExchange future) — independent query
-            # stages that, unpinned, each re-ran the full two-pass rank
-            # (qprofile r13: the rank machinery executed twice per
-            # branch).  One materialization serves both.
-            .transform(pin)
+            # single reader (the pruning crossJoin below) — no pin: the
+            # two-pass rank executes exactly once inside that reader's
+            # own query (n_files/n_probes are driver-side literals now)
         )
-        n_files = files.groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_files")
-        )
-        scanned = (
+        row = (
             files.crossJoin(broadcast(probes))
             .filter(
                 (F.col("user_id") >= F.col("u_min"))
                 & (F.col("user_id") <= F.col("u_max"))
             )
             .agg(F.count(F.lit(1)).cast("long").alias("files_scanned"))
-        )
-        n_probes = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
-        row = (
-            n_files.crossJoin(broadcast(scanned))
-            .crossJoin(broadcast(n_probes))
             .select(
                 F.lit(layout).alias("layout"),
-                "n_files",
-                "n_probes",
+                F.lit(n_files_lit).cast("long").alias("n_files"),
+                F.lit(n_probes_lit).cast("long").alias("n_probes"),
                 "files_scanned",
                 F.round(
                     F.col("files_scanned").cast("double")
-                    / (F.col("n_files") * F.col("n_probes")).cast("double"),
+                    / F.lit(n_files_lit * n_probes_lit).cast("double"),
                     6,
                 ).alias("scan_fraction"),
             )
@@ -409,7 +413,18 @@ def layout_pruning_multidim(
     prunes ONE dimension perfectly and the other not at all; z-order
     pays a little on each to serve both.  Same distributed two-pass
     rank as `layout_pruning_benefit`; the Morton key is the pure-column
-    `storage.layout.zorder_key` (bit-identical SQL mirror)."""
+    `storage.layout.zorder_key` (bit-identical SQL mirror).
+
+    Branch shape (guide §1.2/§2.4, r13): the three per-layout scalars
+    (n_files, np_u, np_t) come from ONE aggregation over the pinned base
+    — rank is a permutation of 1..n, so n_files = (n-1) DIV rows_per_file
+    + 1 for every layout — and the two probe workloads are fused into a
+    single crossJoin against a kind-tagged probe frame under a unified
+    half-open interval test (for integers, u_min <= p <= u_max is
+    exactly fmin < p+1 AND fmax >= p, the same shape as the day-range
+    overlap).  `files` then has a single reader, so the per-layout eager
+    checkpoint and the six per-layout scalar broadcast futures are gone:
+    each layout branch is one uninterrupted query."""
     from broker_spark.storage.layout import zorder_key
 
     t_ms = F.unix_millis("ts")
@@ -439,14 +454,51 @@ def layout_pruning_multidim(
         # materialization, every reader hits the checkpoint.
         .transform(pin)
     )
+    day_ms = 86_400_000
+    # ONE scalar pass over the pinned base replaces the per-layout
+    # n_files aggregate and the per-layout np_u/np_t broadcast futures:
+    # np_u/np_t are the probe-frame cardinalities (count of distinct
+    # non-null values == count of the distinct probe rows), n_files is
+    # the permutation identity above.
+    _n, np_u, np_t = (
+        base.agg(
+            F.count(F.lit(1)),
+            F.count_distinct(
+                F.when(F.col("user_id") % 10 == 0, F.col("user_id"))
+            ),
+            F.count_distinct(
+                F.floor(F.col("t_ms") / F.lit(day_ms)).cast("long")
+            ),
+        )
+        .collect()[0]
+    )
+    n_files_lit = (_n - 1) // int(rows_per_file) + 1 if _n else 0
+    # kind-tagged probe frame: each probe is the half-open interval
+    # [plo, phi) its workload scans — a user equality probe is
+    # [user_id, user_id + 1), a day probe is [day*ms, (day+1)*ms) — and
+    # each file row is tested against the axis its kind names.
     probes_u = (
         base.select("user_id")
         .filter(F.col("user_id") % 10 == 0)
         .distinct()
+        .select(
+            F.lit("u").alias("kind"),
+            F.col("user_id").alias("plo"),
+            (F.col("user_id") + F.lit(1)).alias("phi"),
+        )
     )
-    probes_t = base.select(
-        F.floor(F.col("t_ms") / F.lit(86_400_000)).cast("long").alias("pday")
-    ).distinct()
+    probes_t = (
+        base.select(
+            F.floor(F.col("t_ms") / F.lit(day_ms)).cast("long").alias("pday")
+        )
+        .distinct()
+        .select(
+            F.lit("t").alias("kind"),
+            (F.col("pday") * F.lit(day_ms)).alias("plo"),
+            ((F.col("pday") + F.lit(1)) * F.lit(day_ms)).alias("phi"),
+        )
+    )
+    probes = probes_u.unionByName(probes_t)
 
     def _ranked(order):
         part = base.repartitionByRange(32, *order).withColumn(
@@ -484,49 +536,38 @@ def layout_pruning_multidim(
                 F.min("t_ms").alias("t_min"),
                 F.max("t_ms").alias("t_max"),
             )
-            # EAGER: n_files (main stage) and the su/st scan-fraction
-            # aggregates (delivered as broadcast futures) are independent
-            # readers — lazily pinned they race and re-run the whole
-            # two-pass rank per reader (qprofile r13).
-            .transform(pin)
+            # single reader (the fused pruning crossJoin below) — no
+            # pin: the two-pass rank executes exactly once inside that
+            # reader's own query
         )
-        n_files = files.groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_files")
+        fmin = F.when(F.col("kind") == "u", F.col("u_min")).otherwise(
+            F.col("t_min")
         )
-        su = (
-            files.crossJoin(broadcast(probes_u))
-            .filter(
-                (F.col("user_id") >= F.col("u_min"))
-                & (F.col("user_id") <= F.col("u_max"))
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("s_user"))
+        fmax = F.when(F.col("kind") == "u", F.col("u_max")).otherwise(
+            F.col("t_max")
         )
-        st = (
-            files.crossJoin(broadcast(probes_t))
-            .filter(
-                (F.col("t_min") < (F.col("pday") + 1) * F.lit(86_400_000))
-                & (F.col("t_max") >= F.col("pday") * F.lit(86_400_000))
-            )
-            .agg(F.count(F.lit(1)).cast("long").alias("s_time"))
-        )
-        npu = probes_u.agg(F.count(F.lit(1)).cast("long").alias("np_u"))
-        npt = probes_t.agg(F.count(F.lit(1)).cast("long").alias("np_t"))
         row = (
-            n_files.crossJoin(broadcast(su))
-            .crossJoin(broadcast(st))
-            .crossJoin(broadcast(npu))
-            .crossJoin(broadcast(npt))
+            files.crossJoin(broadcast(probes))
+            .filter((fmin < F.col("phi")) & (fmax >= F.col("plo")))
+            .agg(
+                F.count(F.when(F.col("kind") == "u", 1))
+                .cast("long")
+                .alias("s_user"),
+                F.count(F.when(F.col("kind") == "t", 1))
+                .cast("long")
+                .alias("s_time"),
+            )
             .select(
                 F.lit(layout).alias("layout"),
-                "n_files",
+                F.lit(n_files_lit).cast("long").alias("n_files"),
                 F.round(
                     F.col("s_user").cast("double")
-                    / (F.col("n_files") * F.col("np_u")).cast("double"),
+                    / F.lit(n_files_lit * np_u).cast("double"),
                     6,
                 ).alias("user_scan_fraction"),
                 F.round(
                     F.col("s_time").cast("double")
-                    / (F.col("n_files") * F.col("np_t")).cast("double"),
+                    / F.lit(n_files_lit * np_t).cast("double"),
                     6,
                 ).alias("time_scan_fraction"),
             )

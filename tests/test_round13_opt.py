@@ -203,3 +203,141 @@ class TestBm25SinglePass:
             "doc_id", F.explode(words).alias("term")
         ).filter(F.col("term").isin(vocab))
         assert _rows(via_array) == _rows(via_explode)
+
+
+def _round6(x: float) -> float:
+    """Spark F.round semantics on DOUBLE: BigDecimal.valueOf(d) (i.e. the
+    shortest-decimal string) setScale(6, HALF_UP)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+class TestLayoutPruningFusion:
+    """layout_pruning_benefit / _multidim (round-13 batch 5) derive
+    n_files/np_u/np_t as driver-side literals (rank is a permutation of
+    1..n, so file ids are exactly 0..(n-1) DIV rows_per_file) and fuse
+    the probe workloads into one kind-tagged crossJoin.  Pin the whole
+    output against an independent pure-Python simulation of the file
+    manifests, probes, and scan fractions."""
+
+    RPF = 50
+    DAY = 86_400_000
+
+    def _events(self, spark):
+        n = 600
+        return spark.range(n).select(
+            F.col("id").alias("event_id"),
+            ((F.col("id") * 7) % 50).alias("user_id"),
+            F.timestamp_millis(
+                F.lit(1_600_000_000_000) + F.col("id") * 17_000_000
+            ).alias("ts"),
+        )
+
+    def _rows_py(self):
+        return [
+            (i, (i * 7) % 50, 1_600_000_000_000 + i * 17_000_000)
+            for i in range(600)
+        ]
+
+    @staticmethod
+    def _files(rows, keyfn, rpf, stats):
+        ordered = sorted(rows, key=keyfn)
+        out = []
+        for f0 in range(0, len(ordered), rpf):
+            chunk = ordered[f0 : f0 + rpf]
+            out.append(tuple(fn(chunk) for fn in stats))
+        return out
+
+    def test_benefit_matches_simulation(self, spark):
+        from broker_spark.operators.profile import layout_pruning_benefit
+
+        got = {
+            r["layout"]: r
+            for r in layout_pruning_benefit(
+                self._events(spark), rows_per_file=self.RPF
+            ).collect()
+        }
+        rows = self._rows_py()
+        probes = sorted({u for _, u, _ in rows if u % 10 == 0})
+        n_files = (len(rows) - 1) // self.RPF + 1
+        for layout, keyfn in (
+            ("arrival", lambda r: r[0]),
+            ("clustered", lambda r: (r[1], r[2], r[0])),
+        ):
+            files = self._files(
+                rows,
+                keyfn,
+                self.RPF,
+                (
+                    lambda c: min(u for _, u, _ in c),
+                    lambda c: max(u for _, u, _ in c),
+                ),
+            )
+            scanned = sum(
+                1 for lo, hi in files for p in probes if lo <= p <= hi
+            )
+            r = got[layout]
+            assert r["n_files"] == n_files
+            assert r["n_probes"] == len(probes)
+            assert r["files_scanned"] == scanned
+            assert r["scan_fraction"] == _round6(
+                scanned / float(n_files * len(probes))
+            )
+
+    def test_multidim_matches_simulation(self, spark):
+        from broker_spark.operators.profile import layout_pruning_multidim
+
+        got = {
+            r["layout"]: r
+            for r in layout_pruning_multidim(
+                self._events(spark), rows_per_file=self.RPF
+            ).collect()
+        }
+
+        def zkey(ux, tx):
+            z = 0
+            for i in range(8):
+                z |= ((ux >> i) & 1) << (2 * i)
+                z |= ((tx >> i) & 1) << (2 * i + 1)
+            return z
+
+        rows = [
+            (e, u, t, zkey(u % 256, (t % 2_678_400_000) // 14_400_000))
+            for e, u, t in self._rows_py()
+        ]
+        probes_u = sorted({u for _, u, _, _ in rows if u % 10 == 0})
+        probes_t = sorted({t // self.DAY for _, _, t, _ in rows})
+        n_files = (len(rows) - 1) // self.RPF + 1
+        stats = (
+            lambda c: min(u for _, u, _, _ in c),
+            lambda c: max(u for _, u, _, _ in c),
+            lambda c: min(t for _, _, t, _ in c),
+            lambda c: max(t for _, _, t, _ in c),
+        )
+        for layout, keyfn in (
+            ("by_user", lambda r: (r[1], r[2], r[0])),
+            ("by_time", lambda r: (r[2], r[0])),
+            ("zorder", lambda r: (r[3], r[0])),
+        ):
+            files = self._files(rows, keyfn, self.RPF, stats)
+            s_user = sum(
+                1
+                for ulo, uhi, _, _ in files
+                for p in probes_u
+                if ulo <= p <= uhi
+            )
+            s_time = sum(
+                1
+                for _, _, tlo, thi in files
+                for d in probes_t
+                if tlo < (d + 1) * self.DAY and thi >= d * self.DAY
+            )
+            r = got[layout]
+            assert r["n_files"] == n_files
+            assert r["user_scan_fraction"] == _round6(
+                s_user / float(n_files * len(probes_u))
+            )
+            assert r["time_scan_fraction"] == _round6(
+                s_time / float(n_files * len(probes_t))
+            )
