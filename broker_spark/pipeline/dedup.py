@@ -1225,6 +1225,13 @@ def triangle_stats(pairs: DataFrame) -> DataFrame:
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
     ).transform(pin)
+    # core-width co-partitioning on the wedge key: the oriented wedge
+    # self-join is compute-bound fan-out over a byte-tiny input, which
+    # AQE's size-based coalescing would otherwise run nearly serial
+    # (same fix as adamic_adar_scores; explicit counts are exempt)
+    directed = directed.repartition(
+        pairs.sparkSession.sparkContext.defaultParallelism, "src"
+    )
     wedges = (
         directed.alias("x")
         .join(directed.alias("y"), F.col("x.src") == F.col("y.src"))
@@ -2491,7 +2498,18 @@ def adamic_adar_scores(pairs: DataFrame, k: int = 50) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("degree")
     )
     quant = 1_000_000_000_000
-    nb = adj.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr"))
+    # Explicit core-width co-partitioning on the wedge key (guide §2.5):
+    # the wedge expansion is compute-bound (per-row fan-out), but its
+    # input is only a few MB, so AQE's byte-based coalescing was folding
+    # the post-shuffle read to 1-3 tasks and running the heaviest stage
+    # nearly serial (qprofile r13: 0.86 s on 3 tasks).  A user
+    # repartition with an explicit partition count is exempt from AQE
+    # coalescing, satisfies the join's distribution requirement (no
+    # extra exchange), and scales with the session's core count.
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    nb = adj.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).repartition(n_part, "nbr")
     wedges = (
         nb.alias("x")
         .join(nb.alias("y"), F.col("x.nbr") == F.col("y.nbr"))

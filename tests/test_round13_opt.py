@@ -341,3 +341,69 @@ class TestLayoutPruningFusion:
             assert r["time_scan_fraction"] == _round6(
                 s_time / float(n_files * len(probes_t))
             )
+
+
+class TestWedgeJoinCoPartitioning:
+    """adamic_adar_scores / graph_triangle_stats (round-13 batch 6) pin
+    their wedge self-joins at core width with an explicit repartition on
+    the wedge key: the expansion is compute-bound per-row fan-out over a
+    byte-tiny input, so AQE's size-based coalescing would otherwise run
+    the heaviest stage nearly serial.  Pin (a) the explicit exchange is
+    in the plan at defaultParallelism, and (b) values are unchanged by
+    the partitioning (independent pure-Python recompute)."""
+
+    def _pairs(self, spark):
+        rows = [(a, b) for a in range(20) for b in range(a + 1, 20)
+                if (a * b) % 3 == 0]
+        return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+    def test_explicit_core_width_exchange(self, spark):
+        from broker_spark.pipeline.dedup import adamic_adar_scores
+
+        plan = (
+            adamic_adar_scores(self._pairs(spark), k=10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = spark.sparkContext.defaultParallelism
+        assert f"hashpartitioning(nbr#" in plan
+        assert f", {n}), REPARTITION_BY_NUM" in plan
+
+    def test_values_unchanged_by_partitioning(self, spark):
+        import math
+
+        from broker_spark.pipeline.dedup import adamic_adar_scores
+
+        edges = {(a, b) for a, b in self._pairs(spark).collect()}
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        quant = 1_000_000_000_000
+        scored = {}
+        for a in adj:
+            for b in adj:
+                if a < b and (a, b) not in edges:
+                    common = adj[a] & adj[b]
+                    if common:
+                        aa = sum(
+                            math.floor(1.0 / math.log(len(adj[v])) * quant + 0.5)
+                            for v in common
+                        )
+                        scored[(a, b)] = (len(common), aa)
+        top = sorted(
+            scored.items(), key=lambda kv: (-kv[1][1], kv[0][0], kv[0][1])
+        )[:10]
+        expected = [
+            (i + 1, a, b, c, round(aa / quant, 6))
+            for i, ((a, b), (c, aa)) in enumerate(top)
+        ]
+        got = [
+            (r["rank"], r["doc_a"], r["doc_b"], r["common_neighbors"],
+             r["adamic_adar"])
+            for r in adamic_adar_scores(self._pairs(spark), k=10)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert got == expected
