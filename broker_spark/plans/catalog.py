@@ -6545,8 +6545,20 @@ def q_orders_market_basket(spark, sf_dir):
     parts enumerate every a < b pair exactly once (oracle unchanged).
     Top-20 is a TakeOrdered, not a global sort."""
     li = load(spark, sf_dir, "lineitem")
+    # Core-width co-partitioning on the basket key (guide §2.5, same
+    # class as the r13 wedge-join fix): the set build + in-row pair
+    # expansion is compute-bound per-row fan-out over byte-tiny
+    # (orderkey, partkey) rows, so AQE's size-based coalescing folded
+    # the post-shuffle stage to a handful of tasks (qprofile r13:
+    # 0.84 s on 7 tasks at sf0.1).  An explicit repartition with a
+    # fixed count is exempt from AQE coalescing and satisfies the
+    # groupBy's distribution requirement, so the aggregate plans as a
+    # single complete agg after this exchange — no extra shuffle, and
+    # the heavy stage runs at the session's core width.
+    n_part = spark.sparkContext.defaultParallelism
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        .repartition(n_part, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )

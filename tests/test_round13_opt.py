@@ -407,3 +407,61 @@ class TestWedgeJoinCoPartitioning:
             .collect()
         ]
         assert got == expected
+
+
+class TestMarketBasketCoPartitioning:
+    """orders_market_basket (round-13, after batch 6's pattern) pins its
+    basket build at core width with an explicit repartition on
+    l_orderkey: the collect_set + in-row pair expansion is compute-bound
+    fan-out over byte-tiny (orderkey, partkey) rows, so AQE's size-based
+    coalescing would otherwise fold the heavy stage to a handful of
+    tasks.  Pin (a) the explicit exchange at defaultParallelism is in
+    the executed plan, and (b) values equal the naive distinct self-join
+    recompute."""
+
+    def _li(self, spark):
+        rows = []
+        for o in range(40):
+            for p in range(o % 5 + 1):
+                rows.append((o, 100 + (o + p) % 7))
+                rows.append((o, 100 + (o + p) % 7))  # duplicate lines
+        return spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+
+    def _entry(self, spark, li, tmp_path, monkeypatch):
+        from broker_spark.plans import catalog
+
+        p = str(tmp_path / "mb")
+        li.write.mode("overwrite").parquet(f"{p}/lineitem.parquet")
+        monkeypatch.setattr(
+            catalog,
+            "load",
+            lambda spark_, sf, name: spark.read.parquet(f"{p}/{name}.parquet"),
+        )
+        return catalog.CATALOG["orders_market_basket"].fn(spark, p)
+
+    def test_explicit_core_width_exchange(self, spark, tmp_path, monkeypatch):
+        df = self._entry(spark, self._li(spark), tmp_path, monkeypatch)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = spark.sparkContext.defaultParallelism
+        assert "hashpartitioning(l_orderkey#" in plan
+        assert f", {n}), REPARTITION_BY_NUM" in plan
+
+    def test_values_match_self_join_recompute(self, spark, tmp_path, monkeypatch):
+        li = self._li(spark)
+        got = [
+            (r["part_a"], r["part_b"], r["n_orders"])
+            for r in self._entry(spark, li, tmp_path, monkeypatch).collect()
+        ]
+        op = {(o, p) for o, p in li.collect()}
+        from collections import Counter
+
+        c = Counter()
+        for o1, p1 in op:
+            for o2, p2 in op:
+                if o1 == o2 and p1 < p2:
+                    c[(p1, p2)] += 1
+        expected = sorted(
+            ((a, b, n) for (a, b), n in c.items() if n >= 2),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[:20]
+        assert got == expected
