@@ -2523,10 +2523,15 @@ def q_q17_small_quantity_revenue(spark, sf_dir):
     threshold the same decimal-sum way, so the `<` compare agrees)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (
-            F.lit(0.2) * (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1)))
-        ).alias("qty_threshold")
+    thresh = (
+        li.select("l_partkey", "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
+        .groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg(
+            (
+                F.lit(0.2) * (_dec_sum(F.col("l_quantity")) / F.count(F.lit(1)))
+            ).alias("qty_threshold")
+        )
     )
     return (
         li.join(broadcast(p), li.l_partkey == p.p_partkey)
@@ -2560,7 +2565,9 @@ def q_q18_large_volume_customers(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
+        li.select("l_orderkey", "l_quantity")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
         .agg(_dec_sum(F.col("l_quantity")).alias("q"))
         .filter(F.col("q") > 180)
         .select("l_orderkey")
@@ -2787,21 +2794,48 @@ def q_q21_sole_returner(spark, sf_dir):
     l1 = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o1_key"), F.col("l_suppkey").alias("s1_key")
     )
-    l2 = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    # r13 rewrite (guide §2.4): the EXISTS / NOT EXISTS pair over l2/l3
+    # is a per-order DISTINCT-SUPPLIER property, so ONE aggregation over
+    # lineitem replaces the semi-join AND the anti-join (3 lineitem
+    # passes + 2 orderkey shuffle joins -> 2 passes + 1 join).  For an
+    # l1 row (order o, supplier s1, returnflag R):
+    #   EXISTS l2 (supp <> s1)        <=> ns_all >= 2   (s1 is one of the
+    #                                      order's suppliers, so a second
+    #                                      distinct supplier is exactly a
+    #                                      different one)
+    #   NOT EXISTS l3 (R, supp <> s1) <=> ns_ret == 1   (s1 itself is an
+    #                                      R-supplier of o, so a single
+    #                                      distinct R-supplier is s1)
+    # The stats frame is 1 row per order, so the inner join preserves
+    # l1's row multiplicity exactly as the semi/anti pair did.  The
+    # explicit repartition pins the agg's reduce width at core count
+    # (AQE would coalesce the byte-tiny shuffle to a handful of tasks).
+    stats = (
+        li.select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("s_lo"),
+            F.max("l_suppkey").alias("s_hi"),
+            F.min(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("r_lo"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("r_hi"),
+        )
+        # >= 2 distinct suppliers <=> min != max; exactly 1 distinct
+        # R-supplier <=> the R-conditional min and max coincide non-null
+        # (cheap min/max aggregates, no count-distinct Expand)
+        .filter(
+            (F.col("s_lo") != F.col("s_hi"))
+            & F.col("r_lo").isNotNull()
+            & (F.col("r_lo") == F.col("r_hi"))
+        )
+        .select(F.col("l_orderkey").alias("o1_key"))
     )
     return (
-        l1.join(
-            l2,
-            (F.col("o1_key") == F.col("o2_key")) & (F.col("s1_key") != F.col("s2_key")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("o1_key") == F.col("o3_key")) & (F.col("s1_key") != F.col("s3_key")),
-            "left_anti",
-        )
+        l1.join(stats, "o1_key", "left_semi")
         .join(o, F.col("o1_key") == o.o_orderkey, "left_semi")
         .join(broadcast(s), F.col("s1_key") == s.s_suppkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi")

@@ -465,3 +465,80 @@ class TestMarketBasketCoPartitioning:
             key=lambda t: (-t[2], t[0], t[1]),
         )[:20]
         assert got == expected
+
+
+class TestQ21SingleAggRewrite:
+    """q21_sole_returner (round-13): the correlated EXISTS / NOT EXISTS
+    pair is rewritten as ONE per-order min/max aggregate (>= 2 distinct
+    suppliers <=> min != max; exactly one distinct R-supplier <=> the
+    R-conditional min and max coincide non-null) semi-joined back to the
+    R-lines — 3 lineitem passes -> 2, two orderkey self-joins -> one
+    aggregate join.  Pin the rewrite against a brute-force recompute of
+    the original semi/anti semantics on a fixture that exercises every
+    branch: sole-R multi-supplier (qualifies, with row multiplicity),
+    single-supplier (EXISTS fails), two R-suppliers (NOT EXISTS fails),
+    non-final order status, and a filtered-out nation."""
+
+    def test_matches_bruteforce_semantics(self, spark, tmp_path, monkeypatch):
+        from broker_spark.plans import catalog
+
+        li_rows = [
+            # (orderkey, suppkey, returnflag)
+            (1, 1, "R"), (1, 2, "N"),              # qualifies: supp 1
+            (2, 1, "R"),                            # single supplier: no
+            (3, 1, "R"), (3, 2, "R"),              # two R-suppliers: no
+            (4, 2, "R"), (4, 2, "R"), (4, 3, "N"),  # supp 2, TWO l1 rows
+            (5, 1, "R"), (5, 2, "N"),              # order not 'F': no
+            (6, 4, "R"), (6, 1, "N"),              # supp 4 nation out
+        ]
+        o_rows = [(k, "F" if k != 5 else "O") for k in range(1, 7)]
+        s_rows = [(i, f"Supplier#{i}", i % 10) for i in range(1, 5)]
+        # nation 9 is outside NATION_0..4; supplier 4 -> nationkey 4? keep
+        # supplier 4 in a filtered-out nation explicitly
+        s_rows = [(1, "Supplier#1", 0), (2, "Supplier#2", 1),
+                  (3, "Supplier#3", 2), (4, "Supplier#4", 9)]
+        n_rows = [(i, f"NATION_{i}") for i in range(5)] + [(9, "NATION_9")]
+
+        p = str(tmp_path / "q21")
+        spark.createDataFrame(
+            li_rows, "l_orderkey long, l_suppkey long, l_returnflag string"
+        ).write.parquet(f"{p}/lineitem.parquet")
+        spark.createDataFrame(
+            o_rows, "o_orderkey long, o_orderstatus string"
+        ).write.parquet(f"{p}/orders.parquet")
+        spark.createDataFrame(
+            s_rows, "s_suppkey long, s_name string, s_nationkey long"
+        ).write.parquet(f"{p}/supplier.parquet")
+        spark.createDataFrame(
+            n_rows, "n_nationkey long, n_name string"
+        ).write.parquet(f"{p}/nation.parquet")
+        monkeypatch.setattr(
+            catalog,
+            "load",
+            lambda spark_, sf, name: spark.read.parquet(f"{p}/{name}.parquet"),
+        )
+        got = sorted(
+            (r["s_name"], r["numwait"])
+            for r in catalog.CATALOG["q21_sole_returner"].fn(spark, p).collect()
+        )
+
+        # brute-force original semantics
+        final_orders = {k for k, st in o_rows if st == "F"}
+        nations_in = {i for i in range(5)}
+        supp = {k: (nm, nk) for k, nm, nk in s_rows}
+        from collections import Counter
+
+        c = Counter()
+        for o, s1, rf in li_rows:
+            if rf != "R" or o not in final_orders:
+                continue
+            nm, nk = supp[s1]
+            if nk not in nations_in:
+                continue
+            exists = any(ok == o and sk != s1 for ok, sk, _ in li_rows)
+            not_exists = not any(
+                ok == o and sk != s1 and rf2 == "R" for ok, sk, rf2 in li_rows
+            )
+            if exists and not_exists:
+                c[nm] += 1
+        assert got == sorted(c.items())
