@@ -87,7 +87,16 @@ def brute_force_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
     )
-    c = embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    # Core-width corpus side (guide §2.5, r13): a single-row-group
+    # parquet corpus arrives as ONE scan split, so the broadcast
+    # crossJoin's cosine arithmetic — the entry's entire compute — ran
+    # serial.  A hash repartition on the candidate id is exempt from
+    # AQE coalescing and moves only ~id+vector bytes.
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    ).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("cand_id"))
@@ -1288,10 +1297,14 @@ def hard_negative_topk(
             F.col(label_col).alias("query_label"),
         )
     )
+    # core-width corpus side — same single-scan-split rationale as
+    # brute_force_topk (guide §2.5, r13)
     c = embeddings.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("cand_vec"),
         F.col(label_col).alias("cand_label"),
+    ).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
     )
     scored = (
         q.crossJoin(c)
@@ -1750,6 +1763,8 @@ def matryoshka_recall(
     )
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+    ).repartition(
+        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
     )
     # every tier's score in one corpus pass: per candidate row, an array
     # of (dim, cosine-over-prefix) structs — the cosine expression per
