@@ -26,10 +26,18 @@ from tools.selfcheck import norm
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
-    if args and args[0] == "--sf":
-        sf_dir = args[1]
-        args = args[2:]
+    # accept --sf anywhere (an --sf AFTER the names used to be treated
+    # as two entry names: the real entries silently checked at the
+    # DEFAULT sf and the flag itself errored as an unknown entry)
+    if "--sf" in args:
+        i = args.index("--sf")
+        sf_dir = args[i + 1]
+        del args[i : i + 2]
     names = args
+    unknown = [n for n in names if n not in CATALOG]
+    if unknown:
+        print(f"unknown entries: {unknown}")
+        sys.exit(2)
     spark = get_spark(app_name="check_entries")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
