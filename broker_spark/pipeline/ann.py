@@ -51,6 +51,23 @@ def lit_matrix(rows: list[list[float]]) -> Column:
     )
 
 
+def _core_width(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition a broadcast-crossJoin's corpus side to core width
+    ONLY when its scan yields fewer splits (guide §2.5): a single-row-group
+    parquet corpus arrives as ONE split, so the cosine arithmetic — the
+    entry's entire compute — would run serial.  When the scan already
+    feeds >= core-width units of data (the 100 TB case, estimated from
+    input file bytes — tables.est_scan_splits) the repartition would be a
+    pure extra shuffle of id+vector bytes, so it is skipped (ADVICE r13;
+    same width guard as dedup._spread)."""
+    from broker_spark.tables import est_scan_splits
+
+    sc = df.sparkSession.sparkContext
+    if est_scan_splits(df) >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, key)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-to-right fold of the elementwise product, in double."""
     return F.aggregate(
@@ -90,12 +107,12 @@ def brute_force_topk(
     # Core-width corpus side (guide §2.5, r13): a single-row-group
     # parquet corpus arrives as ONE scan split, so the broadcast
     # crossJoin's cosine arithmetic — the entry's entire compute — ran
-    # serial.  A hash repartition on the candidate id is exempt from
-    # AQE coalescing and moves only ~id+vector bytes.
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
-    ).repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
+    # serial.  _core_width skips the shuffle once the scan is wide.
+    c = _core_width(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+        ),
+        "cand_id",
     )
     scored = (
         q.crossJoin(c)
@@ -1298,13 +1315,14 @@ def hard_negative_topk(
         )
     )
     # core-width corpus side — same single-scan-split rationale as
-    # brute_force_topk (guide §2.5, r13)
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cand_vec"),
-        F.col(label_col).alias("cand_label"),
-    ).repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
+    # brute_force_topk (guide §2.5, r13); skipped once the scan is wide
+    c = _core_width(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).alias("cand_vec"),
+            F.col(label_col).alias("cand_label"),
+        ),
+        "cand_id",
     )
     scored = (
         q.crossJoin(c)
@@ -1761,10 +1779,11 @@ def matryoshka_recall(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
     )
-    c = embeddings.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
-    ).repartition(
-        embeddings.sparkSession.sparkContext.defaultParallelism, "cand_id"
+    c = _core_width(
+        embeddings.select(
+            F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec")
+        ),
+        "cand_id",
     )
     # every tier's score in one corpus pass: per candidate row, an array
     # of (dim, cosine-over-prefix) structs — the cosine expression per

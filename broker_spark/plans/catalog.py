@@ -310,6 +310,23 @@ def _dec_sum(col, scale=2):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _reduce_width(df, spark, *keys):
+    """Pin a grouping exchange at core width ONLY while the input scan is
+    narrower than the session's cores (guide §2.5, r13): every testdata
+    table is a single-row-group parquet file, so high-cardinality
+    aggregates reduce nearly serial after AQE folds the byte-tiny shuffle.
+    When the scan already feeds >= core-width units of data (the 100 TB
+    case, estimated from input file bytes — tables.est_scan_splits), skip
+    the repartition so map-side partial aggregation keeps shuffling one
+    row per key per mapper instead of raw fact rows (ADVICE r13)."""
+    from broker_spark.tables import est_scan_splits
+
+    sc = spark.sparkContext
+    if est_scan_splits(df) >= sc.defaultParallelism:
+        return df
+    return df.repartition(sc.defaultParallelism, *keys)
+
+
 @register(
     "q1_pricing_summary",
     """
@@ -2524,8 +2541,7 @@ def q_q17_small_quantity_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
     thresh = (
-        li.select("l_partkey", "l_quantity")
-        .repartition(spark.sparkContext.defaultParallelism, "l_partkey")
+        _reduce_width(li.select("l_partkey", "l_quantity"), spark, "l_partkey")
         .groupBy(F.col("l_partkey").alias("t_partkey"))
         .agg(
             (
@@ -2565,8 +2581,7 @@ def q_q18_large_volume_customers(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     big = (
-        li.select("l_orderkey", "l_quantity")
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        _reduce_width(li.select("l_orderkey", "l_quantity"), spark, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(_dec_sum(F.col("l_quantity")).alias("q"))
         .filter(F.col("q") > 180)
@@ -2807,12 +2822,16 @@ def q_q21_sole_returner(spark, sf_dir):
     #                                      R-supplier of o, so a single
     #                                      distinct R-supplier is s1)
     # The stats frame is 1 row per order, so the inner join preserves
-    # l1's row multiplicity exactly as the semi/anti pair did.  The
-    # explicit repartition pins the agg's reduce width at core count
-    # (AQE would coalesce the byte-tiny shuffle to a handful of tasks).
+    # l1's row multiplicity exactly as the semi/anti pair did.
+    # _reduce_width pins the agg's reduce width at core count while the
+    # scan is narrow (AQE would coalesce the byte-tiny shuffle to a
+    # handful of tasks); at scale the partial-agg path is kept.
     stats = (
-        li.select("l_orderkey", "l_suppkey", "l_returnflag")
-        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        _reduce_width(
+            li.select("l_orderkey", "l_suppkey", "l_returnflag"),
+            spark,
+            "l_orderkey",
+        )
         .groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("s_lo"),
@@ -6588,11 +6607,10 @@ def q_orders_market_basket(spark, sf_dir):
     # fixed count is exempt from AQE coalescing and satisfies the
     # groupBy's distribution requirement, so the aggregate plans as a
     # single complete agg after this exchange — no extra shuffle, and
-    # the heavy stage runs at the session's core width.
-    n_part = spark.sparkContext.defaultParallelism
+    # the heavy stage runs at the session's core width.  _reduce_width
+    # skips the repartition once the scan itself is core-wide.
     baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .repartition(n_part, "l_orderkey")
+        _reduce_width(li.select("l_orderkey", "l_partkey"), spark, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )

@@ -83,6 +83,66 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_bytes(s: str) -> int:
+    """Parse a Spark byte-size conf value ("128m", "4mb", "134217728")."""
+    t = s.strip().lower()
+    for suf, mult in (
+        ("kb", 1024),
+        ("mb", 1024**2),
+        ("gb", 1024**3),
+        ("tb", 1024**4),
+        ("k", 1024),
+        ("m", 1024**2),
+        ("g", 1024**3),
+        ("t", 1024**4),
+        ("b", 1),
+    ):
+        if t.endswith(suf):
+            return int(float(t[: -len(suf)]) * mult)
+    return int(t)
+
+
+def est_scan_splits(df: DataFrame) -> int:
+    """Estimate the PRODUCTIVE scan parallelism of `df`'s file sources:
+    input bytes / maxPartitionBytes (+ per-file open cost) — i.e. how many
+    ~128 MB units of real data the scan feeds, the number that decides
+    whether a downstream compute stage needs an explicit core-width
+    repartition (guide §2.5) or is already wide.
+
+    Deliberately NOT `df.rdd.getNumPartitions()`: that call builds a
+    pickled-row RDD plan (~0.1-0.5 s of driver latency per call, measured
+    r14), and Spark's bytesPerCore split rule slices even a single
+    row-group file into core-count EMPTY splits — only the split holding
+    the row group does work, so the partition count over-reports usable
+    parallelism exactly when the guard matters.  File listing is cached on
+    the session's file index, so this is a few ms of os.stat.
+
+    Returns 1 (the conservative "narrow" answer) for non-file-backed
+    frames (in-memory test relations) — matching the r13 behavior of an
+    unconditional core-width repartition."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1
+    if not files:
+        return 1
+    conf = df.sparkSession.conf
+    max_split = _size_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _size_bytes(conf.get("spark.sql.files.openCostInBytes", "4194304"))
+    total = 0
+    for f in files:
+        p = f
+        if p.startswith("file://"):
+            p = p[7:]
+        elif p.startswith("file:"):
+            p = p[5:]
+        try:
+            total += os.path.getsize(p) + open_cost
+        except OSError:
+            total += open_cost
+    return max(1, -(-total // max_split))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -492,9 +492,8 @@ class TestQ21SingleAggRewrite:
             (6, 4, "R"), (6, 1, "N"),              # supp 4 nation out
         ]
         o_rows = [(k, "F" if k != 5 else "O") for k in range(1, 7)]
-        s_rows = [(i, f"Supplier#{i}", i % 10) for i in range(1, 5)]
-        # nation 9 is outside NATION_0..4; supplier 4 -> nationkey 4? keep
-        # supplier 4 in a filtered-out nation explicitly
+        # nation 9 is outside NATION_0..4: supplier 4 sits in a
+        # filtered-out nation explicitly
         s_rows = [(1, "Supplier#1", 0), (2, "Supplier#2", 1),
                   (3, "Supplier#3", 2), (4, "Supplier#4", 9)]
         n_rows = [(i, f"NATION_{i}") for i in range(5)] + [(9, "NATION_9")]

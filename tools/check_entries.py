@@ -31,6 +31,9 @@ def main() -> None:
     # DEFAULT sf and the flag itself errored as an unknown entry)
     if "--sf" in args:
         i = args.index("--sf")
+        if i + 1 >= len(args):
+            print("usage: check_entries.py [--sf SF_DIR] name [name ...]")
+            sys.exit(2)
         sf_dir = args[i + 1]
         del args[i : i + 2]
     names = args
