@@ -68,8 +68,37 @@ def _core_width(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, key)
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Left-to-right fold of the elementwise product, in double."""
+def _as_double_sql(arr: str) -> str:
+    return f"transform({arr}, v -> CAST(v AS DOUBLE))"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL fragment form of `dot` — IDENTICAL analyzed expression, built
+    in ONE Py4J round-trip via F.expr instead of ~10 higher-order-function
+    constructions at ~60 ms of gateway latency per cosine (measured r14;
+    the lit_vector recipe, applied to the expression tree itself).  The
+    0.0D literal is the DOUBLE zero `F.lit(0.0)` builds (a bare 0.0
+    would parse as DECIMAL and change the fold arithmetic)."""
+    return (
+        f"aggregate(zip_with({_as_double_sql(a)}, {_as_double_sql(b)}, "
+        f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({_as_double_sql(a)}, 0.0D, (acc, x) -> acc + x * x))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-to-right fold of the elementwise product, in double.  String
+    args are SQL fragments routed through `dot_sql` (one Py4J call,
+    value-identical — pinned by tests/test_round14_opt.py)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -77,11 +106,15 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(norm_sql(a))
     return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b))
     return dot(a, b) / (norm(a) * norm(b))
 
 
@@ -120,7 +153,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_raw"),
+            cosine("query_vec", "cand_vec").alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
@@ -1331,7 +1364,7 @@ def hard_negative_topk(
             "query_id",
             "cand_id",
             "cand_label",
-            cosine(F.col("query_vec"), F.col("cand_vec")).alias("cos_raw"),
+            cosine("query_vec", "cand_vec").alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
@@ -1398,31 +1431,36 @@ def rp_lsh_topk(
     accumulator: ~8x fewer higher-order-function nodes than a
     dot-per-plane expression, which cut Catalyst planning + codegen from
     4.3 s to 2.4 s warm at sf0.1 (and is the same executor work)."""
-    def bucket(vec: Column, table: int) -> Column:
-        mat = lit_matrix(planes[table])
+    def bucket(vec: str, table: int) -> Column:
+        # ONE F.expr parse instead of ~600 Py4J round-trips of nested
+        # higher-order-function construction (measured r14: the four
+        # bucket trees were 0.6-1.0 s of pure gateway latency per bench
+        # run).  The SQL is the exact analyzed tree the Python builders
+        # produced: same literal matrix (from_json constant-folds), same
+        # fold order, same sign rule; 0.0D is the DOUBLE literal
+        # F.lit(0.0) built.  Value identity pinned by
+        # tests/test_round14_opt.py.
+        import json as _json
+
+        mat_json = _json.dumps([[float(v) for v in r] for r in planes[table]])
         nplanes, dim = len(planes[table]), len(planes[table][0])
-        dots = F.aggregate(
-            F.sequence(F.lit(1), F.lit(dim)),
-            F.array_repeat(F.lit(0.0), nplanes),
-            lambda acc, i: F.zip_with(
-                acc,
-                F.transform(
-                    mat,
-                    lambda prow: F.element_at(prow, i)
-                    * F.element_at(vec, i).cast("double"),
-                ),
-                lambda a, b: a + b,
-            ),
+        dots = (
+            f"aggregate(sequence(1, {dim}), array_repeat(0.0D, {nplanes}), "
+            f"(acc, i) -> zip_with(acc, "
+            f"transform(from_json('{mat_json}', 'array<array<double>>'), "
+            f"prow -> element_at(prow, i) * CAST(element_at({vec}, i) AS DOUBLE)), "
+            f"(a, b) -> a + b))"
         )
-        return F.array_join(
-            F.transform(dots, lambda d: F.when(d >= 0, "1").otherwise("0")), ""
+        return F.expr(
+            f"array_join(transform({dots}, "
+            f"d -> CASE WHEN d >= 0 THEN '1' ELSE '0' END), '')"
         )
 
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.posexplode(
-                F.array(*[bucket(F.col(vec_col), t) for t in range(len(planes))])
+                F.array(*[bucket(vec_col, t) for t in range(len(planes))])
             ).alias("t", "bucket"),
         )
 
@@ -1442,7 +1480,7 @@ def rp_lsh_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos_raw"),
+            cosine("qv", "cv").alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("cand_id").asc())
@@ -1594,7 +1632,7 @@ def recall_vs_nprobe(
             "query_id",
             "cand_id",
             "probe_rank",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            cosine("qv", "cv").alias("cos"),
         )
         # materialize ONCE: each nprobe tier filters + windows this frame,
         # and without the checkpoint Spark re-executes the probe UDF +
@@ -1622,7 +1660,7 @@ def recall_vs_nprobe(
         broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
         .crossJoin(embeddings.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv")))
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select("query_id", "cand_id", cosine("qv", "cv").alias("cos"))
     )
     wex = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("cand_id").asc()
@@ -1795,8 +1833,8 @@ def matryoshka_recall(
                 F.struct(
                     F.lit(d).cast("int").alias("dim"),
                     cosine(
-                        F.slice(F.col("query_vec"), 1, d),
-                        F.slice(F.col("cand_vec"), 1, d),
+                        f"slice(query_vec, 1, {d})",
+                        f"slice(cand_vec, 1, {d})",
                     ).alias("cos_raw"),
                 )
                 for d in dims

@@ -34,9 +34,30 @@ DEFAULT_SHINGLE = 3
 DEFAULT_MAX_BUCKET_SIZE = 8
 
 
-def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+def word_shingles_sql(text: str, k: int = DEFAULT_SHINGLE) -> str:
+    """SQL fragment form of `word_shingles` — the IDENTICAL analyzed
+    expression, built in ONE F.expr parse instead of ~120 Py4J
+    round-trips of higher-order-function construction (~30 ms of pure
+    gateway latency per call, paid on every bench run of every shingle
+    entry — measured r14).  Value identity is pinned by
+    tests/test_round14_opt.py."""
+    win = ", ".join(f"element_at(words, i + {j})" for j in range(k))
+    return (
+        f"element_at(transform(array(split({text}, ' ')), words -> "
+        f"CASE WHEN size(words) >= {k} THEN "
+        f"transform(sequence(1, greatest(size(words) - {k - 1}, 0)), "
+        f"i -> concat_ws(' ', {win})) "
+        f"ELSE CAST(array() AS array<string>) END), 1)"
+    )
+
+
+def word_shingles(text: Column | str, k: int = DEFAULT_SHINGLE) -> Column:
     """Word k-gram shingles: `concat_ws(' ', words[i..i+k-1])` for each
     window start.  Empty array when the doc has fewer than k words.
+
+    String args are SQL fragments routed through `word_shingles_sql`
+    (one Py4J call, value-identical).  For Column args the tree is built
+    in Python:
 
     The split is bound ONCE per row through an outer lambda variable:
     codegen does no CSE inside lambda bodies, so referencing `split(text)`
@@ -46,6 +67,8 @@ def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     allocation + array_join walk — measured ~18% on the explode stage,
     byte-identical output), which keeps the interpreted higher-order
     evaluation this family's scans are bound by as lean as it gets."""
+    if isinstance(text, str):
+        return F.expr(word_shingles_sql(text, k))
 
     def _shingles(words: Column) -> Column:
         n = F.size(words)
@@ -66,7 +89,7 @@ def word_shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
 
 
 def minhash_signature(
-    text: Column,
+    text: Column | str,
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle: int = DEFAULT_SHINGLE,
 ) -> list[Column]:
@@ -83,6 +106,20 @@ def minhash_signature(
     """
     if num_hashes > 4:
         raise ValueError("num_hashes > 4 needs more than one digest per shingle")
+    if isinstance(text, str):
+        # one F.expr parse per hash instead of the HOF construction
+        # chain (~60 ms of Py4J latency per signature — measured r14);
+        # identical analyzed tree, pinned by tests/test_round14_opt.py
+        digests_sql = (
+            f"transform({word_shingles_sql(text, shingle)}, s -> md5(s))"
+        )
+        return [
+            F.expr(
+                f"array_min(transform({digests_sql}, "
+                f"d -> substring(d, {1 + 8 * j}, 8)))"
+            ).alias(f"mh{j}")
+            for j in range(num_hashes)
+        ]
     digests = F.transform(word_shingles(text, shingle), lambda s: F.md5(s))
     return [
         F.array_min(
@@ -135,7 +172,7 @@ def _settle(df: DataFrame, n_docs: int) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES) -> DataFrame:
-    return _spread(docs).select("doc_id", *minhash_signature(F.col("text"), num_hashes))
+    return _spread(docs).select("doc_id", *minhash_signature("text", num_hashes))
 
 
 def minhash_lsh_pairs(
@@ -411,7 +448,7 @@ def ngram_containment_pairs(
     n_docs = docs.count()
     sh = _spread(docs, n_rows=n_docs).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
+        F.explode(F.array_distinct(word_shingles("text", shingle))).alias("sh"),
     )
     if max_doc_freq is not None:
         hot = (
@@ -565,7 +602,7 @@ def ngram_jaccard_pairs(
     """
     n_docs = docs.count()
     sh = _spread(docs, n_rows=n_docs).select(
-        "doc_id", F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh")
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", shingle))).alias("sh")
     )
     if max_doc_freq is not None:
         hot = (
@@ -873,7 +910,7 @@ def minhash_estimate_error(
         .join(pair_docs, "doc_id", "left_semi")
         .select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias("sh"),
+            F.explode(F.array_distinct(word_shingles("text", shingle))).alias("sh"),
         )
         .transform(pin)
     )
@@ -940,7 +977,7 @@ def lsh_s_curve(
     sh = (
         docs.select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+            F.explode(F.array_distinct(word_shingles("text", shingle))).alias(
                 "sh"
             ),
         )
@@ -1442,7 +1479,7 @@ def prefix_filter_jaccard_pairs(
     tok = _spread(docs, n_rows=n_docs).select(
         "doc_id",
         F.explode(
-            F.array_distinct(word_shingles(F.col("text"), shingle))
+            F.array_distinct(word_shingles("text", shingle))
         ).alias("tok"),
     )
     # one materialization, three readers (df agg, prefix build, verify join);
@@ -1629,7 +1666,7 @@ def prefix_filter_jaccard_pairs_between(
     def toks(docs, n_rows):
         t = _spread(docs, n_rows=n_rows).select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+            F.explode(F.array_distinct(word_shingles("text", shingle))).alias(
                 "tok"
             ),
         )
@@ -1913,7 +1950,7 @@ def build_prefix_filter_index(
         part = lambda d, *k: d.repartition(n_part, *k)  # noqa: E731
     tc = _spread(corpus, n_rows=n_corp).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+        F.explode(F.array_distinct(word_shingles("text", shingle))).alias(
             "tok"
         ),
     )
@@ -2082,7 +2119,7 @@ def prefix_filter_jaccard_pairs_maintained(
     n_new = new_docs.count()
     tn = _spread(new_docs, n_rows=n_new).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+        F.explode(F.array_distinct(word_shingles("text", shingle))).alias(
             "tok"
         ),
     )
@@ -2190,7 +2227,7 @@ def append_prefix_filter_batch(
     n_batch = batch.count()
     tb = _spread(batch, n_rows=n_batch).select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), shingle))).alias(
+        F.explode(F.array_distinct(word_shingles("text", shingle))).alias(
             "tok"
         ),
     )

@@ -397,7 +397,7 @@ def decontamination_overlap(
     from broker_spark.pipeline.dedup import word_shingles
 
     base = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
-    sh = F.array_distinct(word_shingles(F.col("text"), shingle))
+    sh = F.array_distinct(word_shingles("text", shingle))
     bench_sh = (
         base.filter(F.col("bucket") < threshold)
         .select(F.explode(sh).alias("sh"))
@@ -677,7 +677,7 @@ def bloom_decontamination(
 
     spark = docs.sparkSession
     base = docs.withColumn("bucket", hash_bucket(F.col("doc_id")))
-    sh = F.array_distinct(word_shingles(F.col("text"), shingle))
+    sh = F.array_distinct(word_shingles("text", shingle))
     bench_sh = (
         base.filter(F.col("bucket") < threshold)
         .select(F.explode(sh).alias("sh"))
@@ -904,7 +904,7 @@ def tfidf_cosine_pairs(
     from broker_spark.pipeline.dedup import word_shingles
 
     terms = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("term")
+        "doc_id", F.explode(word_shingles("text", 3)).alias("term")
     )
     tf = (
         terms.groupBy("doc_id", "term")

@@ -287,7 +287,7 @@ def streaming_lsh_candidates_backfill(
     from broker_spark.pipeline.dedup import _banded, minhash_signature
     from pyspark.sql import functions as F
 
-    sig = docs.select("doc_id", *minhash_signature(F.col("text"), num_hashes))
+    sig = docs.select("doc_id", *minhash_signature("text", num_hashes))
     banded = _banded(sig, num_hashes, rows_per_band).withColumn(
         "band_id", F.col("band_id").cast("long")
     )
@@ -435,7 +435,7 @@ def streaming_lsh_candidates_horizon(
     from pyspark.sql import functions as F
 
     sig = docs.withWatermark("ts", watermark_delay).select(
-        "doc_id", "ts", *minhash_signature(F.col("text"), num_hashes)
+        "doc_id", "ts", *minhash_signature("text", num_hashes)
     )
     band_keys = F.array(
         *[
