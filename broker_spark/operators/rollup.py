@@ -401,65 +401,58 @@ def trailing_distinct_users_interval(
     """
     from pyspark.sql.window import Window
 
-    hours = (
+    # ONE hash aggregation replaces the r7 shape's pinned distinct +
+    # per-user lag window + interval groupBy + deltas/probes union +
+    # probe distinct (guide §2.4, r14): collect_set dedups (user, hour)
+    # map-side exactly like the old .distinct() shuffle, sort_array
+    # recovers the window's per-user hour order IN-ROW, and a single
+    # higher-order expression emits every interval's +1/-1 delta rows
+    # AND the user's probe rows from the sorted set — so the frame has
+    # ONE reader and the eager checkpoint (a separate job per bench run)
+    # is gone, along with two of the four shuffles.  Interval identity
+    # is unchanged: a new interval starts where the gap to the previous
+    # active hour exceeds window_hours - 1; [min_h, max_h + W - 1] per
+    # run; delta rows (+1 at lo, -1 at hi + 1) and probe rows (delta 0,
+    # is_probe 1 at every active hour) sum per (bucket, is_probe) to
+    # exactly the rows the union produced.  Built as one F.expr parse
+    # (the r14 construction recipe).
+    w1 = window_hours - 1
+    st = (
+        f"filter(sequence(1, size(hs)), i -> i = 1 OR "
+        f"element_at(hs, i) - element_at(hs, i - 1) > {w1})"
+    )
+    rows_sql = (
+        f"element_at(transform(array({st}), st -> concat("
+        f"flatten(transform("
+        f"transform(st, (s, k) -> named_struct("
+        f"'lo', element_at(hs, s), "
+        f"'hi', element_at(hs, IF(k = size(st) - 1, size(hs), "
+        f"element_at(st, k + 2) - 1)) + {w1})), "
+        f"iv -> array("
+        f"named_struct('bucket', iv.lo, 'delta', CAST(1 AS BIGINT), 'is_probe', 0), "
+        f"named_struct('bucket', iv.hi + 1, 'delta', CAST(-1 AS BIGINT), 'is_probe', 0)))), "
+        f"transform(hs, h -> named_struct("
+        f"'bucket', h, 'delta', CAST(0 AS BIGINT), 'is_probe', 1)))), 1)"
+    )
+    sets = (
         events.select(
             F.floor(F.unix_millis(F.col(ts_col)) / F.lit(3_600_000))
             .cast("long")
             .alias("h"),
             F.col(user_col).alias("user_id"),
         )
-        .distinct()
-        # two readers (interval derivation + probe buckets) — pin so the
-        # events scan + distinct materializes once (ADVICE r7)
-        .transform(pin)
-    )
-
-    w_user = Window.partitionBy("user_id").orderBy("h")
-    iv = (
-        hours.withColumn("prev_h", F.lag("h").over(w_user))
-        .withColumn(
-            "new_iv",
-            (
-                F.col("prev_h").isNull()
-                | (F.col("h") - F.col("prev_h") > F.lit(window_hours - 1))
-            ).cast("long"),
-        )
-        .withColumn(
-            "iv_id",
-            F.sum("new_iv").over(
-                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
-        .groupBy("user_id", "iv_id")
-        .agg(
-            F.min("h").alias("iv_start"),
-            (F.max("h") + F.lit(window_hours - 1)).alias("iv_end"),
-        )
-    )
-    deltas = (
-        iv.select(F.col("iv_start").alias("bucket"), F.lit(1).alias("delta"))
-        .unionByName(
-            iv.select(
-                (F.col("iv_end") + F.lit(1)).alias("bucket"),
-                F.lit(-1).alias("delta"),
-            )
-        )
-        .groupBy("bucket")
-        .agg(F.sum("delta").cast("long").alias("delta"))
-        .withColumn("is_probe", F.lit(0))
-    )
-    probes = (
-        hours.select(F.col("h").alias("bucket"))
-        .distinct()
-        .withColumn("delta", F.lit(0).cast("long"))
-        .withColumn("is_probe", F.lit(1))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("h")).alias("hs"))
     )
     # range-partition ONCE and pin the sampled boundaries (oracle-parity
     # rule: repartitionByRange boundaries differ per execution).  At equal
     # bucket, deltas sort before probes: a +1 opening at b and a -1
     # closing at b (= iv_end+1) both apply to bucket b's probe.
     allr = (
-        deltas.unionByName(probes)
+        sets.select(F.explode(F.expr(rows_sql)).alias("r"))
+        .select("r.bucket", "r.delta", "r.is_probe")
+        .groupBy("bucket", "is_probe")
+        .agg(F.sum("delta").cast("long").alias("delta"))
         .repartitionByRange(n_range_parts, "bucket", "is_probe")
         .transform(pin)
     )

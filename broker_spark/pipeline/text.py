@@ -314,20 +314,16 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         F.max("c").alias("max_tf"),
     )
     # bind the split once (outer lambda variable): no CSE inside lambda
-    # bodies, so referencing `words` directly re-splits per bigram
-    def _bigram_arr(w: Column) -> Column:
-        n = F.size(w)
-        return F.when(
-            n >= 2,
-            F.transform(
-                F.sequence(F.lit(1), n - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(w, i), F.element_at(w, i + 1)
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    bigram_arr = F.element_at(F.transform(F.array(words), _bigram_arr), 1)
+    # bodies, so referencing `words` directly re-splits per bigram.
+    # Built as ONE F.expr parse — the identical analyzed tree cost ~100
+    # Py4J round-trips through the HOF builders (r14 construction
+    # recipe; value identity pinned by tests/test_round14_opt.py).
+    bigram_arr = F.expr(
+        "element_at(transform(array(split(text, ' ')), w -> "
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) "
+        "ELSE CAST(array() AS array<string>) END), 1)"
+    )
     bigrams = docs.select("doc_id", F.explode(bigram_arr).alias("bg"))
     bgc = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
     bs = bgc.groupBy("doc_id").agg(
@@ -1153,17 +1149,15 @@ def passage_dedup_stats(
     doc_id.  No joins, no collect; hot keys are boilerplate passages,
     which the hash key spreads across partitions at corpus scale only as
     single-key windows — AQE skew handling applies."""
-    words = words_col(F.col("text"))
-    n_blocks = F.ceil(F.size(words) / F.lit(passage_words)).cast("int")
-    passages = F.when(
-        F.size(words) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(words, i * passage_words + 1, passage_words)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # one F.expr parse — identical tree to the HOF-built form (r14
+    # construction recipe; pinned by tests/test_round14_opt.py)
+    pw = int(passage_words)
+    passages = F.expr(
+        f"CASE WHEN size(split(text, ' ')) > 0 THEN "
+        f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {pw}) AS INT) - 1), "
+        f"i -> concat_ws(' ', slice(split(text, ' '), i * {pw} + 1, {pw}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
     exploded = docs.select(
         "doc_id", F.posexplode(passages).alias("pos", "passage")
     ).select("doc_id", "pos", F.md5(F.col("passage")).alias("h"))
@@ -1210,36 +1204,44 @@ def quality_classifier_score(docs: DataFrame, carry: tuple = ()) -> DataFrame:
       f_stop    = stopword_hits / n_tokens       -- natural-language-ness
       f_wordlen = min(mean_word_len / 10, 1)     -- gibberish penalty arm
     """
+    # Built as SQL fragments assembled into four F.expr parses — the
+    # identical analyzed trees cost ~600 Py4J round-trips (~0.25 s per
+    # bench run, paid by SIX catalog entries that reuse this projection)
+    # through the Column builders (r14 construction recipe; value
+    # identity pinned by tests/test_round14_opt.py).  greatest(x, 1): an
+    # empty/degenerate doc must score, not emit a NULL (Spark Divide) vs
+    # NaN/inf (DuckDB IEEE) divergence — guard BOTH denominators
+    # identically here and in the catalog oracle SQL.  0.5D etc. are the
+    # DOUBLE literals F.lit built (bare decimals would parse as DECIMAL).
     all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
-    words = words_col(F.col("text"))
-    n_tokens = F.size(words).cast("double")
-    n_len = F.length(F.col("text")).cast("double")
-    # greatest(x, 1): an empty/degenerate doc must score, not emit a NULL
-    # (Spark Divide) vs NaN/inf (DuckDB IEEE) divergence — guard BOTH
-    # denominators identically here and in the catalog oracle SQL.
-    n_len_d = F.greatest(n_len, F.lit(1.0))
-    n_tok_d = F.greatest(n_tokens, F.lit(1.0))
-    punct_ratio = punct_len(F.col("text")).cast("double") / n_len_d
-    f_len = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
-    f_alpha = F.lit(1.0) - punct_ratio
-    n_stop = F.size(F.filter(words, lambda x: x.isin(all_stop))).cast("double")
-    f_stop = n_stop / n_tok_d
-    mean_wordlen = (n_len - (n_tokens - F.lit(1.0))) / n_tok_d
-    f_wordlen = F.least(mean_wordlen / F.lit(10.0), F.lit(1.0))
-    logit = (
-        F.lit(QC_WEIGHTS["f_len"]) * f_len
-        + F.lit(QC_WEIGHTS["f_alpha"]) * f_alpha
-        + F.lit(QC_WEIGHTS["f_stop"]) * f_stop
-        + F.lit(QC_WEIGHTS["f_wordlen"]) * f_wordlen
-        + F.lit(QC_BIAS)
+    in_list = ", ".join(f"'{w}'" for w in all_stop)
+    words = "split(text, ' ')"
+    n_tokens = f"CAST(size({words}) AS DOUBLE)"
+    n_len = "CAST(length(text) AS DOUBLE)"
+    n_len_d = f"greatest({n_len}, 1.0D)"
+    n_tok_d = f"greatest({n_tokens}, 1.0D)"
+    punct_ratio = (
+        f"(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS DOUBLE)"
+        f" / {n_len_d})"
     )
-    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    f_len = f"least(({n_tokens} / 100.0D), 1.0D)"
+    f_alpha = f"(1.0D - {punct_ratio})"
+    n_stop = f"CAST(size(filter({words}, x -> x IN ({in_list}))) AS DOUBLE)"
+    f_stop = f"({n_stop} / {n_tok_d})"
+    mean_wordlen = f"(({n_len} - ({n_tokens} - 1.0D)) / {n_tok_d})"
+    f_wordlen = f"least(({mean_wordlen} / 10.0D), 1.0D)"
+    logit = (
+        f"({QC_WEIGHTS['f_len']}D * {f_len} + {QC_WEIGHTS['f_alpha']}D * {f_alpha}"
+        f" + {QC_WEIGHTS['f_stop']}D * {f_stop}"
+        f" + {QC_WEIGHTS['f_wordlen']}D * {f_wordlen} + {QC_BIAS}D)"
+    )
+    score = f"(1.0D / (1.0D + exp(-{logit})))"
     return docs.select(
         "doc_id",
-        F.round(f_len, 6).alias("f_len"),
-        F.round(f_stop, 6).alias("f_stop"),
-        F.round(score, 6).alias("quality_prob"),
-        (score >= F.lit(0.5)).alias("keep"),
+        F.expr(f"round({f_len}, 6)").alias("f_len"),
+        F.expr(f"round({f_stop}, 6)").alias("f_stop"),
+        F.expr(f"round({score}, 6)").alias("quality_prob"),
+        F.expr(f"{score} >= 0.5D").alias("keep"),
         *carry,
     )
 

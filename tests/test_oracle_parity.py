@@ -63,11 +63,42 @@ def test_oracle_parity(spark, name):
         )
 
 
+#: Entries whose fn writes shared state through a session-conf toggle or
+#: a saveAsTable — run OUTSIDE the thread pool below so a concurrent
+#: entry can never observe the writer's temporary conf
+#: (storage/writer.py's partitionOverwriteMode window) or a half-written
+#: warehouse table.
+_SEQUENTIAL_SIDE_EFFECTS = {
+    "log_roundtrip_resend",
+    "dedup_prefix_filter_maintained",
+    "dedup_prefix_index_drift",
+    "bucketed_join_order_revenue",
+}
+
+
 def test_catalog_entries_nonempty(spark):
     """Every catalog query must return >= 1 row at sf0.001 (except pair
-    finders, which may legitimately be empty but must still run)."""
+    finders, which may legitimately be empty but must still run).
+
+    Entries are independent, so the counts run from a small driver
+    thread pool (guide §2.6: actions are only sequential because driver
+    code calls them sequentially) — this test was 304 s of the suite's
+    wall sequential.  Side-effecting entries run first, alone."""
+    from concurrent.futures import ThreadPoolExecutor
+
     may_be_empty = {"dedup_minhash_pairs", "dedup_ngram_jaccard"}
-    for name, entry in CATALOG.items():
-        n = entry.fn(spark, SF_SMALL).count()
+
+    def one(item):
+        name, entry = item
+        return name, entry.fn(spark, SF_SMALL).count()
+
+    results = [
+        one((n, CATALOG[n])) for n in _SEQUENTIAL_SIDE_EFFECTS if n in CATALOG
+    ]
+    rest = [(n, e) for n, e in CATALOG.items() if n not in _SEQUENTIAL_SIDE_EFFECTS]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        results += list(pool.map(one, rest))
+    assert len(results) == len(CATALOG)
+    for name, n in results:
         if name not in may_be_empty:
             assert n > 0, f"{name} returned 0 rows"

@@ -62,17 +62,40 @@ def test_no_row_at_a_time_python(spark):
     keep their internal barriers via pin_iter — the toggle strips only
     returned-plan pins, so construction-time actions never re-run a
     compounded unpinned lineage (ADVICE r7)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from broker_spark import pinning
 
-    with pinning.audit_lineage():
-        for name, entry in CATALOG.items():
-            plan = (
+    # planning each of the 269 entries is independent driver work — run
+    # it from a thread pool (guide §2.6; this test was 220 s of the
+    # suite's wall sequential).  audit_lineage is THREAD-LOCAL, so the
+    # toggle is entered inside each worker, not around the pool.
+    def plan_one(item):
+        name, entry = item
+        with pinning.audit_lineage():
+            return (
+                name,
                 entry.fn(spark, SF_SMALL)
                 ._jdf.queryExecution()
                 .executedPlan()
-                .toString()
+                .toString(),
             )
-            assert "BatchEvalPython" not in plan, name
+
+    from tests.test_oracle_parity import _SEQUENTIAL_SIDE_EFFECTS
+
+    plans = [
+        plan_one((n, CATALOG[n]))
+        for n in _SEQUENTIAL_SIDE_EFFECTS
+        if n in CATALOG
+    ]
+    rest = [
+        (n, e) for n, e in CATALOG.items() if n not in _SEQUENTIAL_SIDE_EFFECTS
+    ]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        plans += list(pool.map(plan_one, rest))
+    assert len(plans) == len(CATALOG)
+    for name, plan in plans:
+        assert "BatchEvalPython" not in plan, name
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):

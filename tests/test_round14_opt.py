@@ -188,6 +188,190 @@ class TestExprConstructionEquivalence:
         assert got == sorted(want)
 
 
+class TestTextExprEquivalence:
+    """The r14 expr-construction conversion of text.py's hot projections:
+    each new single-parse expression must equal the Python-built tree it
+    replaced, reproduced here as the reference."""
+
+    DOCS = [
+        (1, "", "s1"),
+        (2, "the", "s1"),
+        (3, "the a of and to in is xyz!!!", "s2"),
+        (4, "word " * 150, "s2"),
+        (5, "a! b? c. d, e; f:", "s3"),
+        (6, "über naïve café — emoji 😀 text", "s3"),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id long, text string, source string"
+        )
+
+    def test_quality_classifier_score(self, spark):
+        from broker_spark.pipeline.text import (
+            QC_BIAS,
+            QC_WEIGHTS,
+            STOPWORDS,
+            punct_len,
+            quality_classifier_score,
+            words_col,
+        )
+
+        docs = self._docs(spark)
+        all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+        words = words_col(F.col("text"))
+        n_tokens = F.size(words).cast("double")
+        n_len = F.length(F.col("text")).cast("double")
+        n_len_d = F.greatest(n_len, F.lit(1.0))
+        n_tok_d = F.greatest(n_tokens, F.lit(1.0))
+        punct_ratio = punct_len(F.col("text")).cast("double") / n_len_d
+        f_len = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+        f_alpha = F.lit(1.0) - punct_ratio
+        n_stop = F.size(F.filter(words, lambda x: x.isin(all_stop))).cast("double")
+        f_stop = n_stop / n_tok_d
+        mean_wordlen = (n_len - (n_tokens - F.lit(1.0))) / n_tok_d
+        f_wordlen = F.least(mean_wordlen / F.lit(10.0), F.lit(1.0))
+        logit = (
+            F.lit(QC_WEIGHTS["f_len"]) * f_len
+            + F.lit(QC_WEIGHTS["f_alpha"]) * f_alpha
+            + F.lit(QC_WEIGHTS["f_stop"]) * f_stop
+            + F.lit(QC_WEIGHTS["f_wordlen"]) * f_wordlen
+            + F.lit(QC_BIAS)
+        )
+        score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        ref = docs.select(
+            "doc_id",
+            F.round(f_len, 6).alias("f_len"),
+            F.round(f_stop, 6).alias("f_stop"),
+            F.round(score, 6).alias("quality_prob"),
+            (score >= F.lit(0.5)).alias("keep"),
+        ).collect()
+        got = quality_classifier_score(docs).collect()
+        assert sorted(got) == sorted(ref)
+
+    def test_repetition_bigram_and_passages(self, spark):
+        from broker_spark.pipeline.text import (
+            PASSAGE_WORDS,
+            passage_dedup_stats,
+            repetition_stats,
+            words_col,
+        )
+
+        docs = self._docs(spark).union(
+            spark.createDataFrame(
+                [(7, "dup dup dup dup " * 40, "s4")],
+                "doc_id long, text string, source string",
+            )
+        )
+        words = words_col(F.col("text"))
+
+        def _bigram_arr(w):
+            n = F.size(w)
+            return F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        ref_bg = docs.select(
+            "doc_id",
+            F.element_at(F.transform(F.array(words), _bigram_arr), 1).alias("bg"),
+        ).collect()
+        from broker_spark.pipeline import text as text_mod
+
+        got_bg = docs.select(
+            "doc_id",
+            F.expr(
+                "element_at(transform(array(split(text, ' ')), w -> "
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+                "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))) "
+                "ELSE CAST(array() AS array<string>) END), 1)"
+            ).alias("bg"),
+        ).collect()
+        assert sorted(ref_bg) == sorted(got_bg)
+
+        n_blocks = F.ceil(F.size(words) / F.lit(PASSAGE_WORDS)).cast("int")
+        ref_ps = docs.select(
+            "doc_id",
+            F.when(
+                F.size(words) > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_blocks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(words, i * PASSAGE_WORDS + 1, PASSAGE_WORDS)
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("ps"),
+        ).collect()
+        pw = int(PASSAGE_WORDS)
+        got_ps = docs.select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) > 0 THEN "
+                f"transform(sequence(0, CAST(ceil(size(split(text, ' ')) / {pw}) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(split(text, ' '), i * {pw} + 1, {pw}))) "
+                f"ELSE CAST(array() AS array<string>) END"
+            ).alias("ps"),
+        ).collect()
+        assert sorted(ref_ps) == sorted(got_ps)
+        # and the full operators still produce sane decision tables
+        assert repetition_stats(docs).count() == 7
+        assert passage_dedup_stats(docs).count() == 7
+
+
+class TestTrailingIntervalRewrite:
+    """r14: trailing_distinct_users_interval's single-aggregation form
+    (collect_set + one in-row HOF emitting interval deltas AND probe
+    rows) must equal a brute-force per-bucket distinct count."""
+
+    def test_matches_bruteforce(self, spark):
+        import datetime as dt
+
+        from broker_spark.operators.rollup import trailing_distinct_users_interval
+
+        W = 24
+        # crafted hours: duplicates, exact-gap-23 chain, gap-24 split,
+        # singleton, cross-user overlaps
+        user_hours = {
+            1: [0, 0, 5, 28, 52],        # chains: 0..5 gap 23 merges? 5-0=5<=23 chain; 28-5=23 chain; 52-28=24 split
+            2: [10],
+            3: [0, 24, 48],              # consecutive gap-24 splits
+            4: [100, 101, 102],
+        }
+        rows = []
+        eid = 0
+        for u, hs in user_hours.items():
+            for h in hs:
+                rows.append(
+                    (eid, u, dt.datetime(2024, 1, 1) + dt.timedelta(hours=h))
+                )
+                eid += 1
+        df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = {
+            r["bucket"]: r["n_users"]
+            for r in trailing_distinct_users_interval(df, window_hours=W).collect()
+        }
+        base_h = int(
+            dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() // 3600
+        )
+        active = sorted({base_h + h for hs in user_hours.values() for h in hs})
+        want = {}
+        for b in active:
+            n = sum(
+                1
+                for u, hs in user_hours.items()
+                if any(b - (W - 1) <= base_h + h <= b for h in hs)
+            )
+            want[b] = n
+        assert got == want
+
+
 class TestWidthGuard:
     def test_reduce_width_fires_when_narrow(self, spark):
         from broker_spark.plans.catalog import _reduce_width
