@@ -569,15 +569,28 @@ def _stopword_hits(words: Column, lang: str) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(vocab, w)))
 
 
+def _stopword_hits_sql(words: str, lang: str) -> str:
+    """SQL fragment form of `_stopword_hits` — the identical analyzed
+    tree in one F.expr parse instead of ~25 Py4J round-trips per
+    language (r14 construction recipe; pinned by
+    tests/test_round14_opt.py)."""
+    arr = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"size(filter({words}, w -> array_contains(array({arr}), w)))"
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Stopword-hit language ID: score per language = number of word tokens
     found in that language's stopword list; argmax with name-ascending
     tie-break; 'und' (undetermined) when all scores are 0."""
-    words = words_col(F.col("text"))
     scored = docs.select(
         "doc_id",
         "lang",
-        *[_stopword_hits(words, lang).alias(f"score_{lang}") for lang in LANG_PRIORITY],
+        *[
+            F.expr(_stopword_hits_sql("split(text, ' ')", lang)).alias(
+                f"score_{lang}"
+            )
+            for lang in LANG_PRIORITY
+        ],
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
     pred = F.lit("und")

@@ -249,6 +249,24 @@ class TestTextExprEquivalence:
         got = quality_classifier_score(docs).collect()
         assert sorted(got) == sorted(ref)
 
+    def test_stopword_hits(self, spark):
+        from broker_spark.pipeline.text import (
+            LANG_PRIORITY,
+            STOPWORDS,
+            _stopword_hits,
+            _stopword_hits_sql,
+            words_col,
+        )
+
+        docs = self._docs(spark)
+        words = words_col(F.col("text"))
+        for lang in LANG_PRIORITY:
+            ref = docs.select(_stopword_hits(words, lang).alias("s")).collect()
+            got = docs.select(
+                F.expr(_stopword_hits_sql("split(text, ' ')", lang)).alias("s")
+            ).collect()
+            assert ref == got, lang
+
     def test_repetition_bigram_and_passages(self, spark):
         from broker_spark.pipeline.text import (
             PASSAGE_WORDS,
